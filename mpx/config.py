@@ -1,0 +1,113 @@
+"""Runtime configuration.
+
+The reference bakes every parameter into the bitstream at compile time via
+CMake cache variables validated in CMakeLists.txt:54-94 (n, m, w, t, dtype,
+kernel, replication).  mpx collapses this two-tier config into one runtime
+dataclass whose shape-like fields become jit static arguments:
+
+* ``m``          — subsequence length (MP_SIZE_M)
+* ``dtype``      — compute dtype (MP_DATA_TYPE: double/float)
+* ``kernel``     — 'xla' | 'pallas' | 'auto' (MP_KERNEL: Vanilla/Tiled)
+* ``chunk``      — diagonals per job, the host-chunk analog (MP_SIZE_W)
+* ``band``       — rows per job; new in mpx: QT is re-seeded exactly at
+  every band start (closed form on the MXU), which removes the global
+  row-serial dependence and makes every (band x chunk) job independent —
+  the enabler for one-compile scheduling, sharding, and checkpointing.
+* ``tile_rows`` / ``tile_cols`` — Pallas on-chip tile (MP_SIZE_T analog)
+* ``num_shards`` — device count for the sharded path (MP_KERNEL_REPL)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from mpx.dtypes import canonical_dtype
+from mpx.types import JobGrid
+
+_KERNELS = ("auto", "xla", "pallas")
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixProfileConfig:
+    m: int = 32
+    dtype: str = "float32"
+    kernel: str = "auto"
+    band: int = 4096
+    chunk: int = 16384
+    tile_rows: int = 8
+    tile_cols: int = 2048
+    num_shards: Optional[int] = None
+    # Interpret-mode Pallas (the sw_emu analog) for debugging off-TPU.
+    interpret: bool = False
+
+    def __post_init__(self):
+        canonical_dtype(self.dtype)  # raises on unsupported
+        if self.kernel not in _KERNELS:
+            raise ValueError(f"kernel must be one of {_KERNELS}, got {self.kernel!r}")
+        if self.m < 4:
+            raise ValueError("m must be >= 4 (exclusion zone is m/4)")
+        for name in ("band", "chunk", "tile_rows", "tile_cols"):
+            if getattr(self, name) < 1:
+                raise ValueError(f"{name} must be positive")
+        if self.band % self.tile_rows != 0:
+            raise ValueError("band must be a multiple of tile_rows")
+        if self.chunk % self.tile_cols != 0:
+            raise ValueError("chunk must be a multiple of tile_cols")
+
+    def validate_series(self, n: int):
+        if n < self.m:
+            raise ValueError(f"series length n={n} must be >= m={self.m}")
+        if n - self.m + 1 < 2:
+            raise ValueError("need at least 2 subsequences for a self-join")
+
+    def shrink_to(self, w: int) -> "MatrixProfileConfig":
+        """Clamp band/chunk (and tiles) to the actual profile width so tiny
+        inputs do not pay for full-size padded jobs."""
+        band = min(self.band, _round_up(w, self.tile_rows))
+        chunk = min(self.chunk, _round_up(w, self.tile_cols))
+        if band == self.band and chunk == self.chunk:
+            return self
+        return dataclasses.replace(self, band=band, chunk=chunk)
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def make_job_grid(w: int, band: int, chunk: int) -> JobGrid:
+    """Decompose the upper triangle of the (w x w) join into jobs.
+
+    Chunk k0 covers diagonals [k0, k0+chunk) and rows [0, w - k0); bands
+    cut those rows into height-``band`` strips.  This is the analog of the
+    reference's iteration loop over diagonal chunks
+    (host/MatrixProfileHost.cpp:101-128) with the added band split."""
+    r0s, k0s = [], []
+    for k0 in range(0, w, chunk):
+        for r0 in range(0, w - k0, band):
+            r0s.append(r0)
+            k0s.append(k0)
+    return JobGrid(
+        r0=np.asarray(r0s, dtype=np.int32),
+        k0=np.asarray(k0s, dtype=np.int32),
+        band=band,
+        chunk=chunk,
+    )
+
+
+def pad_job_grid(grid: JobGrid, multiple: int, dummy_r0: int) -> JobGrid:
+    """Pad the job list to a multiple (for even sharding) with dummy jobs
+    whose rows are entirely out of range; max-merges make them no-ops."""
+    num = grid.r0.shape[0]
+    padded = _round_up(num, multiple)
+    if padded == num:
+        return grid
+    pad = padded - num
+    return JobGrid(
+        r0=np.concatenate([grid.r0, np.full(pad, dummy_r0, np.int32)]),
+        k0=np.concatenate([grid.k0, np.zeros(pad, np.int32)]),
+        band=grid.band,
+        chunk=grid.chunk,
+    )

@@ -1,0 +1,167 @@
+"""Driver: job scheduling, on-device merging, and the public API.
+
+The analog of the reference host driver's ``RunMatrixProfileKernel``
+(host/MatrixProfileHost.cpp:54-160), re-designed for XLA:
+
+* the per-iteration host loop that round-robins diagonal chunks onto
+  compute units becomes a single jit-compiled ``lax.scan`` over the job
+  grid (one compilation, any problem size);
+* the host-side ``UpdateAggregates`` merge loop becomes on-device
+  max-merges of each job's output windows into global row/column
+  profiles (no host round trips inside the hot loop);
+* kernel replication over DDR banks becomes job-list sharding over a
+  device mesh (see :mod:`mpx.parallel.sharding`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpx.config import MatrixProfileConfig, make_job_grid, pad_job_grid
+from mpx.dtypes import AGGREGATE_INIT, canonical_dtype
+from mpx.kernels import band_geometry, get_sweep_fn, resolve_kernel
+from mpx.ops.aggregates import init_aggregates, merge_window, postcompute
+from mpx.ops.precompute import precompute_statistics
+from mpx.types import Aggregates, JobGrid, Stats
+
+
+def _agg_length(w: int, S: int, W: int) -> int:
+    # Tail windows reach at most c0 + S + W with c0 <= w - 1.
+    return w + S + W
+
+
+@partial(
+    jax.jit,
+    static_argnames=("S", "W", "m", "w", "kernel", "dtype", "interpret"),
+)
+def run_jobs(
+    stats: Stats,
+    r0s: jax.Array,
+    k0s: jax.Array,
+    *,
+    S: int,
+    W: int,
+    m: int,
+    w: int,
+    kernel: str,
+    dtype: str,
+    interpret: bool = False,
+):
+    """Sweep all jobs sequentially on one device, merging aggregates
+    on-device.  Returns (row Aggregates, column Aggregates), padded to
+    _agg_length(w, S, W)."""
+    geom = band_geometry(S, W, m, w)
+    dt = canonical_dtype(dtype)
+    sweep = get_sweep_fn(kernel)
+    if kernel == "pallas":
+        sweep = partial(sweep, interpret=interpret)
+    L = _agg_length(w, S, W)
+
+    rows0 = init_aggregates(L, dt, AGGREGATE_INIT)
+    cols0 = init_aggregates(L, dt, AGGREGATE_INIT)
+
+    def body(carry, job):
+        rows, cols = carry
+        r0, k0 = job
+        out = sweep(stats, r0, k0, geom, dt)
+        rows = merge_window(rows, out.row, r0)
+        cols = merge_window(cols, out.expired, r0 + k0)
+        cols = merge_window(cols, out.tail, r0 + k0 + S)
+        return (rows, cols), None
+
+    (rows, cols), _ = jax.lax.scan(body, (rows0, cols0), (r0s, k0s))
+    return rows, cols
+
+
+def compute_matrix_profile(
+    T,
+    m: Optional[int] = None,
+    config: Optional[MatrixProfileConfig] = None,
+    *,
+    stats: Optional[Stats] = None,
+    profile=None,
+):
+    """Compute the self-join matrix profile of ``T``.
+
+    Returns (MP, MPI) as jax arrays: z-normalized Euclidean distances and
+    int32 nearest-neighbor indices, matching the reference semantics
+    (untouched entries: sqrt(2m(1+1e12)) / -1).
+
+    ``profile`` optionally takes a :class:`mpx.utils.profile.BenchmarkProfile`
+    to record per-phase timings like the reference's report
+    (include/host/BenchmarkProfile.hpp).
+    """
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32)
+    elif m is not None and m != config.m:
+        raise ValueError(f"m={m} conflicts with config.m={config.m}")
+    m = config.m
+
+    T = np.asarray(T) if not isinstance(T, jax.Array) else T
+    n = T.shape[0]
+    config.validate_series(n)
+    w = n - m + 1
+    config = config.shrink_to(w)
+    S, W = config.band, config.chunk
+    dt = canonical_dtype(config.dtype)
+    kernel = resolve_kernel(config.kernel, dt)
+
+    from mpx.utils.profile import phase as _phase
+
+    if stats is None:
+        with _phase(profile, "1. Pre-Computation [device]"):
+            stats = precompute_statistics(T, m, band=S, chunk=W, dtype=dt)
+            jax.block_until_ready(stats)
+
+    grid = make_job_grid(w, S, W)
+
+    num_shards = config.num_shards
+    if num_shards is not None and num_shards > 1:
+        from mpx.parallel.sharding import run_jobs_sharded
+
+        with _phase(profile, f"2. Compute [{kernel}, sharded x{num_shards}]"):
+            rows, cols = run_jobs_sharded(
+                stats,
+                grid,
+                num_shards=num_shards,
+                S=S,
+                W=W,
+                m=m,
+                w=w,
+                kernel=kernel,
+                dtype=str(dt),
+                interpret=config.interpret,
+            )
+            jax.block_until_ready((rows, cols))
+    else:
+        with _phase(profile, f"2. Compute [{kernel}]"):
+            rows, cols = run_jobs(
+                stats,
+                jnp.asarray(grid.r0),
+                jnp.asarray(grid.k0),
+                S=S,
+                W=W,
+                m=m,
+                w=w,
+                kernel=kernel,
+                dtype=str(dt),
+                interpret=config.interpret,
+            )
+            jax.block_until_ready((rows, cols))
+
+    with _phase(profile, "3. Post-Computation [device]"):
+        MP, MPI = jax.jit(postcompute, static_argnums=(2, 3))(rows, cols, m, w)
+        jax.block_until_ready((MP, MPI))
+    return MP, MPI
+
+
+def matrix_profile(T, m: int, **kwargs):
+    """Convenience wrapper: numpy in, numpy out."""
+    config = MatrixProfileConfig(m=m, **kwargs) if kwargs else MatrixProfileConfig(m=m)
+    MP, MPI = compute_matrix_profile(T, config=config)
+    return np.asarray(MP), np.asarray(MPI)

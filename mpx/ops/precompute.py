@@ -1,0 +1,147 @@
+"""O(n) vectorized precomputation of SCAMP statistics.
+
+The analog of the reference host's ``PreComputeStatistics``
+(include/host/HostSideComputation.hpp:20-45), which runs an O(n*m) scalar
+loop on the host CPU.  Here the statistics are computed in a fully
+vectorized form:
+
+* ``mu``   — rolling means via cumulative sums,
+* ``df``   — ``(T[i+m-1] - T[i-1]) / 2``,
+* ``dg``   — ``(T[i+m-1] - mu[i]) + (T[i-1] - mu[i-1])``,
+* ``inv``  — ``1/sqrt(sum((T[i+k]-mu[i])^2))`` via sum-of-squares cumsums,
+* ``qt0``  — first-row dot products ``QT(0, c) = SDP(0, c) - m*mu[0]*mu[c]``
+  where SDP is the sliding dot product of the first window against the
+  series (an MXU-friendly closed form; the same form re-seeds QT at every
+  row band, removing the reference's global row-sequential dependence).
+
+All accumulation happens in float64 for stability (cancellation in the
+sum-of-squares path is catastrophic in float32), then casts to the compute
+dtype.  Both a numpy (host) and a JAX (jit, device) implementation are
+provided with identical semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpx.types import Stats
+
+
+def _padded_width(w: int, band: int, chunk: int) -> int:
+    """Pad the subsequence count so every job window slice is in-bounds:
+    jobs read column slices of width chunk + band starting at most at
+    w - 1."""
+    return int(w + band + chunk)
+
+
+def precompute_statistics_numpy(T: np.ndarray, m: int) -> dict:
+    """Float64 statistics of an unpadded series (host-side, BLAS)."""
+    T = np.asarray(T, dtype=np.float64)
+    n = T.shape[0]
+    if m < 4:
+        raise ValueError("m must be >= 4")
+    if n < m:
+        raise ValueError("n must be >= m")
+    w = n - m + 1
+
+    c1 = np.concatenate([[0.0], np.cumsum(T)])
+    mu = (c1[m:] - c1[:-m]) / m
+
+    df = np.zeros(w, dtype=np.float64)
+    dg = np.zeros(w, dtype=np.float64)
+    df[1:] = (T[m:] - T[:w - 1]) / 2
+    dg[1:] = (T[m:] - mu[1:]) + (T[:w - 1] - mu[:w - 1])
+
+    c2 = np.concatenate([[0.0], np.cumsum(T * T)])
+    ssq = (c2[m:] - c2[:-m]) - m * mu * mu
+    # Guard tiny negative values from cancellation; true zero variance
+    # yields inf like the reference (divide-by-zero semantics preserved).
+    ssq = np.maximum(ssq, 0.0)
+    with np.errstate(divide="ignore"):
+        inv = 1.0 / np.sqrt(ssq)
+
+    windows = np.lib.stride_tricks.sliding_window_view(T, m)
+    sdp0 = windows @ T[:m]
+    qt0 = sdp0 - m * mu[0] * mu
+
+    return {"mu": mu, "df": df, "dg": dg, "inv": inv, "qt0": qt0}
+
+
+def _precompute_jax_f64(T: jax.Array, m: int):
+    T = T.astype(jnp.float64)
+    n = T.shape[0]
+    w = n - m + 1
+
+    c1 = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(T)])
+    mu = (c1[m:] - c1[:-m]) / m
+
+    df = jnp.concatenate([jnp.zeros(1, T.dtype), (T[m:] - T[: w - 1]) / 2])
+    dg = jnp.concatenate(
+        [jnp.zeros(1, T.dtype), (T[m:] - mu[1:]) + (T[: w - 1] - mu[: w - 1])]
+    )
+
+    c2 = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(T * T)])
+    ssq = jnp.maximum((c2[m:] - c2[:-m]) - m * mu * mu, 0.0)
+    inv = 1.0 / jnp.sqrt(ssq)
+
+    sdp0 = sliding_dot_product(T[:m], T)
+    qt0 = sdp0 - m * mu[0] * mu
+    return mu, df, dg, inv, qt0
+
+
+def sliding_dot_product(q: jax.Array, T: jax.Array) -> jax.Array:
+    """SDP(c) = sum_k q[k] * T[c+k] for c in [0, len(T) - len(q) + 1).
+
+    Lowered as a 1-D convolution so XLA maps it onto the MXU.  This is the
+    closed-form seed generator that replaces the reference's row-serial QT
+    carry between diagonal chunks (kernel/MatrixProfileKernelVanilla.cpp:43
+    initializes from driver-provided QT of row 0 only; mpx re-seeds any row
+    band directly)."""
+    m = q.shape[0]
+    lhs = T[None, None, :]
+    rhs = q[None, None, :]
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=T.dtype,
+    )
+    return out[0, 0, :]
+
+
+def precompute_statistics(
+    T,
+    m: int,
+    *,
+    band: int,
+    chunk: int,
+    dtype=jnp.float32,
+) -> Stats:
+    """Device-resident, padded statistics in the compute dtype.
+
+    Accumulates in float64 (requires x64 mode, enabled at package import)
+    and pads with zeros so out-of-range lanes mirror the reference's
+    ``InputDataPack(0)`` behavior."""
+    T = jnp.asarray(T)
+    n = T.shape[0]
+    w = n - m + 1
+    pw = _padded_width(w, band, chunk)
+
+    mu, df, dg, inv, qt0 = jax.jit(_precompute_jax_f64, static_argnums=1)(T, m)
+
+    def pad(x, width, fill=0.0):
+        return jnp.pad(x, (0, width - x.shape[0]), constant_values=fill)
+
+    dt = jnp.dtype(dtype)
+    return Stats(
+        T=pad(T.astype(dt), pw + m - 1),
+        mu=pad(mu.astype(dt), pw),
+        df=pad(df.astype(dt), pw),
+        dg=pad(dg.astype(dt), pw),
+        inv=pad(inv.astype(dt), pw),
+        qt0=pad(qt0.astype(dt), pw),
+    )
