@@ -1,0 +1,206 @@
+"""Command-line interface.
+
+Replaces both reference entry points with one tool:
+
+* ``mpx compute``  — the host driver CLI (host/MatrixProfileHost.cpp:166-175:
+  ``-i/--input``, ``-o/--output``, ``--verbose``, ``--version``), with the
+  compile-time CMake knobs (m, dtype, kernel, chunk sizes, replication)
+  promoted to runtime flags;
+* ``mpx tsbin``    — the dataset codec (util/tsbin.py): encode/decode
+  ascii <-> binary with type/limit/offset/oneline;
+* ``mpx golden``   — generate golden MP/MPI via the numpy oracle
+  (util/matrix_profile.py analog, without the pyscamp dependency);
+* ``mpx datasets`` — list the vendored datasets;
+* ``mpx bench``    — run the benchmark harness (see mpx/bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from mpx.utils.logging import Logger
+
+
+def _add_compute(sub):
+    p = sub.add_parser("compute", help="compute a self-join matrix profile")
+    p.add_argument("-i", "--input", required=True, help=".tsb/.txt[.gz] time series")
+    p.add_argument("-o", "--output", help="output base path (writes .mpb/.mpib)")
+    p.add_argument("-m", type=int, default=32, help="subsequence length")
+    p.add_argument("--dtype", default="float32", help="double|float|float32|float64")
+    p.add_argument("--kernel", default="auto", choices=("auto", "xla", "pallas"))
+    p.add_argument("--band", type=int, default=4096, help="rows per job (band height)")
+    p.add_argument("--chunk", type=int, default=16384, help="diagonals per job")
+    p.add_argument("--tile-rows", type=int, default=8)
+    p.add_argument("--tile-cols", type=int, default=2048)
+    p.add_argument("--shards", type=int, default=None, help="device count")
+    p.add_argument("--checkpoint", help="checkpoint file for resumable runs")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_compute(args) -> int:
+    from mpx.config import MatrixProfileConfig
+    from mpx.driver import compute_matrix_profile
+    from mpx.io.tsb import read_series, write_results
+    from mpx.utils.profile import BenchmarkProfile
+
+    Logger.verbose = args.verbose
+    T = read_series(args.input)
+    Logger.verbose_log(f"read {T.shape[0]} values from {args.input}")
+    cfg = MatrixProfileConfig(
+        m=args.m,
+        dtype=args.dtype,
+        kernel=args.kernel,
+        band=args.band,
+        chunk=args.chunk,
+        tile_rows=args.tile_rows,
+        tile_cols=args.tile_cols,
+        num_shards=args.shards,
+    )
+    prof = BenchmarkProfile()
+    if args.checkpoint:
+        from mpx.checkpoint import compute_with_checkpoint
+
+        MP, MPI = compute_with_checkpoint(T, cfg, args.checkpoint, profile=prof)
+    else:
+        MP, MPI = compute_matrix_profile(T, config=cfg, profile=prof)
+    if args.output:
+        mpb, mpib = write_results(args.output, np.asarray(MP), np.asarray(MPI))
+        Logger.info(f"wrote {mpb}, {mpib}")
+    else:
+        for d, i in zip(np.asarray(MP)[:10], np.asarray(MPI)[:10]):
+            print(d, i)
+        if MP.shape[0] > 10:
+            print(f"... ({MP.shape[0]} total; pass -o to persist)")
+    if args.verbose:
+        prof.report(file=sys.stdout)
+    return 0
+
+
+def _add_tsbin(sub):
+    p = sub.add_parser("tsbin", help="encode/decode binary time series files")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("-d", "--decode", action="store_true")
+    g.add_argument("-e", "--encode", action="store_true")
+    p.add_argument("input", nargs=1)
+    p.add_argument("-o", "--output")
+    p.add_argument("-t", "--type", choices=("double", "int"), default="double")
+    p.add_argument("-n", type=int, help="expected element count")
+    p.add_argument("-l", "--limit", type=int)
+    p.add_argument("--offset", type=int)
+    p.add_argument("--oneline", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def _cmd_tsbin(args) -> int:
+    from mpx.io.tsb import read_ascii, read_binary, write_ascii, write_binary
+
+    Logger.verbose = args.verbose
+    path = args.input[0]
+    if args.n is not None and args.n < 0:
+        raise SystemExit("-n must have a non-negative value")
+    if args.limit is not None and args.limit < 0:
+        raise SystemExit("-l/--limit must have a non-negative value")
+    if args.offset is not None and args.offset < 0:
+        raise SystemExit("--offset must have a non-negative value")
+
+    def window(data):
+        off = args.offset or 0
+        lim = off + args.limit if args.limit else len(data)
+        return data[off:lim]
+
+    if args.encode:
+        if not args.output:
+            raise SystemExit("-o/--output has to be specified in -e/--encode mode")
+        data = read_ascii(path)
+        if args.n is not None and len(data) != args.n:
+            raise SystemExit(f"expected {args.n} values, decoded {len(data)}")
+        data = window(data)
+        if args.type == "int":
+            data = np.asarray(data, dtype=np.int64)
+        write_binary(args.output, data, args.type)
+        Logger.info(f"encoded {len(data)} '{args.type}' values -> {args.output}")
+    else:
+        data = window(read_binary(path, args.type, args.n))
+        if args.output:
+            write_ascii(args.output, data, oneline=args.oneline)
+            Logger.info(f"decoded {len(data)} values -> {args.output}")
+        else:
+            print(*data.tolist(), sep=(", " if args.oneline else "\n"))
+    return 0
+
+
+def _add_golden(sub):
+    p = sub.add_parser("golden", help="golden MP/MPI via the numpy oracle")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True, help="output base path")
+    p.add_argument("-m", type=int, required=True)
+    return p
+
+
+def _cmd_golden(args) -> int:
+    from mpx.io.tsb import read_series, write_results
+    from mpx.reference import compute_matrix_profile_reference
+
+    T = read_series(args.input)
+    MP, MPI = compute_matrix_profile_reference(T, args.m)
+    mpb, mpib = write_results(args.output, MP, MPI)
+    Logger.info(f"wrote {mpb}, {mpib}")
+    return 0
+
+
+def _cmd_datasets(args) -> int:
+    from mpx.io.datasets import list_datasets
+
+    for cat, names in list_datasets().items():
+        print(f"{cat}:")
+        for name in names:
+            print(f"  {name}")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from mpx import bench
+
+    return bench.main(args.rest)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="mpx", description="TPU-native matrix-profile framework"
+    )
+    parser.add_argument(
+        "-v", "--version", action="store_true", help="print version and exit"
+    )
+    sub = parser.add_subparsers(dest="command")
+    _add_compute(sub)
+    _add_tsbin(sub)
+    _add_golden(sub)
+    sub.add_parser("datasets", help="list vendored datasets")
+    bench_p = sub.add_parser("bench", help="run the benchmark harness")
+    bench_p.add_argument("rest", nargs=argparse.REMAINDER)
+
+    args = parser.parse_args(argv)
+    if args.version:
+        import mpx
+
+        print(f"mpx {mpx.__version__}")
+        return 0
+    if args.command is None:
+        parser.print_help()
+        return 2
+    return {
+        "compute": _cmd_compute,
+        "tsbin": _cmd_tsbin,
+        "golden": _cmd_golden,
+        "datasets": _cmd_datasets,
+        "bench": _cmd_bench,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

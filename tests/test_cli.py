@@ -1,0 +1,92 @@
+"""CLI: compute / tsbin / golden / datasets subcommands."""
+
+import numpy as np
+import pytest
+
+from mpx.cli import main
+from mpx.io.tsb import read_binary, write_ascii, write_binary
+from mpx.reference import compute_matrix_profile_reference
+from tests.conftest import random_walk
+
+
+def test_version(capsys):
+    assert main(["--version"]) == 0
+    assert "mpx" in capsys.readouterr().out
+
+
+def test_compute_roundtrip(tmp_path):
+    T = random_walk(300, seed=21)
+    inp = str(tmp_path / "ts.tsb")
+    write_binary(inp, T, "double")
+    out = str(tmp_path / "result")
+    rc = main([
+        "compute", "-i", inp, "-o", out, "-m", "16",
+        "--dtype", "double", "--kernel", "xla",
+        "--band", "64", "--chunk", "64",
+        "--tile-rows", "8", "--tile-cols", "8", "--verbose",
+    ])
+    assert rc == 0
+    MP = read_binary(out + ".mpb", "double")
+    MPI = read_binary(out + ".mpib", "int")
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, 16)
+    np.testing.assert_allclose(MP, MP_exp, atol=1e-8)
+    assert MP.shape == MPI.shape == (300 - 16 + 1,)
+
+
+def test_tsbin_encode_decode(tmp_path, capsys):
+    write_ascii(str(tmp_path / "x.txt"), [1.0, 2.0, 3.0, 4.0])
+    assert main([
+        "tsbin", "-e", str(tmp_path / "x.txt"),
+        "-o", str(tmp_path / "x.tsb"), "-t", "double",
+    ]) == 0
+    np.testing.assert_array_equal(
+        read_binary(str(tmp_path / "x.tsb"), "double"), [1, 2, 3, 4]
+    )
+    capsys.readouterr()  # drop the encode log line
+    # decode with offset/limit
+    assert main([
+        "tsbin", "-d", str(tmp_path / "x.tsb"), "--offset", "1", "-l", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert out.strip().splitlines() == ["2.0", "3.0"]
+
+
+def test_golden_subcommand(tmp_path):
+    T = random_walk(128, seed=3)
+    write_binary(str(tmp_path / "g.tsb"), T, "double")
+    assert main([
+        "golden", "-i", str(tmp_path / "g.tsb"),
+        "-o", str(tmp_path / "gold"), "-m", "16",
+    ]) == 0
+    MP = read_binary(str(tmp_path / "gold.mpb"), "double")
+    MP_exp, _ = compute_matrix_profile_reference(T, 16)
+    np.testing.assert_allclose(MP, MP_exp, atol=0)
+
+
+def test_datasets_subcommand(capsys):
+    assert main(["datasets"]) == 0
+    out = capsys.readouterr().out
+    assert "test:" in out and "1024.txt" in out
+
+
+def test_checkpoint_resume(tmp_path):
+    from mpx.checkpoint import compute_with_checkpoint, _load, _fingerprint
+    from mpx.config import MatrixProfileConfig
+
+    T = random_walk(400, seed=17)
+    cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="xla",
+                              band=32, chunk=64, tile_rows=8, tile_cols=8)
+    ckpt = str(tmp_path / "state.npz")
+    MP1, MPI1 = compute_with_checkpoint(T, cfg, ckpt, group_jobs=4,
+                                        keep_checkpoint=True)
+    # checkpoint exists and is complete; a resume must be a no-op
+    assert _load(ckpt, _fingerprint(np.asarray(T), cfg.shrink_to(400 - 16 + 1),
+                                    400 - 16 + 1)) is not None
+    MP2, MPI2 = compute_with_checkpoint(T, cfg, ckpt, group_jobs=4)
+    np.testing.assert_array_equal(MP1, MP2)
+    np.testing.assert_array_equal(MPI1, MPI2)
+
+    from mpx.reference import compute_matrix_profile_reference
+
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, 16)
+    np.testing.assert_allclose(MP1, MP_exp, atol=1e-8)
