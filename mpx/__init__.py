@@ -23,21 +23,16 @@ Architecture (TPU-first, not a translation of the HLS dataflow design):
   the reference's MP_KERNEL_REPL compute-unit replication).
 
 Double precision (the reference's flagship dtype) is supported through
-JAX x64 mode; it is enabled at import unless ``MPX_NO_X64=1``.
+scoped JAX x64 tracing (:func:`mpx.dtypes.x64_scope`); the global x64 flag
+is never touched, so float32/Pallas paths stay free of i64 index
+arithmetic that the TPU compiler rejects.
 """
 
 from __future__ import annotations
 
-import os
-
-if os.environ.get("MPX_NO_X64") != "1":
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-
-from mpx.config import MatrixProfileConfig  # noqa: E402
-from mpx.driver import compute_matrix_profile, matrix_profile  # noqa: E402
-from mpx.dtypes import AGGREGATE_INIT, INDEX_INIT  # noqa: E402
+from mpx.config import MatrixProfileConfig
+from mpx.driver import compute_matrix_profile, matrix_profile
+from mpx.dtypes import AGGREGATE_INIT, INDEX_INIT
 
 __version__ = "0.1.0"
 

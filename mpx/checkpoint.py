@@ -115,35 +115,42 @@ def compute_with_checkpoint(
     grid = pad_job_grid(grid, group_jobs, dummy_r0=w)
     num_groups = grid.r0.shape[0] // group_jobs
 
+    from mpx.dtypes import needs_x64, x64_scope
+
+    x64 = needs_x64(dt)
     L = _agg_length(w, S, W)
-    state = _load(checkpoint_path, fp)
-    if state is None:
-        rows = init_aggregates(L, dt, AGGREGATE_INIT)
-        cols = init_aggregates(L, dt, AGGREGATE_INIT)
-        start = 0
-    else:
-        rows, cols, start = state
-        Logger.info(f"resuming from checkpoint: group {start}/{num_groups}")
+    with x64_scope(x64):
+        # Load inside the scope: jnp.asarray would silently canonicalize
+        # float64 checkpoint arrays to float32 with x64 off.
+        state = _load(checkpoint_path, fp)
+        if state is None:
+            rows = init_aggregates(L, dt, AGGREGATE_INIT)
+            cols = init_aggregates(L, dt, AGGREGATE_INIT)
+            start = 0
+        else:
+            rows, cols, start = state
+            Logger.info(f"resuming from checkpoint: group {start}/{num_groups}")
 
-    for g in range(start, num_groups):
-        sl = slice(g * group_jobs, (g + 1) * group_jobs)
-        with _phase(profile, f"2. Compute [{kernel}]", f"group_{g}"):
-            g_rows, g_cols = run_jobs(
-                stats,
-                jnp.asarray(grid.r0[sl]),
-                jnp.asarray(grid.k0[sl]),
-                S=S, W=W, m=m, w=w, kernel=kernel, dtype=str(dt),
-                interpret=cfg.interpret,
-            )
-            from mpx.ops.aggregates import merge_aggregates
+        for g in range(start, num_groups):
+            sl = slice(g * group_jobs, (g + 1) * group_jobs)
+            with _phase(profile, f"2. Compute [{kernel}]", f"group_{g}"):
+                g_rows, g_cols = run_jobs(
+                    stats,
+                    jnp.asarray(grid.r0[sl]),
+                    jnp.asarray(grid.k0[sl]),
+                    S=S, W=W, m=m, w=w, kernel=kernel, dtype=str(dt),
+                    interpret=cfg.interpret,
+                    tr=cfg.tile_rows, tc=cfg.tile_cols,
+                )
+                from mpx.ops.aggregates import merge_aggregates
 
-            rows = merge_aggregates(rows, g_rows)
-            cols = merge_aggregates(cols, g_cols)
-        _save(checkpoint_path, rows, cols, g + 1, fp)
+                rows = merge_aggregates(rows, g_rows)
+                cols = merge_aggregates(cols, g_cols)
+            _save(checkpoint_path, rows, cols, g + 1, fp)
 
-    with _phase(profile, "3. Post-Computation [device]"):
-        MP, MPI = postcompute(rows, cols, m, w)
-        MP, MPI = np.asarray(MP), np.asarray(MPI)
+        with _phase(profile, "3. Post-Computation [device]"):
+            MP, MPI = postcompute(rows, cols, m, w)
+            MP, MPI = np.asarray(MP), np.asarray(MPI)
     if not keep_checkpoint and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
     return MP, MPI

@@ -37,7 +37,7 @@ def _agg_length(w: int, S: int, W: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("S", "W", "m", "w", "kernel", "dtype", "interpret"),
+    static_argnames=("S", "W", "m", "w", "kernel", "dtype", "interpret", "tr", "tc"),
 )
 def run_jobs(
     stats: Stats,
@@ -51,11 +51,13 @@ def run_jobs(
     kernel: str,
     dtype: str,
     interpret: bool = False,
+    tr: int = 8,
+    tc: int = 2048,
 ):
     """Sweep all jobs sequentially on one device, merging aggregates
     on-device.  Returns (row Aggregates, column Aggregates), padded to
     _agg_length(w, S, W)."""
-    geom = band_geometry(S, W, m, w)
+    geom = band_geometry(S, W, m, w, tr, tc)
     dt = canonical_dtype(dtype)
     sweep = get_sweep_fn(kernel)
     if kernel == "pallas":
@@ -70,8 +72,7 @@ def run_jobs(
         r0, k0 = job
         out = sweep(stats, r0, k0, geom, dt)
         rows = merge_window(rows, out.row, r0)
-        cols = merge_window(cols, out.expired, r0 + k0)
-        cols = merge_window(cols, out.tail, r0 + k0 + S)
+        cols = merge_window(cols, out.col, r0 + k0)
         return (rows, cols), None
 
     (rows, cols), _ = jax.lax.scan(body, (rows0, cols0), (r0s, k0s))
@@ -111,7 +112,10 @@ def compute_matrix_profile(
     dt = canonical_dtype(config.dtype)
     kernel = resolve_kernel(config.kernel, dt)
 
+    from mpx.dtypes import needs_x64, x64_scope
     from mpx.utils.profile import phase as _phase
+
+    x64 = needs_x64(dt)
 
     if stats is None:
         with _phase(profile, "1. Pre-Computation [device]"):
@@ -124,7 +128,7 @@ def compute_matrix_profile(
     if num_shards is not None and num_shards > 1:
         from mpx.parallel.sharding import run_jobs_sharded
 
-        with _phase(profile, f"2. Compute [{kernel}, sharded x{num_shards}]"):
+        with _phase(profile, f"2. Compute [{kernel}, sharded x{num_shards}]"), x64_scope(x64):
             rows, cols = run_jobs_sharded(
                 stats,
                 grid,
@@ -136,10 +140,12 @@ def compute_matrix_profile(
                 kernel=kernel,
                 dtype=str(dt),
                 interpret=config.interpret,
+                tr=config.tile_rows,
+                tc=config.tile_cols,
             )
             jax.block_until_ready((rows, cols))
     else:
-        with _phase(profile, f"2. Compute [{kernel}]"):
+        with _phase(profile, f"2. Compute [{kernel}]"), x64_scope(x64):
             rows, cols = run_jobs(
                 stats,
                 jnp.asarray(grid.r0),
@@ -151,10 +157,12 @@ def compute_matrix_profile(
                 kernel=kernel,
                 dtype=str(dt),
                 interpret=config.interpret,
+                tr=config.tile_rows,
+                tc=config.tile_cols,
             )
             jax.block_until_ready((rows, cols))
 
-    with _phase(profile, "3. Post-Computation [device]"):
+    with _phase(profile, "3. Post-Computation [device]"), x64_scope(x64):
         MP, MPI = jax.jit(postcompute, static_argnums=(2, 3))(rows, cols, m, w)
         jax.block_until_ready((MP, MPI))
     return MP, MPI

@@ -16,6 +16,8 @@ low-precision runs but aggregates always accumulate in >= float32.
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 
 # Matches AggregateInit<double/float> = -1e12 (AggregateTypeTraits.hpp:14-22).
@@ -65,6 +67,33 @@ def aggregate_init(dtype) -> float:
     """Initialization value for (max-)aggregates of the given dtype."""
     dt = canonical_dtype(dtype)
     return dt.type(AGGREGATE_INIT)
+
+
+@contextlib.contextmanager
+def x64_scope(enable: bool = True):
+    """Scoped JAX x64 mode.
+
+    float64 (the reference's flagship dtype) requires x64 tracing, but a
+    globally-enabled x64 poisons Pallas TPU lowering with i64 index
+    arithmetic that Mosaic rejects.  All float64 jit tracing in mpx
+    therefore happens inside this scope; float32/Pallas paths run with
+    x64 off.
+    """
+    import jax
+
+    if not enable:
+        yield
+        return
+    prev = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", prev)
+
+
+def needs_x64(dtype) -> bool:
+    return canonical_dtype(dtype) == np.dtype(np.float64)
 
 
 def distance_epsilon(dtype) -> float:

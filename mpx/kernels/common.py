@@ -7,18 +7,15 @@ A *job* sweeps a row band ``r0 .. r0+S`` against a diagonal chunk
   like the reference kernels' QT buffer, kernel/MatrixProfileKernelVanilla.cpp:27);
 * at local row ``i`` the lane touches column ``c0 + i + j`` with
   ``c0 = r0 + k0``;
-* the column-aggregate carry is column-aligned and therefore *shifts* by
-  one lane per row (the reference's double-buffer shift,
-  kernel/MatrixProfileKernelVanilla.cpp:92-96); the lane shifted out is the
-  **expired** column ``c0 + i``, final for this job;
-* after the last row, the surviving window is the **tail**: columns
-  ``c0 + S .. c0 + S + W`` that later bands of the same chunk also touch.
+* the column-aggregate state is column-aligned: lane ``j`` accumulates
+  column ``c0 + j`` over the whole band (the reference's shifting
+  double-buffer, kernel/MatrixProfileKernelVanilla.cpp:92-96, and its
+  expired-column streaming protocol collapse into one static window).
 
 Outputs (all (value, index) aggregate pairs):
 
-* ``row``     — (S,)  row aggregates for rows r0..r0+S
-* ``expired`` — (S,)  column aggregates for columns c0..c0+S
-* ``tail``    — (W,)  column aggregates for columns c0+S..c0+S+W
+* ``row`` — (S,)      row aggregates for rows r0..r0+S
+* ``col`` — (S + W,)  column aggregates for columns c0..c0+S+W
 
 The driver max-merges these windows into global row/column profiles
 (the UpdateAggregates analog), so jobs may be scheduled in any order,
@@ -47,9 +44,8 @@ from mpx.types import Aggregates
 
 
 class BandOut(NamedTuple):
-    row: Aggregates      # (S,)
-    expired: Aggregates  # (S,)
-    tail: Aggregates     # (W,)
+    row: Aggregates  # (S,)      rows r0 .. r0+S
+    col: Aggregates  # (S + W,)  columns c0 .. c0+S+W
 
 
 class BandGeometry(NamedTuple):
@@ -58,10 +54,18 @@ class BandGeometry(NamedTuple):
     m: int      # subsequence length
     w: int      # profile width n - m + 1
     excl: int   # exclusion zone m // 4
+    tr: int     # pallas tile rows (MP_SIZE_T analog); xla backend ignores
+    tc: int     # pallas tile diagonals
 
 
-def band_geometry(S: int, W: int, m: int, w: int) -> BandGeometry:
-    return BandGeometry(S=S, W=W, m=m, w=w, excl=m // 4)
+def band_geometry(
+    S: int, W: int, m: int, w: int, tr: int = 8, tc: int = 2048
+) -> BandGeometry:
+    tr = min(tr, S)
+    tc = min(tc, W)
+    if S % tr or W % tc:
+        raise ValueError(f"band {S} / chunk {W} must tile by ({tr}, {tc})")
+    return BandGeometry(S=S, W=W, m=m, w=w, excl=m // 4, tr=tr, tc=tc)
 
 
 def seed_qt(stats, r0, c0, W: int, m: int):

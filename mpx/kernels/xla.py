@@ -24,7 +24,7 @@ from mpx.types import Aggregates, Stats
 def sweep_band_xla(
     stats: Stats, r0, k0, geom: BandGeometry, dtype
 ) -> BandOut:
-    S, W, m, w, excl = geom
+    S, W, m, w, excl = geom.S, geom.W, geom.m, geom.w, geom.excl
     dt = jnp.dtype(dtype)
     init_v = jnp.asarray(AGGREGATE_INIT, dt)
     c0 = r0 + k0
@@ -93,12 +93,14 @@ def sweep_band_xla(
         step, carry0, rows_s
     )
 
-    tail = Aggregates(
-        value=jnp.concatenate([cv[1:], jnp.full((1,), init_v, dt)]),
-        index=jnp.concatenate([ci[1:], jnp.full((1,), INDEX_INIT, jnp.int32)]),
+    # Column window [c0, c0+S+W): the S expired columns streamed out per
+    # row followed by the surviving tail window (shifted once more; its
+    # last lane, column c0+S+W-1, is never touched by this band).
+    col_v = jnp.concatenate([exp_v, cv[1:], jnp.full((1,), init_v, dt)])
+    col_i = jnp.concatenate(
+        [exp_i, ci[1:], jnp.full((1,), INDEX_INIT, jnp.int32)]
     )
     return BandOut(
         row=Aggregates(row_v, row_i),
-        expired=Aggregates(exp_v, exp_i),
-        tail=tail,
+        col=Aggregates(col_v, col_i),
     )

@@ -126,22 +126,28 @@ def precompute_statistics(
     Accumulates in float64 (requires x64 mode, enabled at package import)
     and pads with zeros so out-of-range lanes mirror the reference's
     ``InputDataPack(0)`` behavior."""
-    T = jnp.asarray(T)
-    n = T.shape[0]
-    w = n - m + 1
-    pw = _padded_width(w, band, chunk)
+    from mpx.dtypes import x64_scope
 
-    mu, df, dg, inv, qt0 = jax.jit(_precompute_jax_f64, static_argnums=1)(T, m)
+    # Accumulation is always float64 (cancellation in the sum-of-squares
+    # path is catastrophic below that); tracing happens in a scoped x64
+    # context so the rest of the framework stays x64-free.
+    with x64_scope():
+        T = jnp.asarray(T, dtype=jnp.float64)
+        n = T.shape[0]
+        w = n - m + 1
+        pw = _padded_width(w, band, chunk)
 
-    def pad(x, width, fill=0.0):
-        return jnp.pad(x, (0, width - x.shape[0]), constant_values=fill)
+        mu, df, dg, inv, qt0 = jax.jit(_precompute_jax_f64, static_argnums=1)(T, m)
 
-    dt = jnp.dtype(dtype)
-    return Stats(
-        T=pad(T.astype(dt), pw + m - 1),
-        mu=pad(mu.astype(dt), pw),
-        df=pad(df.astype(dt), pw),
-        dg=pad(dg.astype(dt), pw),
-        inv=pad(inv.astype(dt), pw),
-        qt0=pad(qt0.astype(dt), pw),
-    )
+        def pad(x, width, fill=0.0):
+            return jnp.pad(x, (0, width - x.shape[0]), constant_values=fill)
+
+        dt = jnp.dtype(dtype)
+        return Stats(
+            T=pad(T.astype(dt), pw + m - 1),
+            mu=pad(mu.astype(dt), pw),
+            df=pad(df.astype(dt), pw),
+            dg=pad(dg.astype(dt), pw),
+            inv=pad(inv.astype(dt), pw),
+            qt0=pad(qt0.astype(dt), pw),
+        )

@@ -44,8 +44,7 @@ def _local_scan(stats, r0s, k0s, *, geom, dt, kernel, interpret, L):
         r0, k0 = job
         out = sweep(stats, r0, k0, geom, dt)
         rows = merge_window(rows, out.row, r0)
-        cols = merge_window(cols, out.expired, r0 + k0)
-        cols = merge_window(cols, out.tail, r0 + k0 + geom.S)
+        cols = merge_window(cols, out.col, r0 + k0)
         return (rows, cols), None
 
     (rows, cols), _ = jax.lax.scan(body, (rows0, cols0), (r0s, k0s))
@@ -75,12 +74,14 @@ def run_jobs_sharded(
     kernel: str,
     dtype: str,
     interpret: bool = False,
+    tr: int = 8,
+    tc: int = 2048,
     mesh=None,
 ):
     """Shard the job grid over ``num_shards`` devices and merge profiles."""
     if mesh is None:
         mesh = default_mesh(num_shards)
-    geom = band_geometry(S, W, m, w)
+    geom = band_geometry(S, W, m, w, tr, tc)
     dt = canonical_dtype(dtype)
     L = w + S + W
 
