@@ -1,0 +1,123 @@
+"""Benchmark harness.
+
+The analog of the reference's BenchmarkProfile runtime report
+(include/host/BenchmarkProfile.hpp) plus the showcase configuration
+(README.md:35: Tiled, double, n=1,048,576, m=256 on an Alveo U250).
+Headline metric: distance pairs per second per chip on the self-join
+(pairs = w(w-1)/2, the upper triangle, exclusion-zone pairs included —
+they are computed and masked, like the reference).
+
+``vs_baseline`` compares against the reference's ideal roofline of
+3e10 pairs/s (32 PEs x ~300 MHz x 3 compute units on the U250 showcase
+build — see BASELINE.md; the repo publishes no measured numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Reference U250 showcase roofline, pairs/s (BASELINE.md).
+BASELINE_PAIRS_PER_SEC = 3.0e10
+
+
+def run_benchmark(
+    n: int = 1 << 20,
+    m: int = 256,
+    dtype: str = "float32",
+    kernel: str = "auto",
+    band: int = 4096,
+    chunk: int = 57344,
+    tile_rows: int = 64,
+    shards=None,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    import jax
+
+    from mpx import MatrixProfileConfig, compute_matrix_profile
+    from mpx.ops.precompute import precompute_statistics
+    from mpx.utils.profile import BenchmarkProfile
+
+    T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
+    w = n - m + 1
+    pairs = w * (w - 1) / 2
+
+    cfg = MatrixProfileConfig(
+        m=m, dtype=dtype, kernel=kernel, band=band, chunk=chunk,
+        tile_rows=tile_rows, num_shards=shards,
+    )
+
+    # Warmup run compiles everything (reference analog: bitstream build).
+    prof = BenchmarkProfile()
+    t0 = time.time()
+    MP, MPI = compute_matrix_profile(T, config=cfg, profile=prof)
+    compile_wall = time.time() - t0
+    if verbose:
+        print(f"# warmup (incl compile): {compile_wall:.1f}s", file=sys.stderr)
+        prof.report(file=sys.stderr)
+
+    # Timed run.
+    prof = BenchmarkProfile()
+    t0 = time.time()
+    MP, MPI = compute_matrix_profile(T, config=cfg, profile=prof)
+    wall = time.time() - t0
+    if verbose:
+        prof.report(file=sys.stderr)
+
+    totals = prof.category_totals()
+    compute_ns = sum(v for k, v in totals.items() if k.startswith("2."))
+    pairs_per_sec_compute = pairs / (compute_ns / 1e9)
+    pairs_per_sec_wall = pairs / wall
+
+    return {
+        "n": n,
+        "m": m,
+        "dtype": dtype,
+        "pairs": pairs,
+        "wall_s": wall,
+        "compute_s": compute_ns / 1e9,
+        "pairs_per_sec": pairs_per_sec_wall,
+        "pairs_per_sec_compute": pairs_per_sec_compute,
+        "mp_head": np.asarray(MP[:4]).tolist(),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mpx bench")
+    p.add_argument("-n", type=int, default=int(os.environ.get("MPX_BENCH_N", 1 << 20)))
+    p.add_argument("-m", type=int, default=int(os.environ.get("MPX_BENCH_M", 256)))
+    p.add_argument("--dtype", default=os.environ.get("MPX_BENCH_DTYPE", "float32"))
+    p.add_argument("--kernel", default="auto")
+    p.add_argument("--band", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=57344)
+    p.add_argument("--tile-rows", type=int, default=64)
+    p.add_argument("--shards", type=int, default=None)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    res = run_benchmark(
+        n=args.n, m=args.m, dtype=args.dtype, kernel=args.kernel,
+        band=args.band, chunk=args.chunk, tile_rows=args.tile_rows,
+        shards=args.shards, verbose=args.verbose,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"self-join distance-pairs/sec (n={args.n}, m={args.m}, {args.dtype})",
+                "value": res["pairs_per_sec"],
+                "unit": "pairs/s",
+                "vs_baseline": res["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,118 @@
+"""ctypes bindings for the native host library (mpx/native/scamp_host.cpp).
+
+Built on demand with g++ (no pybind11 in the image); the shared object is
+cached next to the source keyed by a source hash.  All entry points have
+pure-numpy fallbacks, so the framework works without a toolchain — the
+native paths are for exact float64 host precompute and large-n golden
+validation at C speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "scamp_host.cpp")
+_LOCK = threading.Lock()
+_LIB = None
+_BUILD_ERROR = None
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"_scamp_host_{tag}.so")
+
+
+def _build(so: str):
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
+        "-std=c++17", _SRC, "-o", so,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _bind(lib):
+    i64, f64p, i32p = (
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    )
+    lib.mpx_precompute.argtypes = [f64p, i64, i64, f64p, f64p, f64p, f64p, f64p]
+    lib.mpx_precompute.restype = None
+    lib.mpx_golden_scamp.argtypes = [f64p, i64, i64, f64p, i32p]
+    lib.mpx_golden_scamp.restype = None
+    lib.mpx_merge_aggregates.argtypes = [f64p, i32p, f64p, i32p, i64]
+    lib.mpx_merge_aggregates.restype = None
+    return lib
+
+
+def load():
+    """Load (building if needed) the native library, or raise."""
+    global _LIB, _BUILD_ERROR
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if _BUILD_ERROR is not None:
+            raise _BUILD_ERROR
+        so = _so_path()
+        try:
+            if not os.path.exists(so):
+                _build(so)
+            _LIB = _bind(ctypes.CDLL(so))
+            return _LIB
+        except Exception as e:  # toolchain missing / build failure
+            _BUILD_ERROR = RuntimeError(f"native build failed: {e}")
+            raise _BUILD_ERROR
+
+
+def is_available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False
+
+
+def precompute(T: np.ndarray, m: int):
+    """Exact float64 statistics via the native single-pass kernel."""
+    lib = load()
+    T = np.ascontiguousarray(T, dtype=np.float64)
+    w = T.shape[0] - m + 1
+    mu = np.empty(w)
+    df = np.empty(w)
+    dg = np.empty(w)
+    inv = np.empty(w)
+    qt0 = np.empty(w)
+    lib.mpx_precompute(T, T.shape[0], m, mu, df, dg, inv, qt0)
+    return {"mu": mu, "df": df, "dg": dg, "inv": inv, "qt0": qt0}
+
+
+def golden_scamp(T: np.ndarray, m: int):
+    """O(n^2) golden SCAMP at C speed (OpenMP over diagonals)."""
+    lib = load()
+    T = np.ascontiguousarray(T, dtype=np.float64)
+    w = T.shape[0] - m + 1
+    MP = np.empty(w)
+    MPI = np.empty(w, dtype=np.int32)
+    lib.mpx_golden_scamp(T, T.shape[0], m, MP, MPI)
+    return MP, MPI
+
+
+def merge_aggregates(a_val, a_idx, b_val, b_idx):
+    lib = load()
+    a_val = np.ascontiguousarray(a_val, np.float64)
+    a_idx = np.ascontiguousarray(a_idx, np.int32)
+    lib.mpx_merge_aggregates(
+        a_val, a_idx,
+        np.ascontiguousarray(b_val, np.float64),
+        np.ascontiguousarray(b_idx, np.int32),
+        a_val.shape[0],
+    )
+    return a_val, a_idx

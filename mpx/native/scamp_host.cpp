@@ -1,0 +1,144 @@
+// Native host-side library.
+//
+// The TPU framework's counterpart to the reference's host-side C++
+// (include/host/HostSideComputation.hpp, test/include/MatrixProfileReference.hpp):
+//  * mpx_precompute      — exact float64 statistics in one pass (the
+//    PreComputeStatistics analog, vectorizable O(n*m));
+//  * mpx_golden_scamp    — the O(n^2) golden SCAMP oracle, OpenMP-parallel
+//    over diagonal chunks with private aggregates + max-merge, fast enough
+//    to validate n ~ 10^5..10^6 runs where the Python oracle cannot;
+//  * mpx_merge_aggregates — UpdateAggregates analog for host-side merging.
+//
+// Exposed with plain C linkage for ctypes (no pybind11 in this image).
+// Semantics mirror the reference exactly: aggregate init -1e12 / -1,
+// exclusion zone column - row < m/4, strict-greater updates (NaN never
+// wins), dist = sqrt(2m(1-P)).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+constexpr double kAggregateInit = -1e12;
+constexpr int32_t kIndexInit = -1;
+}  // namespace
+
+extern "C" {
+
+// Statistics of the n-point series for subsequence length m.
+// Outputs are length w = n - m + 1 (caller-allocated).
+void mpx_precompute(const double* T, int64_t n, int64_t m, double* mu,
+                    double* df, double* dg, double* inv, double* qt0) {
+  const int64_t w = n - m + 1;
+  // Rolling mean (reference recurrence, HostSideComputation.hpp:23-29).
+  double mean = 0.0;
+  for (int64_t k = 0; k < m; ++k) mean += T[k];
+  mean /= static_cast<double>(m);
+  mu[0] = mean;
+  for (int64_t i = 1; i < w; ++i) {
+    mean += (T[i + m - 1] - T[i - 1]) / static_cast<double>(m);
+    mu[i] = mean;
+  }
+  df[0] = 0.0;
+  dg[0] = 0.0;
+  for (int64_t i = 1; i < w; ++i) {
+    df[i] = (T[i + m - 1] - T[i - 1]) / 2.0;
+    dg[i] = (T[i + m - 1] - mu[i]) + (T[i - 1] - mu[i - 1]);
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < w; ++i) {
+    double ssq = 0.0, qt = 0.0;
+    const double mui = mu[i];
+    const double mu0 = mu[0];
+    for (int64_t k = 0; k < m; ++k) {
+      const double a = T[i + k] - mui;
+      ssq += a * a;
+      qt += a * (T[k] - mu0);
+    }
+    inv[i] = 1.0 / std::sqrt(ssq);
+    qt0[i] = qt;
+  }
+}
+
+// Strict-greater merge of (value, index) aggregates: b into a.
+void mpx_merge_aggregates(double* a_val, int32_t* a_idx, const double* b_val,
+                          const int32_t* b_idx, int64_t len) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < len; ++i) {
+    if (b_val[i] > a_val[i]) {
+      a_val[i] = b_val[i];
+      a_idx[i] = b_idx[i];
+    }
+  }
+}
+
+// Golden O(n^2) SCAMP self-join.  Parallelized over diagonal chunks;
+// each thread sweeps its diagonals with the O(1) QT update against
+// private aggregates, merged under strict-greater at the end (ties keep
+// the lower-diagonal owner, matching first-seen row-major order for row
+// aggregates; index divergence on exact ties is accepted by the test
+// contract).
+void mpx_golden_scamp(const double* T, int64_t n, int64_t m, double* MP,
+                      int32_t* MPI) {
+  const int64_t w = n - m + 1;
+  const int64_t excl = m / 4;
+
+  std::vector<double> mu(w), df(w), dg(w), inv(w), qt0(w);
+  mpx_precompute(T, n, m, mu.data(), df.data(), dg.data(), inv.data(),
+                 qt0.data());
+
+  int nthreads = 1;
+#if defined(_OPENMP)
+  nthreads = omp_get_max_threads();
+#endif
+  std::vector<std::vector<double>> vals(
+      nthreads, std::vector<double>(w, kAggregateInit));
+  std::vector<std::vector<int32_t>> idxs(
+      nthreads, std::vector<int32_t>(w, kIndexInit));
+
+#pragma omp parallel
+  {
+    int tid = 0;
+#if defined(_OPENMP)
+    tid = omp_get_thread_num();
+#endif
+    double* val = vals[tid].data();
+    int32_t* idx = idxs[tid].data();
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t k = excl; k < w; ++k) {
+      // Sweep diagonal k: pairs (r, r + k) for r in [0, w - k).
+      double qt = qt0[k];
+      for (int64_t r = 0; r < w - k; ++r) {
+        const int64_t c = r + k;
+        if (r > 0) qt += df[r] * dg[c] + df[c] * dg[r];
+        const double p = qt * inv[r] * inv[c];
+        if (p > val[r]) {
+          val[r] = p;
+          idx[r] = static_cast<int32_t>(c);
+        }
+        if (p > val[c]) {
+          val[c] = p;
+          idx[c] = static_cast<int32_t>(r);
+        }
+      }
+    }
+  }
+
+  for (int64_t i = 0; i < w; ++i) {
+    MP[i] = kAggregateInit;
+    MPI[i] = kIndexInit;
+  }
+  for (int t = 0; t < nthreads; ++t) {
+    mpx_merge_aggregates(MP, MPI, vals[t].data(), idxs[t].data(), w);
+  }
+  for (int64_t i = 0; i < w; ++i) {
+    MP[i] = std::sqrt(2.0 * static_cast<double>(m) * (1.0 - MP[i]));
+  }
+}
+
+}  // extern "C"
