@@ -41,8 +41,10 @@ def run_benchmark(
     import jax
 
     from mpx import MatrixProfileConfig, compute_matrix_profile
-    from mpx.ops.precompute import precompute_statistics
+    from mpx.runtime import enable_compilation_cache
     from mpx.utils.profile import BenchmarkProfile
+
+    enable_compilation_cache()
 
     T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
     w = n - m + 1

@@ -1,0 +1,89 @@
+"""Device runtime layer.
+
+The analog of the reference's OpenCL wrapper (include/host/OpenCL.hpp):
+where that wraps Xilinx device discovery, DDR-bank buffer placement,
+xclbin programming, and queue synchronization, the TPU equivalents are
+
+* device discovery            -> :func:`devices` / :class:`DeviceContext`
+* ``Buffer::CopyFromHost``    -> :meth:`DeviceContext.to_device`
+* ``Buffer::CopyToHost``      -> :meth:`DeviceContext.to_host`
+* xclbin ``Program``          -> jit compilation + the persistent
+                                 compilation cache (:func:`enable_compilation_cache`)
+* ``Context::Finish`` (ns)    -> :meth:`DeviceContext.finish`
+* compute-unit addressing     -> the mesh in :mod:`mpx.parallel.mesh`
+
+There is deliberately no buffer-bank management: XLA owns HBM placement.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from mpx.utils.logging import Logger
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(path: Optional[str] = None):
+    """Persist compiled executables across processes (the analog of
+    shipping a prebuilt xclbin instead of re-synthesizing).  Safe to call
+    repeatedly."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    path = path or os.environ.get(
+        "MPX_COMPILE_CACHE", os.path.expanduser("~/.cache/mpx-jax")
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_ENABLED = True
+        Logger.verbose_log(f"compilation cache at {path}")
+    except Exception as e:  # cache support is best-effort
+        Logger.warning(f"compilation cache unavailable: {e}")
+
+
+def devices(platform: Optional[str] = None):
+    return jax.devices(platform) if platform else jax.devices()
+
+
+class DeviceContext:
+    """Thin staging/synchronization helper around one device."""
+
+    def __init__(self, device=None):
+        self.device = device if device is not None else jax.devices()[0]
+        self._pending = []
+
+    def to_device(self, array, dtype=None):
+        arr = np.asarray(array, dtype=dtype) if dtype else np.asarray(array)
+        out = jax.device_put(arr, self.device)
+        self._pending.append(out)
+        return out
+
+    @staticmethod
+    def to_host(array) -> np.ndarray:
+        return np.asarray(array)
+
+    def finish(self, *values) -> int:
+        """Block until all tracked (and passed) values are ready; returns
+        elapsed nanoseconds (Context::Finish analog, OpenCL.hpp:85-89)."""
+        t0 = time.perf_counter_ns()
+        jax.block_until_ready(list(values) + self._pending)
+        self._pending.clear()
+        return time.perf_counter_ns() - t0
+
+    @property
+    def platform(self) -> str:
+        return self.device.platform
+
+    def memory_stats(self) -> dict:
+        try:
+            return dict(self.device.memory_stats() or {})
+        except Exception:
+            return {}
