@@ -14,6 +14,7 @@
 // exclusion zone column - row < m/4, strict-greater updates (NaN never
 // wins), dist = sqrt(2m(1-P)).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -50,6 +51,13 @@ void mpx_precompute(const double* T, int64_t n, int64_t m, double* mu,
     df[i] = (T[i + m - 1] - T[i - 1]) / 2.0;
     dg[i] = (T[i + m - 1] - mu[i]) + (T[i - 1] - mu[i - 1]);
   }
+  // Numerically-zero variance (constant subsequence up to rounding) maps
+  // to inv = inf so downstream finite-masks skip it deterministically.
+  double scale = 0.0;
+  for (int64_t i = 0; i < n; ++i) scale = std::max(scale, std::fabs(T[i]));
+  if (scale == 0.0) scale = 1.0;
+  const double ssq_tol =
+      static_cast<double>(m) * (1e-12 * scale) * (1e-12 * scale);
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < w; ++i) {
     double ssq = 0.0, qt = 0.0;
@@ -60,7 +68,7 @@ void mpx_precompute(const double* T, int64_t n, int64_t m, double* mu,
       ssq += a * a;
       qt += a * (T[k] - mu0);
     }
-    inv[i] = 1.0 / std::sqrt(ssq);
+    inv[i] = (ssq <= ssq_tol) ? INFINITY : 1.0 / std::sqrt(ssq);
     qt0[i] = qt;
   }
 }

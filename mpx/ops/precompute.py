@@ -29,6 +29,13 @@ import numpy as np
 from mpx.types import Stats
 
 
+def zero_variance_threshold(T, m: int) -> float:
+    """Centered sum-of-squares below this is numerically indistinguishable
+    from a constant subsequence: m * (1e-12 * max|T|)^2."""
+    scale = float(np.max(np.abs(np.asarray(T, dtype=np.float64)))) or 1.0
+    return m * (1e-12 * scale) ** 2
+
+
 def _padded_width(w: int, band: int, chunk: int) -> int:
     """Pad the subsequence count so every job window slice is in-bounds:
     jobs read column slices of width chunk + band starting at most at
@@ -56,9 +63,11 @@ def precompute_statistics_numpy(T: np.ndarray, m: int) -> dict:
 
     c2 = np.concatenate([[0.0], np.cumsum(T * T)])
     ssq = (c2[m:] - c2[:-m]) - m * mu * mu
-    # Guard tiny negative values from cancellation; true zero variance
-    # yields inf like the reference (divide-by-zero semantics preserved).
-    ssq = np.maximum(ssq, 0.0)
+    # Numerically-zero variance (constant subsequences up to rounding) is
+    # clamped to exactly zero so inv becomes inf and the kernels' finite
+    # masks skip those windows deterministically — regardless of which
+    # precompute backend's rounding produced the residue.
+    ssq = np.where(ssq <= zero_variance_threshold(T, m), 0.0, ssq)
     with np.errstate(divide="ignore"):
         inv = 1.0 / np.sqrt(ssq)
 
@@ -83,7 +92,9 @@ def _precompute_jax_f64(T: jax.Array, m: int):
     )
 
     c2 = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(T * T)])
-    ssq = jnp.maximum((c2[m:] - c2[:-m]) - m * mu * mu, 0.0)
+    ssq = (c2[m:] - c2[:-m]) - m * mu * mu
+    tol = m * (1e-12 * jnp.max(jnp.abs(T))) ** 2
+    ssq = jnp.where(ssq <= tol, 0.0, ssq)
     inv = 1.0 / jnp.sqrt(ssq)
 
     sdp0 = sliding_dot_product(T[:m], T)
@@ -120,29 +131,74 @@ def precompute_statistics(
     band: int,
     chunk: int,
     dtype=jnp.float32,
+    backend: str = "auto",
 ) -> Stats:
     """Device-resident, padded statistics in the compute dtype.
 
-    Accumulates in float64 (requires x64 mode, enabled at package import)
-    and pads with zeros so out-of-range lanes mirror the reference's
-    ``InputDataPack(0)`` behavior."""
+    Accumulation is always float64 (cancellation in the sum-of-squares
+    path is catastrophic below that); pads with zeros so out-of-range
+    lanes mirror the reference's ``InputDataPack(0)`` behavior.
+
+    ``backend``:
+
+    * ``'native'`` — the C++ single-pass kernel (exact reference
+      semantics, OpenMP), then one O(n) host->device transfer;
+    * ``'numpy'``  — vectorized host float64;
+    * ``'jax'``    — jitted on-device float64 (x64-scoped tracing;
+      float64 is XLA-emulated on TPU);
+    * ``'auto'``   — native if the toolchain built, else numpy.  The
+      statistics are O(n) next to the O(n^2) sweep, so the host paths
+      cost one small transfer and avoid slow on-device f64 emulation.
+    """
+    if backend == "auto":
+        from mpx import native
+
+        backend = "native" if native.is_available() else "numpy"
+
+    n = int(np.asarray(T).shape[0] if not hasattr(T, "shape") else T.shape[0])
+    w = n - m + 1
+    pw = _padded_width(w, band, chunk)
+    dt = jnp.dtype(dtype)
+
+    if backend in ("native", "numpy"):
+        from mpx.dtypes import x64_scope
+
+        T64 = np.asarray(T, dtype=np.float64)
+        if backend == "native":
+            from mpx import native
+
+            s = native.precompute(T64, m)
+        else:
+            s = precompute_statistics_numpy(T64, m)
+
+        def padn(x, width):
+            out = np.zeros(width, dtype=dt)
+            out[: x.shape[0]] = x.astype(dt)
+            return jnp.asarray(out)
+
+        # x64 scope so float64 stats survive device staging uncanonicalized.
+        with x64_scope(dt == jnp.dtype(jnp.float64)):
+            return Stats(
+                T=padn(T64, pw + m - 1),
+                mu=padn(s["mu"], pw),
+                df=padn(s["df"], pw),
+                dg=padn(s["dg"], pw),
+                inv=padn(s["inv"], pw),
+                qt0=padn(s["qt0"], pw),
+            )
+
+    if backend != "jax":
+        raise ValueError(f"unknown precompute backend {backend!r}")
+
     from mpx.dtypes import x64_scope
 
-    # Accumulation is always float64 (cancellation in the sum-of-squares
-    # path is catastrophic below that); tracing happens in a scoped x64
-    # context so the rest of the framework stays x64-free.
     with x64_scope():
         T = jnp.asarray(T, dtype=jnp.float64)
-        n = T.shape[0]
-        w = n - m + 1
-        pw = _padded_width(w, band, chunk)
-
         mu, df, dg, inv, qt0 = jax.jit(_precompute_jax_f64, static_argnums=1)(T, m)
 
         def pad(x, width, fill=0.0):
             return jnp.pad(x, (0, width - x.shape[0]), constant_values=fill)
 
-        dt = jnp.dtype(dtype)
         return Stats(
             T=pad(T.astype(dt), pw + m - 1),
             mu=pad(mu.astype(dt), pw),
