@@ -71,16 +71,31 @@ def band_geometry(
 def seed_qt(stats, r0, c0, W: int, m: int):
     """Exact QT seed for row r0 against columns [c0, c0+W):
 
-    ``QT(r0, c) = SDP(r0, c) - m * mu[r0] * mu[c]`` with SDP the sliding
-    dot product of window T[r0:r0+m] against T[c0 : c0+W+m-1].  This closed
+    ``QT(r0, c) = sum_j (T[r0+j] - mu[r0]) (T[c+j] - mu[c])``.  This closed
     form (a 1-D convolution -> MXU) replaces the reference's row-serial QT
-    carry between chunks and makes bands independent."""
+    carry between chunks and makes bands independent.
+
+    Numerically it is evaluated in a cancellation-resistant form: with a
+    *centered* query ``qc = T[r0:r0+m] - mu[r0]`` and the column segment
+    re-based to its own mean ``g``,
+
+        QT(r0, c) = SDP(qc, T[seg] - g) - (mu[c] - g) * sum(qc).
+
+    The naive ``SDP(q, T) - m*mu_r*mu_c`` subtracts two terms of order
+    ``m * amplitude^2`` to produce a result of order ``m * deviation^2`` —
+    in float32 that destroys the seed for long, drifting series.  Centering
+    both operands makes every product O(local deviation), so the float32
+    error stays ~sqrt(m) ulps of the *result*."""
     import jax.numpy as jnp
     from mpx.ops.precompute import sliding_dot_product
 
     q = jax.lax.dynamic_slice(stats.T, (r0,), (m,))
     seg = jax.lax.dynamic_slice(stats.T, (c0,), (W + m - 1,))
-    sdp = sliding_dot_product(q, seg)
     mu_r = jax.lax.dynamic_slice(stats.mu, (r0,), (1,))[0]
     mu_c = jax.lax.dynamic_slice(stats.mu, (c0,), (W,))
-    return sdp - m * mu_r * mu_c
+
+    qc = q - mu_r
+    g = jnp.mean(seg)
+    sdp = sliding_dot_product(qc, seg - g)
+    # sum(qc) is ~0 up to rounding; the correction keeps the identity exact.
+    return sdp - (mu_c - g) * jnp.sum(qc)

@@ -113,6 +113,9 @@ def sliding_dot_product(q: jax.Array, T: jax.Array) -> jax.Array:
     m = q.shape[0]
     lhs = T[None, None, :]
     rhs = q[None, None, :]
+    # Precision.HIGHEST: the TPU default multiplies f32 in bfloat16, and
+    # the seed's later cancellation (SDP - m*mu_r*mu_c) amplifies that
+    # into garbage QT values.
     out = jax.lax.conv_general_dilated(
         lhs,
         rhs,
@@ -120,6 +123,7 @@ def sliding_dot_product(q: jax.Array, T: jax.Array) -> jax.Array:
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=T.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0, 0, :]
 
