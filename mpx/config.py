@@ -52,6 +52,10 @@ class MatrixProfileConfig:
         for name in ("band", "chunk", "tile_rows", "tile_cols"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be positive")
+        # Tiles never exceed the job extent (small-problem configs keep
+        # the large defaults usable).
+        object.__setattr__(self, "tile_rows", min(self.tile_rows, self.band))
+        object.__setattr__(self, "tile_cols", min(self.tile_cols, self.chunk))
         if self.band % self.tile_rows != 0:
             raise ValueError("band must be a multiple of tile_rows")
         if self.chunk % self.tile_cols != 0:
