@@ -105,7 +105,7 @@ def compute_with_checkpoint(
     cfg = cfg.shrink_to(w)
     S, W = cfg.band, cfg.chunk
     dt = canonical_dtype(cfg.dtype)
-    kernel = resolve_kernel(cfg.kernel, dt)
+    kernel = resolve_kernel(cfg.kernel, dt, m)
     fp = _fingerprint(T, cfg, w)
 
     with _phase(profile, "1. Pre-Computation [device]"):

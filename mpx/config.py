@@ -27,7 +27,7 @@ import numpy as np
 from mpx.dtypes import canonical_dtype
 from mpx.types import JobGrid
 
-_KERNELS = ("auto", "xla", "pallas")
+_KERNELS = ("auto", "mxu", "xla", "pallas")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -110,7 +110,7 @@ def compute_matrix_profile(
     config = config.shrink_to(w)
     S, W = config.band, config.chunk
     dt = canonical_dtype(config.dtype)
-    kernel = resolve_kernel(config.kernel, dt)
+    kernel = resolve_kernel(config.kernel, dt, m)
 
     from mpx.dtypes import needs_x64, x64_scope
     from mpx.utils.profile import phase as _phase

@@ -3,15 +3,19 @@
 Two implementations of the same band-sweep contract (see
 :mod:`mpx.kernels.common`):
 
-* ``xla``    — pure jnp/lax.scan sweep; runs on any backend, supports
-  float64, and is the behavioral analog of the reference's Vanilla kernel
-  (kernel/MatrixProfileKernelVanilla.cpp).
+* ``mxu``    — the correlation tile as a unit-normalized-windows matmul;
+  puts the O(n^2 m) FLOPs on the MXU where TPU throughput lives.  The
+  default on every backend (it is also the best *CPU* kernel: BLAS).
+* ``xla``    — pure jnp/lax.scan SCAMP recurrence; the behavioral analog
+  of the reference's Vanilla kernel (kernel/MatrixProfileKernelVanilla.cpp);
+  O(1) work per pair, preferable for very large m.
 * ``pallas`` — hand-tiled Pallas TPU kernel, the analog of the Tiled
   systolic kernel (kernel/MatrixProfileKernelTiled.cpp) re-designed for
   the VPU/VMEM instead of a PE chain.
 
-``resolve_kernel`` implements the 'auto' policy: pallas on TPU for float32,
-xla otherwise (float64 is not supported by Mosaic vector ops).
+``resolve_kernel`` implements the 'auto' policy: the matmul kernel wins
+whenever 2m FLOPs/pair on the MXU beat ~10 VPU ops/pair — i.e. for every
+m the reference supports; the recurrence kernels take over for huge m.
 """
 
 from __future__ import annotations
@@ -22,22 +26,32 @@ import numpy as np
 from mpx.kernels.common import BandOut, band_geometry
 from mpx.kernels.xla import sweep_band_xla
 
+# Above this subsequence length the O(m) matmul kernel loses to the O(1)
+# recurrence kernels (MXU:VPU f32 throughput ratio ~ 2m at the crossover).
+MXU_MAX_M = 4096
 
-def resolve_kernel(kernel: str, dtype, interpret: bool = False) -> str:
+
+def resolve_kernel(kernel: str, dtype, m: int = 0, interpret: bool = False) -> str:
     if kernel != "auto":
         return kernel
-    if np.dtype(dtype) == np.dtype(np.float64):
-        return "xla"
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:
-        platform = "cpu"
-    return "pallas" if platform in ("tpu", "axon") else "xla"
+    if m and m > MXU_MAX_M:
+        if np.dtype(dtype) == np.dtype(np.float64):
+            return "xla"
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            platform = "cpu"
+        return "pallas" if platform in ("tpu", "axon") else "xla"
+    return "mxu"
 
 
 def get_sweep_fn(kernel: str):
     if kernel == "xla":
         return sweep_band_xla
+    if kernel == "mxu":
+        from mpx.kernels.mxu import sweep_band_mxu
+
+        return sweep_band_mxu
     if kernel == "pallas":
         from mpx.kernels.pallas_tpu import sweep_band_pallas
 

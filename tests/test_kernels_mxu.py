@@ -1,0 +1,49 @@
+"""MXU (windows-matmul) kernel vs golden reference."""
+
+import numpy as np
+import pytest
+
+from mpx import MatrixProfileConfig, compute_matrix_profile
+from mpx.dtypes import distance_epsilon
+from mpx.reference import compute_matrix_profile_reference
+from tests.conftest import random_walk
+from tests.helpers import assert_profile_close
+
+
+@pytest.mark.parametrize("n,m,band,chunk,dtype", [
+    (512, 16, 64, 128, "float32"),
+    (1024, 32, 256, 256, "float32"),
+    (1024, 16, 128, 512, "float64"),
+    (300, 8, 64, 32, "float64"),
+])
+def test_mxu_matches_golden(n, m, band, chunk, dtype):
+    T = random_walk(n, seed=n + m)
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, kernel="mxu",
+                              band=band, chunk=chunk, tile_rows=8, tile_cols=8)
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp,
+                         eps=distance_epsilon(dtype))
+
+
+def test_mxu_constant_window():
+    T = random_walk(256, seed=4)
+    T[100:140] = 1.0
+    cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="mxu",
+                              band=64, chunk=64, tile_rows=8, tile_cols=8)
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    MPI = np.asarray(MPI)
+    from mpx.ops.precompute import precompute_statistics_numpy
+
+    inv = precompute_statistics_numpy(T, 16)["inv"]
+    degenerate = ~np.isfinite(inv)
+    matched = MPI[MPI >= 0]
+    assert not np.isin(matched, np.nonzero(degenerate)[0]).any()
+
+
+def test_auto_resolves_mxu():
+    from mpx.kernels import resolve_kernel
+
+    assert resolve_kernel("auto", np.float32, 256) == "mxu"
+    assert resolve_kernel("auto", np.float64, 256) == "mxu"
+    assert resolve_kernel("auto", np.float64, 8192) == "xla"
