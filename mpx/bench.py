@@ -31,8 +31,8 @@ def run_benchmark(
     m: int = 256,
     dtype: str = "float32",
     kernel: str = "auto",
-    band: int = 8192,
-    chunk: int = 16384,
+    band: int = 4096,
+    chunk: int = 4096,
     tile_rows: int = 64,
     shards=None,
     seed: int = 0,
@@ -100,8 +100,8 @@ def main(argv=None) -> int:
     p.add_argument("-m", type=int, default=int(os.environ.get("MPX_BENCH_M", 256)))
     p.add_argument("--dtype", default=os.environ.get("MPX_BENCH_DTYPE", "float32"))
     p.add_argument("--kernel", default="auto")
-    p.add_argument("--band", type=int, default=8192)
-    p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--band", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=4096)
     p.add_argument("--tile-rows", type=int, default=64)
     p.add_argument("--shards", type=int, default=None)
     p.add_argument("--verbose", action="store_true")

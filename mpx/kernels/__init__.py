@@ -52,6 +52,10 @@ def get_sweep_fn(kernel: str):
         from mpx.kernels.mxu import sweep_band_mxu
 
         return sweep_band_mxu
+    if kernel == "mxu_fused":
+        from mpx.kernels.mxu_fused import sweep_band_mxu_fused
+
+        return sweep_band_mxu_fused
     if kernel == "pallas":
         from mpx.kernels.pallas_tpu import sweep_band_pallas
 

@@ -87,16 +87,22 @@ def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
     )
     Pm = jnp.where(valid, P, init_v)
 
-    row_v = jnp.max(Pm, axis=1)
+    # One argmax pass per axis + O(S+W) gathers for the values: the mask
+    # fuses into the reduction input, so HBM traffic is one P write plus
+    # one read per axis (the naive max+argmax pair doubles the reads —
+    # this path is HBM-bound, not MXU-bound).
+    ri_loc = jnp.argmax(Pm, axis=1)
+    row_v = jnp.take_along_axis(Pm, ri_loc[:, None], axis=1)[:, 0]
     row_i = jnp.where(
         row_v > init_v,
-        (c0 + jnp.argmax(Pm, axis=1)).astype(jnp.int32),
+        (c0 + ri_loc).astype(jnp.int32),
         jnp.int32(INDEX_INIT),
     )
-    col_v = jnp.max(Pm, axis=0)
+    ci_loc = jnp.argmax(Pm, axis=0)
+    col_v = jnp.take_along_axis(Pm, ci_loc[None, :], axis=0)[0, :]
     col_i = jnp.where(
         col_v > init_v,
-        (r0 + jnp.argmax(Pm, axis=0)).astype(jnp.int32),
+        (r0 + ci_loc).astype(jnp.int32),
         jnp.int32(INDEX_INIT),
     )
     return BandOut(
