@@ -135,6 +135,42 @@ def _cmd_tsbin(args) -> int:
     return 0
 
 
+def _add_analyze(sub):
+    p = sub.add_parser("analyze", help="extract motifs and discords")
+    p.add_argument("-i", "--input", required=True, help="time series OR base path of .mpb/.mpib results")
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("-k", type=int, default=3, help="top-k motifs/discords")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--kernel", default="auto")
+    return p
+
+
+def _cmd_analyze(args) -> int:
+    import os
+
+    from mpx.analysis import top_discords, top_motifs
+    from mpx.config import MatrixProfileConfig
+    from mpx.driver import compute_matrix_profile
+    from mpx.io.tsb import read_binary, read_series
+
+    if os.path.exists(args.input + ".mpb"):
+        MP = read_binary(args.input + ".mpb", "double")
+        MPI = read_binary(args.input + ".mpib", "int")
+    else:
+        T = read_series(args.input)
+        cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype, kernel=args.kernel)
+        MP, MPI = compute_matrix_profile(T, config=cfg)
+        MP, MPI = np.asarray(MP), np.asarray(MPI)
+
+    print("motifs (a, b, distance):")
+    for mo in top_motifs(MP, MPI, args.m, k=args.k):
+        print(f"  {mo.a:8d} {mo.b:8d} {mo.distance:.6f}")
+    print("discords (index, distance):")
+    for d in top_discords(MP, MPI, args.m, k=args.k):
+        print(f"  {d.index:8d} {d.distance:.6f}")
+    return 0
+
+
 def _add_golden(sub):
     p = sub.add_parser("golden", help="golden MP/MPI via the numpy oracle")
     p.add_argument("-i", "--input", required=True)
@@ -181,6 +217,7 @@ def main(argv=None) -> int:
     _add_compute(sub)
     _add_tsbin(sub)
     _add_golden(sub)
+    _add_analyze(sub)
     sub.add_parser("datasets", help="list vendored datasets")
     bench_p = sub.add_parser("bench", help="run the benchmark harness")
     bench_p.add_argument("rest", nargs=argparse.REMAINDER)
@@ -198,6 +235,7 @@ def main(argv=None) -> int:
         "compute": _cmd_compute,
         "tsbin": _cmd_tsbin,
         "golden": _cmd_golden,
+        "analyze": _cmd_analyze,
         "datasets": _cmd_datasets,
         "bench": _cmd_bench,
     }[args.command](args)

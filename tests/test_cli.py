@@ -90,3 +90,25 @@ def test_checkpoint_resume(tmp_path):
 
     MP_exp, MPI_exp = compute_matrix_profile_reference(T, 16)
     np.testing.assert_allclose(MP1, MP_exp, atol=1e-8)
+
+
+def test_analyze_subcommand(tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    T = rng.standard_normal(512) * 0.05
+    motif = np.sin(np.linspace(0, 4 * np.pi, 64))
+    T[50:114] += motif
+    T[400:464] += motif
+    from mpx.io.tsb import write_binary
+
+    write_binary(str(tmp_path / "a.tsb"), T, "double")
+    assert main([
+        "analyze", "-i", str(tmp_path / "a.tsb"), "-m", "64", "-k", "1",
+        "--kernel", "mxu", "--dtype", "float64",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "motifs" in out and "discords" in out
+    line = out.splitlines()[1].split()
+    a, b = int(line[0]), int(line[1])
+    assert abs(a - 50) <= 10 and abs(b - 400) <= 10
