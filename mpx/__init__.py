@@ -30,6 +30,7 @@ arithmetic that the TPU compiler rejects.
 
 from __future__ import annotations
 
+from mpx.abjoin import compute_ab_join
 from mpx.config import MatrixProfileConfig
 from mpx.driver import compute_matrix_profile, matrix_profile
 from mpx.dtypes import AGGREGATE_INIT, INDEX_INIT
@@ -38,6 +39,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "MatrixProfileConfig",
+    "compute_ab_join",
     "compute_matrix_profile",
     "matrix_profile",
     "AGGREGATE_INIT",

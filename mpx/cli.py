@@ -135,6 +135,44 @@ def _cmd_tsbin(args) -> int:
     return 0
 
 
+def _add_abjoin(sub):
+    p = sub.add_parser("abjoin", help="AB-join: profile of series A against series B")
+    p.add_argument("-a", "--input-a", required=True)
+    p.add_argument("-b", "--input-b", required=True)
+    p.add_argument("-o", "--output", help="base path; writes <o>.a.mpb/.mpib and <o>.b.mpb/.mpib")
+    p.add_argument("-m", type=int, default=32)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--band", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_abjoin(args) -> int:
+    from mpx.abjoin import compute_ab_join
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series, write_results
+    from mpx.utils.profile import BenchmarkProfile
+
+    Logger.verbose = args.verbose
+    A = read_series(args.input_a)
+    B = read_series(args.input_b)
+    cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype,
+                              band=args.band, chunk=args.chunk)
+    prof = BenchmarkProfile()
+    res = compute_ab_join(A, B, config=cfg, profile=prof)
+    if args.output:
+        write_results(args.output + ".a", np.asarray(res.mp_a), np.asarray(res.mpi_a))
+        write_results(args.output + ".b", np.asarray(res.mp_b), np.asarray(res.mpi_b))
+        Logger.info(f"wrote {args.output}.a/.b .mpb/.mpib")
+    else:
+        for d, i in zip(np.asarray(res.mp_a)[:10], np.asarray(res.mpi_a)[:10]):
+            print(d, i)
+    if args.verbose:
+        prof.report(file=sys.stdout)
+    return 0
+
+
 def _add_analyze(sub):
     p = sub.add_parser("analyze", help="extract motifs and discords")
     p.add_argument("-i", "--input", required=True, help="time series OR base path of .mpb/.mpib results")
@@ -217,6 +255,7 @@ def main(argv=None) -> int:
     _add_compute(sub)
     _add_tsbin(sub)
     _add_golden(sub)
+    _add_abjoin(sub)
     _add_analyze(sub)
     sub.add_parser("datasets", help="list vendored datasets")
     bench_p = sub.add_parser("bench", help="run the benchmark harness")
@@ -235,6 +274,7 @@ def main(argv=None) -> int:
         "compute": _cmd_compute,
         "tsbin": _cmd_tsbin,
         "golden": _cmd_golden,
+        "abjoin": _cmd_abjoin,
         "analyze": _cmd_analyze,
         "datasets": _cmd_datasets,
         "bench": _cmd_bench,

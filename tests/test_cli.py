@@ -112,3 +112,24 @@ def test_analyze_subcommand(tmp_path, capsys):
     line = out.splitlines()[1].split()
     a, b = int(line[0]), int(line[1])
     assert abs(a - 50) <= 10 and abs(b - 400) <= 10
+
+
+def test_abjoin_subcommand(tmp_path):
+    import numpy as np
+
+    from mpx.io.tsb import read_binary, write_binary
+
+    A = random_walk(256, seed=31)
+    B = random_walk(300, seed=32)
+    write_binary(str(tmp_path / "A.tsb"), A, "double")
+    write_binary(str(tmp_path / "B.tsb"), B, "double")
+    assert main([
+        "abjoin", "-a", str(tmp_path / "A.tsb"), "-b", str(tmp_path / "B.tsb"),
+        "-m", "16", "--dtype", "double", "--band", "64", "--chunk", "64",
+        "-o", str(tmp_path / "res"),
+    ]) == 0
+    mpa = read_binary(str(tmp_path / "res.a.mpb"), "double")
+    from mpx.abjoin import brute_force_ab_join
+
+    exp = brute_force_ab_join(A, B, 16)[0]
+    np.testing.assert_allclose(mpa, exp, atol=1e-8)
