@@ -48,7 +48,10 @@ def _cmd_compute(args) -> int:
     from mpx.io.tsb import read_series, write_results
     from mpx.utils.profile import BenchmarkProfile
 
+    from mpx.runtime import enable_compilation_cache
+
     Logger.verbose = args.verbose
+    enable_compilation_cache()
     T = read_series(args.input)
     Logger.verbose_log(f"read {T.shape[0]} values from {args.input}")
     cfg = MatrixProfileConfig(

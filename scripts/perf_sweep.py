@@ -20,7 +20,7 @@ def main():
     p.add_argument("-n", type=int, default=1 << 18)
     p.add_argument("-m", type=int, default=256)
     p.add_argument("--dtype", default="float32")
-    p.add_argument("--kernel", default="pallas")
+    p.add_argument("--kernel", default="mxu")
     args = p.parse_args()
 
     from mpx import MatrixProfileConfig, compute_matrix_profile
@@ -35,8 +35,8 @@ def main():
     pairs = w * (w - 1) / 2
 
     bands = [2048, 4096, 8192]
-    chunks = [16384, 32768, 57344]
-    trs = [32, 64, 128]
+    chunks = [4096, 8192, 16384]
+    trs = [64]
 
     best = None
     for band, chunk, tr in itertools.product(bands, chunks, trs):

@@ -47,3 +47,28 @@ def test_auto_resolves_mxu():
     assert resolve_kernel("auto", np.float32, 256) == "mxu"
     assert resolve_kernel("auto", np.float64, 256) == "mxu"
     assert resolve_kernel("auto", np.float64, 8192) == "xla"
+
+
+def test_mxu_fused_interpret_matches_mxu():
+    import jax.numpy as jnp
+
+    from mpx.kernels import band_geometry
+    from mpx.kernels.mxu import sweep_band_mxu
+    from mpx.kernels.mxu_fused import sweep_band_mxu_fused
+    from mpx.ops.precompute import precompute_statistics
+
+    n, m = 2048, 64
+    S, W = 256, 512
+    w = n - m + 1
+    T = random_walk(n, seed=7)
+    stats = precompute_statistics(T, m, band=S, chunk=W, dtype="float32")
+    geom = band_geometry(S, W, m, w, 8, 128)
+    for r0, k0 in [(0, 0), (256, 512), (1024, 1024)]:
+        a = sweep_band_mxu(stats, jnp.int32(r0), jnp.int32(k0), geom, jnp.float32)
+        b = sweep_band_mxu_fused(
+            stats, jnp.int32(r0), jnp.int32(k0), geom, jnp.float32, interpret=True
+        )
+        for nm in ("row", "col"):
+            av = np.asarray(getattr(a, nm).value)
+            bv = np.asarray(getattr(b, nm).value)
+            np.testing.assert_allclose(bv, av, atol=1e-4)

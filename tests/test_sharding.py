@@ -52,3 +52,15 @@ def test_job_grid_padding():
         -(-(1000 - k0) // 64) for k0 in range(0, 1000, 256)
     )
     assert grid.r0.shape[0] == expected
+
+
+def test_sharded_mxu_kernel_matches_golden():
+    n, m = 1024, 32
+    T = random_walk(n, seed=23)
+    cfg = MatrixProfileConfig(
+        m=m, dtype="float64", kernel="mxu", band=64, chunk=128,
+        tile_rows=8, tile_cols=8, num_shards=8,
+    )
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
