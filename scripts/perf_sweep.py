@@ -47,10 +47,12 @@ def main():
             band=band, chunk=chunk, tile_rows=tr, tile_cols=2048,
         )
         try:
-            compute_matrix_profile(T, config=cfg)  # compile + warm
+            MP, _ = compute_matrix_profile(T, config=cfg)  # compile + warm
+            np.asarray(MP)
             prof = BenchmarkProfile()
             t0 = time.time()
-            compute_matrix_profile(T, config=cfg, profile=prof)
+            MP, MPI = compute_matrix_profile(T, config=cfg, profile=prof)
+            np.asarray(MP); np.asarray(MPI)  # async platforms under-report otherwise
             wall = time.time() - t0
             rate = pairs / wall
             print(f"band={band:6d} chunk={chunk:6d} tr={tr:4d}: "
