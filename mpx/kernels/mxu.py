@@ -25,6 +25,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mpx.dtypes import AGGREGATE_INIT, INDEX_INIT
 from mpx.kernels.common import BandGeometry, BandOut
@@ -52,19 +53,26 @@ def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
     init_v = jnp.asarray(AGGREGATE_INIT, dt)
     c0 = r0 + k0
 
-    Tr = jax.lax.dynamic_slice(stats.T, (r0,), (S + m - 1,))
-    Tc = jax.lax.dynamic_slice(stats.T, (c0,), (W + m - 1,))
-    mu_r = jax.lax.dynamic_slice(stats.mu, (r0,), (S,))
-    mu_c = jax.lax.dynamic_slice(stats.mu, (c0,), (W,))
     inv_r = jax.lax.dynamic_slice(stats.inv, (r0,), (S,))
     inv_c = jax.lax.dynamic_slice(stats.inv, (c0,), (W,))
-
-    # Zero-variance windows have inv = inf; zero them out (their rows are
-    # masked anyway) so inf/NaN never enters the matmul.
+    # Zero-variance windows have inv = inf; their operand rows are zeroed
+    # (masked below) so inf/NaN never enters the matmul.
     fin_r = jnp.isfinite(inv_r)
     fin_c = jnp.isfinite(inv_c)
-    Ur = _windows(Tr, mu_r, jnp.where(fin_r, inv_r, 0), S, m)
-    Uc = _windows(Tc, mu_c, jnp.where(fin_c, inv_c, 0), W, m)
+
+    if stats.windows is not None:
+        # Slice the precomputed normalized-windows matrix (saves the
+        # per-job window construction; see Stats.windows).
+        zero = np.int32(0)  # bare 0 traces as i64 under x64 scope
+        Ur = jax.lax.dynamic_slice(stats.windows, (r0, zero), (S, m))
+        Uc = jax.lax.dynamic_slice(stats.windows, (c0, zero), (W, m))
+    else:
+        Tr = jax.lax.dynamic_slice(stats.T, (r0,), (S + m - 1,))
+        Tc = jax.lax.dynamic_slice(stats.T, (c0,), (W + m - 1,))
+        mu_r = jax.lax.dynamic_slice(stats.mu, (r0,), (S,))
+        mu_c = jax.lax.dynamic_slice(stats.mu, (c0,), (W,))
+        Ur = _windows(Tr, mu_r, jnp.where(fin_r, inv_r, 0), S, m)
+        Uc = _windows(Tc, mu_c, jnp.where(fin_c, inv_c, 0), W, m)
 
     # HIGHEST precision: the TPU default would multiply f32 in bfloat16,
     # far outside the distance tolerance.

@@ -22,6 +22,8 @@ provided with identical semantics.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,11 +38,38 @@ def zero_variance_threshold(T, m: int) -> float:
     return m * (1e-12 * scale) ** 2
 
 
+_WINDOWS_BLOCK = 8192
+# Normalized-windows matrix budget (bytes); beyond this the MXU kernel
+# falls back to per-job window construction (overridable via env).
+WINDOWS_BUDGET = int(os.environ.get("MPX_WINDOWS_BUDGET", 2 << 30))
+
+
 def _padded_width(w: int, band: int, chunk: int) -> int:
     """Pad the subsequence count so every job window slice is in-bounds:
     jobs read column slices of width chunk + band starting at most at
-    w - 1."""
-    return int(w + band + chunk)
+    w - 1.  Rounded up to the windows-build block size."""
+    pw = int(w + band + chunk)
+    return ((pw + _WINDOWS_BLOCK - 1) // _WINDOWS_BLOCK) * _WINDOWS_BLOCK
+
+
+def build_windows(stats: Stats, m: int) -> jax.Array:
+    """Unit-normalized window matrix (padded_w, m), built blockwise on
+    device (one big stack blows the compile; zero-variance and padded
+    rows come out as zeros)."""
+    pw = stats.mu.shape[0]
+    nb = pw // _WINDOWS_BLOCK
+    invc = jnp.where(jnp.isfinite(stats.inv), stats.inv, 0)
+
+    def blk(i):
+        o = i * _WINDOWS_BLOCK
+        seg = jax.lax.dynamic_slice(stats.T, (o,), (_WINDOWS_BLOCK + m - 1,))
+        Wm = jnp.stack([seg[j : j + _WINDOWS_BLOCK] for j in range(m)], axis=1)
+        mu = jax.lax.dynamic_slice(stats.mu, (o,), (_WINDOWS_BLOCK,))
+        iv = jax.lax.dynamic_slice(invc, (o,), (_WINDOWS_BLOCK,))
+        return (Wm - mu[:, None]) * iv[:, None]
+
+    out = jax.lax.map(blk, jnp.arange(nb, dtype=jnp.int32))
+    return out.reshape(nb * _WINDOWS_BLOCK, m)
 
 
 def precompute_statistics_numpy(T: np.ndarray, m: int) -> dict:
@@ -136,6 +165,7 @@ def precompute_statistics(
     chunk: int,
     dtype=jnp.float32,
     backend: str = "auto",
+    windows: bool | None = None,
 ) -> Stats:
     """Device-resident, padded statistics in the compute dtype.
 
@@ -182,7 +212,7 @@ def precompute_statistics(
 
         # x64 scope so float64 stats survive device staging uncanonicalized.
         with x64_scope(dt == jnp.dtype(jnp.float64)):
-            return Stats(
+            stats = Stats(
                 T=padn(T64, pw + m - 1),
                 mu=padn(s["mu"], pw),
                 df=padn(s["df"], pw),
@@ -190,6 +220,7 @@ def precompute_statistics(
                 inv=padn(s["inv"], pw),
                 qt0=padn(s["qt0"], pw),
             )
+            return _maybe_windows(stats, m, windows)
 
     if backend != "jax":
         raise ValueError(f"unknown precompute backend {backend!r}")
@@ -203,7 +234,7 @@ def precompute_statistics(
         def pad(x, width, fill=0.0):
             return jnp.pad(x, (0, width - x.shape[0]), constant_values=fill)
 
-        return Stats(
+        stats = Stats(
             T=pad(T.astype(dt), pw + m - 1),
             mu=pad(mu.astype(dt), pw),
             df=pad(df.astype(dt), pw),
@@ -211,3 +242,17 @@ def precompute_statistics(
             inv=pad(inv.astype(dt), pw),
             qt0=pad(qt0.astype(dt), pw),
         )
+        return _maybe_windows(stats, m, windows)
+
+
+def _maybe_windows(stats: Stats, m: int, windows) -> Stats:
+    """Attach the normalized-windows matrix when requested or when it
+    fits the HBM budget (auto)."""
+    pw = stats.mu.shape[0]
+    size = pw * m * jnp.dtype(stats.mu.dtype).itemsize
+    if windows is None:
+        windows = size <= WINDOWS_BUDGET
+    if not windows:
+        return stats
+    U = jax.jit(build_windows, static_argnums=1)(stats, m)
+    return stats._replace(windows=U)

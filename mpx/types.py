@@ -12,7 +12,7 @@ Aggregates (``OutputDataPack``'s ``aggregate_t{value, index}``) become a
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import numpy as np
@@ -25,6 +25,12 @@ class Stats(NamedTuple):
     zero-filled so out-of-range lanes behave like the reference's
     ``InputDataPack(0)`` (kernel/MatrixProfileKernelVanilla.cpp:52-53).
     ``T`` is padded to ``padded_w + m - 1`` for window extraction.
+
+    ``windows`` optionally holds the unit-normalized window matrix
+    ``(padded_w, m)`` (zero rows for zero-variance/padded windows) so the
+    MXU kernel can slice operand panels instead of rebuilding them per
+    job (~25-35%% faster; HBM-resident, built only when it fits the
+    budget — see precompute_statistics).
     """
 
     T: jax.Array      # (padded_w + m - 1,) raw series
@@ -33,6 +39,7 @@ class Stats(NamedTuple):
     dg: jax.Array     # (padded_w,)
     inv: jax.Array    # (padded_w,) inverse centered norms
     qt0: jax.Array    # (padded_w,) first-row dot products QT(0, c)
+    windows: Optional[jax.Array] = None  # (padded_w, m) normalized windows
 
 
 class Aggregates(NamedTuple):
