@@ -38,8 +38,6 @@ def run_benchmark(
     seed: int = 0,
     verbose: bool = False,
 ):
-    import jax
-
     from mpx import MatrixProfileConfig, compute_matrix_profile
     from mpx.runtime import enable_compilation_cache
     from mpx.utils.profile import BenchmarkProfile

@@ -15,7 +15,6 @@ import hashlib
 import json
 import os
 import tempfile
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

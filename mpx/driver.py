@@ -22,12 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpx.config import MatrixProfileConfig, make_job_grid, pad_job_grid
+from mpx.config import MatrixProfileConfig, make_job_grid
 from mpx.dtypes import AGGREGATE_INIT, canonical_dtype
 from mpx.kernels import band_geometry, get_sweep_fn, resolve_kernel
 from mpx.ops.aggregates import init_aggregates, merge_window, postcompute
 from mpx.ops.precompute import precompute_statistics
-from mpx.types import Aggregates, JobGrid, Stats
+from mpx.types import Aggregates, Stats
 
 
 def _agg_length(w: int, S: int, W: int) -> int:

@@ -14,7 +14,6 @@ distances are materialized on demand.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
