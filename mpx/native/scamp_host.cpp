@@ -53,22 +53,23 @@ void mpx_precompute(const double* T, int64_t n, int64_t m, double* mu,
   }
   // Numerically-zero variance (constant subsequence up to rounding) maps
   // to inv = inf so downstream finite-masks skip it deterministically.
-  double scale = 0.0;
-  for (int64_t i = 0; i < n; ++i) scale = std::max(scale, std::fabs(T[i]));
-  if (scale == 0.0) scale = 1.0;
-  const double ssq_tol =
-      static_cast<double>(m) * (1e-12 * scale) * (1e-12 * scale);
+  // The threshold is relative to the window's raw energy — variance
+  // below 1e-10 of sum(T^2) cannot be resolved by the cumsum-based
+  // backends and must be treated identically by every backend.
+  constexpr double kZeroVarianceRel = 1e-10;
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < w; ++i) {
-    double ssq = 0.0, qt = 0.0;
+    double ssq = 0.0, qt = 0.0, sumsq = 0.0;
     const double mui = mu[i];
     const double mu0 = mu[0];
     for (int64_t k = 0; k < m; ++k) {
       const double a = T[i + k] - mui;
       ssq += a * a;
+      sumsq += T[i + k] * T[i + k];
       qt += a * (T[k] - mu0);
     }
-    inv[i] = (ssq <= ssq_tol) ? INFINITY : 1.0 / std::sqrt(ssq);
+    inv[i] = (ssq <= kZeroVarianceRel * sumsq) ? INFINITY
+                                               : 1.0 / std::sqrt(ssq);
     qt0[i] = qt;
   }
 }

@@ -31,11 +31,13 @@ import numpy as np
 from mpx.types import Stats
 
 
-def zero_variance_threshold(T, m: int) -> float:
-    """Centered sum-of-squares below this is numerically indistinguishable
-    from a constant subsequence: m * (1e-12 * max|T|)^2."""
-    scale = float(np.max(np.abs(np.asarray(T, dtype=np.float64)))) or 1.0
-    return m * (1e-12 * scale) ** 2
+# A window's centered sum-of-squares below REL * (its raw sum-of-squares)
+# is numerically indistinguishable from a constant subsequence: the
+# cumsum-based variance cancels two terms of magnitude sum(T^2), leaving
+# ~eps*k relative noise (~1e-13); variance below 1e-10 of the energy is
+# unresolvable in float64 for any backend, so those windows are
+# deterministically degenerate (inv = inf, masked by the kernels).
+ZERO_VARIANCE_REL = 1e-10
 
 
 _WINDOWS_BLOCK = 8192
@@ -91,12 +93,13 @@ def precompute_statistics_numpy(T: np.ndarray, m: int) -> dict:
     dg[1:] = (T[m:] - mu[1:]) + (T[:w - 1] - mu[:w - 1])
 
     c2 = np.concatenate([[0.0], np.cumsum(T * T)])
-    ssq = (c2[m:] - c2[:-m]) - m * mu * mu
+    sumsq = c2[m:] - c2[:-m]
+    ssq = sumsq - m * mu * mu
     # Numerically-zero variance (constant subsequences up to rounding) is
     # clamped to exactly zero so inv becomes inf and the kernels' finite
     # masks skip those windows deterministically — regardless of which
     # precompute backend's rounding produced the residue.
-    ssq = np.where(ssq <= zero_variance_threshold(T, m), 0.0, ssq)
+    ssq = np.where(ssq <= ZERO_VARIANCE_REL * np.abs(sumsq), 0.0, ssq)
     with np.errstate(divide="ignore"):
         inv = 1.0 / np.sqrt(ssq)
 
@@ -121,9 +124,9 @@ def _precompute_jax_f64(T: jax.Array, m: int):
     )
 
     c2 = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(T * T)])
-    ssq = (c2[m:] - c2[:-m]) - m * mu * mu
-    tol = m * (1e-12 * jnp.max(jnp.abs(T))) ** 2
-    ssq = jnp.where(ssq <= tol, 0.0, ssq)
+    sumsq = c2[m:] - c2[:-m]
+    ssq = sumsq - m * mu * mu
+    ssq = jnp.where(ssq <= ZERO_VARIANCE_REL * jnp.abs(sumsq), 0.0, ssq)
     inv = 1.0 / jnp.sqrt(ssq)
 
     sdp0 = sliding_dot_product(T[:m], T)
