@@ -38,6 +38,8 @@ def _add_compute(sub):
     p.add_argument("--tile-cols", type=int, default=2048)
     p.add_argument("--shards", type=int, default=None, help="device count")
     p.add_argument("--checkpoint", help="checkpoint file for resumable runs")
+    p.add_argument("--left-right", action="store_true",
+                   help="emit left/right profiles (<o>.left/.right .mpb/.mpib)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -65,6 +67,17 @@ def _cmd_compute(args) -> int:
         num_shards=args.shards,
     )
     prof = BenchmarkProfile()
+    if args.left_right:
+        mpl, mpli, mpr, mpri = compute_matrix_profile(
+            T, config=cfg, profile=prof, left_right=True
+        )
+        if args.output:
+            write_results(args.output + ".left", np.asarray(mpl), np.asarray(mpli))
+            write_results(args.output + ".right", np.asarray(mpr), np.asarray(mpri))
+            Logger.info(f"wrote {args.output}.left/.right .mpb/.mpib")
+        if args.verbose:
+            prof.report(file=sys.stdout)
+        return 0
     if args.checkpoint:
         from mpx.checkpoint import compute_with_checkpoint
 

@@ -86,12 +86,18 @@ def compute_matrix_profile(
     *,
     stats: Optional[Stats] = None,
     profile=None,
+    left_right: bool = False,
 ):
     """Compute the self-join matrix profile of ``T``.
 
     Returns (MP, MPI) as jax arrays: z-normalized Euclidean distances and
     int32 nearest-neighbor indices, matching the reference semantics
     (untouched entries: sqrt(2m(1+1e12)) / -1).
+
+    With ``left_right=True`` returns (MP_left, MPI_left, MP_right,
+    MPI_right) instead — the nearest *earlier* / *later* neighbor
+    profiles (used for time-ordered anomaly detection; they are the
+    framework's row/column aggregates before the final merge).
 
     ``profile`` optionally takes a :class:`mpx.utils.profile.BenchmarkProfile`
     to record per-phase timings like the reference's report
@@ -163,6 +169,14 @@ def compute_matrix_profile(
             jax.block_until_ready((rows, cols))
 
     with _phase(profile, "3. Post-Computation [device]"), x64_scope(x64):
+        if left_right:
+            from mpx.ops.aggregates import postcompute_left_right
+
+            out = jax.jit(postcompute_left_right, static_argnums=(2, 3))(
+                rows, cols, m, w
+            )
+            jax.block_until_ready(out)
+            return out
         MP, MPI = jax.jit(postcompute, static_argnums=(2, 3))(rows, cols, m, w)
         jax.block_until_ready((MP, MPI))
     return MP, MPI

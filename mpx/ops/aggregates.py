@@ -66,6 +66,22 @@ def postcompute(rows: Aggregates, cols: Aggregates, m: int, w: int):
     return pearson_to_euclidean(merged.value, m), merged.index.astype(jnp.int32)
 
 
+def postcompute_left_right(rows: Aggregates, cols: Aggregates, m: int, w: int):
+    """Left/right matrix profiles.
+
+    Every job pair (r, c) has c > r, so the row aggregates are exactly
+    the RIGHT profile (nearest neighbor at a later index) and the column
+    aggregates the LEFT profile (nearest earlier neighbor) — the final
+    row/column merge of the normal profile is simply skipped.
+    Returns (left MP, left MPI, right MP, right MPI)."""
+    return (
+        pearson_to_euclidean(cols.value[:w], m),
+        cols.index[:w].astype(jnp.int32),
+        pearson_to_euclidean(rows.value[:w], m),
+        rows.index[:w].astype(jnp.int32),
+    )
+
+
 def init_aggregates(length: int, dtype, init_value: float) -> Aggregates:
     return Aggregates(
         value=jnp.full((length,), init_value, dtype=dtype),
