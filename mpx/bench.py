@@ -37,6 +37,7 @@ def run_benchmark(
     shards=None,
     seed: int = 0,
     verbose: bool = False,
+    input_path=None,
 ):
     from mpx import MatrixProfileConfig, compute_matrix_profile
     from mpx.runtime import enable_compilation_cache
@@ -44,7 +45,13 @@ def run_benchmark(
 
     enable_compilation_cache()
 
-    T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
+    if input_path:
+        from mpx.io.tsb import read_series
+
+        T = read_series(input_path)
+        n = T.shape[0]
+    else:
+        T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
     w = n - m + 1
     pairs = w * (w - 1) / 2
 
@@ -102,18 +109,21 @@ def main(argv=None) -> int:
     p.add_argument("--chunk", type=int, default=4096)
     p.add_argument("--tile-rows", type=int, default=64)
     p.add_argument("--shards", type=int, default=None)
+    p.add_argument("--input", default=None, help="benchmark a dataset file instead of a random walk")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
     res = run_benchmark(
         n=args.n, m=args.m, dtype=args.dtype, kernel=args.kernel,
         band=args.band, chunk=args.chunk, tile_rows=args.tile_rows,
-        shards=args.shards, verbose=args.verbose,
+        shards=args.shards, verbose=args.verbose, input_path=args.input,
     )
     print(
         json.dumps(
             {
-                "metric": f"self-join distance-pairs/sec (n={args.n}, m={args.m}, {args.dtype})",
+                "metric": (
+                    f"self-join distance-pairs/sec (n={res['n']}, m={args.m}, {args.dtype})"
+                ),
                 "value": res["pairs_per_sec"],
                 "unit": "pairs/s",
                 "vs_baseline": res["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC,

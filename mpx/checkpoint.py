@@ -31,7 +31,8 @@ from mpx.utils.logging import Logger
 from mpx.utils.profile import phase as _phase
 
 
-def _fingerprint(T: np.ndarray, cfg: MatrixProfileConfig, w: int) -> str:
+def _fingerprint(T: np.ndarray, cfg: MatrixProfileConfig, w: int,
+                 group_jobs: int = 0) -> str:
     h = hashlib.sha256()
     h.update(np.ascontiguousarray(np.asarray(T, np.float64)).tobytes())
     meta = json.dumps(
@@ -41,6 +42,9 @@ def _fingerprint(T: np.ndarray, cfg: MatrixProfileConfig, w: int) -> str:
             "band": cfg.band,
             "chunk": cfg.chunk,
             "w": w,
+            # group size defines what next_group indexes; resuming with a
+            # different grouping would skip or repeat jobs
+            "group_jobs": group_jobs,
         },
         sort_keys=True,
     )
@@ -105,7 +109,7 @@ def compute_with_checkpoint(
     S, W = cfg.band, cfg.chunk
     dt = canonical_dtype(cfg.dtype)
     kernel = resolve_kernel(cfg.kernel, dt, m)
-    fp = _fingerprint(T, cfg, w)
+    fp = _fingerprint(T, cfg, w, group_jobs)
 
     with _phase(profile, "1. Pre-Computation [device]"):
         stats = precompute_statistics(T, m, band=S, chunk=W, dtype=dt)

@@ -81,7 +81,7 @@ def test_checkpoint_resume(tmp_path):
                                         keep_checkpoint=True)
     # checkpoint exists and is complete; a resume must be a no-op
     assert _load(ckpt, _fingerprint(np.asarray(T), cfg.shrink_to(400 - 16 + 1),
-                                    400 - 16 + 1)) is not None
+                                    400 - 16 + 1, 4)) is not None
     MP2, MPI2 = compute_with_checkpoint(T, cfg, ckpt, group_jobs=4)
     np.testing.assert_array_equal(MP1, MP2)
     np.testing.assert_array_equal(MPI1, MPI2)
