@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""mpx quickstart: the full API surface on the vendored datasets.
+
+Run from the repo root: python examples/quickstart.py
+(CPU works; on a TPU host the mxu kernel runs on the MXU.)
+"""
+
+import numpy as np
+
+import mpx
+from mpx.abjoin import compute_ab_join
+from mpx.analysis import top_discords, top_motifs
+from mpx.io.datasets import load_dataset
+from mpx.streaming import StreamingMatrixProfile
+
+# --- 1. basic self-join ---------------------------------------------------
+T = load_dataset("motifs-discords-small.txt", "synthetic")
+m = 64
+MP, MPI = mpx.matrix_profile(T, m=m)
+print(f"profile of {T.shape[0]} points, m={m}: min dist {MP.min():.4f}")
+
+# --- 2. motifs and discords ------------------------------------------------
+for mo in top_motifs(MP, MPI, m, k=2):
+    print(f"motif: [{mo.a}, {mo.b}] d={mo.distance:.4f}")
+for d in top_discords(MP, MPI, m, k=1):
+    print(f"discord: {d.index} d={d.distance:.4f}")
+
+# --- 3. explicit configuration (kernel, dtype, job geometry, sharding) -----
+cfg = mpx.MatrixProfileConfig(
+    m=m,
+    dtype="float64",      # reference flagship precision
+    kernel="auto",        # mxu on every backend for this m
+    band=2048,            # rows per job
+    chunk=2048,           # columns per job
+    # num_shards=8,       # shard the job list over a device mesh
+)
+MP64, MPI64 = mpx.compute_matrix_profile(T, config=cfg)
+print(f"f64 profile matches f32 to {np.max(np.abs(np.asarray(MP64) - MP)):.2e}")
+
+# --- 4. left / right profiles ----------------------------------------------
+mpl, mpli, mpr, mpri = mpx.compute_matrix_profile(T, config=cfg, left_right=True)
+print(f"left/right profiles: {np.isfinite(np.asarray(mpl)).sum()} left matches")
+
+# --- 5. AB-join --------------------------------------------------------------
+ecg = load_dataset("ecg-heartbeat-av.txt", "real")
+res = compute_ab_join(T, ecg[: T.shape[0]], m=m)
+print(f"ab-join: best cross-series match d={np.asarray(res.mp_a).min():.4f}")
+
+# --- 6. streaming appends ----------------------------------------------------
+smp = StreamingMatrixProfile(T[:-200], m=m)
+smp.append(T[-200:])
+MP_s, MPI_s = smp.profile()
+print(f"streaming == batch: {np.allclose(MP_s, MP, atol=1e-3)}")
