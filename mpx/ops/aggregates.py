@@ -50,8 +50,13 @@ def merge_window(
 
 
 def pearson_to_euclidean(P, m: int):
-    """dist = sqrt(2m(1 - P)) (HostSideComputation.hpp:47-49)."""
-    return jnp.sqrt(2.0 * m * (1.0 - P))
+    """dist = sqrt(2m(1 - P)) (HostSideComputation.hpp:47-49).
+
+    Clamped at zero: rounding can push the correlation of near-identical
+    windows epsilon past 1, and sqrt of the tiny negative would return
+    NaN where the true distance is ~0 (the reference inherits the same
+    hazard from std::sqrt; mpx clamps)."""
+    return jnp.sqrt(jnp.maximum(2.0 * m * (1.0 - P), 0.0))
 
 
 def postcompute(rows: Aggregates, cols: Aggregates, m: int, w: int):

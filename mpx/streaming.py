@@ -150,5 +150,7 @@ class StreamingMatrixProfile:
 
     def profile(self):
         """Current (MP, MPI) as numpy arrays (reference distance units)."""
-        MP = np.sqrt(2.0 * self.m * (1.0 - self._val.astype(np.float64)))
+        MP = np.sqrt(
+            np.maximum(2.0 * self.m * (1.0 - self._val.astype(np.float64)), 0.0)
+        )
         return MP, self._idx.copy()
