@@ -64,16 +64,13 @@ def _sweep_ab(stats_a: Stats, stats_b: Stats, r0, c0, *, S, W, m, wa, wb, dt):
     )
     Pm = jnp.where(valid, P, init_v)
 
-    ri_loc = jnp.argmax(Pm, axis=1)
-    row_v = jnp.take_along_axis(Pm, ri_loc[:, None], axis=1)[:, 0]
-    row_i = jnp.where(
-        row_v > init_v, (c0 + ri_loc).astype(jnp.int32), jnp.int32(INDEX_INIT)
-    )
-    ci_loc = jnp.argmax(Pm, axis=0)
-    col_v = jnp.take_along_axis(Pm, ci_loc[None, :], axis=0)[0, :]
-    col_i = jnp.where(
-        col_v > init_v, (r0 + ci_loc).astype(jnp.int32), jnp.int32(INDEX_INIT)
-    )
+    big = np.int32(2**30)
+    row_v = jnp.max(Pm, axis=1)
+    ri = jnp.min(jnp.where(Pm == row_v[:, None], cols, big), axis=1)
+    row_i = jnp.where(row_v > init_v, ri.astype(jnp.int32), jnp.int32(INDEX_INIT))
+    col_v = jnp.max(Pm, axis=0)
+    ci = jnp.min(jnp.where(Pm == col_v[None, :], rows, big), axis=0)
+    col_i = jnp.where(col_v > init_v, ci.astype(jnp.int32), jnp.int32(INDEX_INIT))
     return Aggregates(row_v, row_i), Aggregates(col_v, col_i)
 
 

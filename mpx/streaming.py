@@ -47,11 +47,12 @@ def _rect_sweep(
     valid = (jnp.abs(cols - rows) >= excl) & fin_a[:, None] & fin_b[None, :]
     Pm = jnp.where(valid, P, init_v)
 
-    ri = jnp.argmax(Pm, axis=1)
-    rv = jnp.take_along_axis(Pm, ri[:, None], axis=1)[:, 0]
-    ci = jnp.argmax(Pm, axis=0)
-    cv = jnp.take_along_axis(Pm, ci[None, :], axis=0)[0, :]
-    return rv, ri.astype(jnp.int32), cv, (r_off + ci).astype(jnp.int32)
+    big = np.int32(2**30)
+    rv = jnp.max(Pm, axis=1)
+    ri = jnp.min(jnp.where(Pm == rv[:, None], cols, big), axis=1)
+    cv = jnp.max(Pm, axis=0)
+    ci = jnp.min(jnp.where(Pm == cv[None, :], rows, big), axis=0)
+    return rv, ri.astype(jnp.int32), cv, ci.astype(jnp.int32)
 
 
 class StreamingMatrixProfile:
