@@ -133,3 +133,25 @@ def test_abjoin_subcommand(tmp_path):
 
     exp = brute_force_ab_join(A, B, 16)[0]
     np.testing.assert_allclose(mpa, exp, atol=1e-8)
+
+
+def test_compute_left_right_flag(tmp_path):
+    import numpy as np
+
+    from mpx.io.tsb import read_binary, write_binary
+
+    T = random_walk(300, seed=61)
+    write_binary(str(tmp_path / "t.tsb"), T, "double")
+    assert main([
+        "compute", "-i", str(tmp_path / "t.tsb"), "-m", "16",
+        "--dtype", "double", "--band", "64", "--chunk", "64",
+        "--left-right", "-o", str(tmp_path / "lr"),
+    ]) == 0
+    mpl = read_binary(str(tmp_path / "lr.left.mpb"), "double")
+    mpr = read_binary(str(tmp_path / "lr.right.mpb"), "double")
+    mpli = read_binary(str(tmp_path / "lr.left.mpib"), "int")
+    assert mpl.shape == mpr.shape == (300 - 16 + 1,)
+    # left neighbors are strictly earlier
+    rows = np.arange(mpl.shape[0])
+    valid = mpli >= 0
+    assert np.all(mpli[valid] < rows[valid])
