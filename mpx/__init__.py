@@ -31,6 +31,7 @@ arithmetic that the TPU compiler rejects.
 from __future__ import annotations
 
 from mpx.abjoin import compute_ab_join
+from mpx.topk import compute_topk_profile
 from mpx.config import MatrixProfileConfig
 from mpx.driver import compute_matrix_profile, matrix_profile
 from mpx.dtypes import AGGREGATE_INIT, INDEX_INIT
@@ -40,6 +41,7 @@ __version__ = "0.1.0"
 __all__ = [
     "MatrixProfileConfig",
     "compute_ab_join",
+    "compute_topk_profile",
     "compute_matrix_profile",
     "matrix_profile",
     "AGGREGATE_INIT",

@@ -1,0 +1,177 @@
+"""Top-k nearest-neighbor matrix profile.
+
+For every subsequence, the k nearest non-trivial neighbors (sorted by
+distance), not just the single best — the k-NN generalization common in
+the matrix-profile ecosystem (the reference computes k=1 only).
+
+Rides the same MXU job decomposition: per job, ``lax.top_k`` over the
+correlation block's rows/columns; partial top-k windows merge across
+jobs by concat + re-top_k.  No deduplication is needed anywhere: within
+a row, different jobs cover disjoint columns; and at the final merge the
+row side holds neighbors at later indices (c > r) while the column side
+holds earlier ones (c < r) — disjoint by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpx.config import MatrixProfileConfig, make_job_grid
+from mpx.dtypes import (
+    AGGREGATE_INIT,
+    INDEX_INIT,
+    canonical_dtype,
+    needs_x64,
+    x64_scope,
+)
+from mpx.ops.precompute import precompute_statistics
+from mpx.types import Stats
+
+
+def _topk_desc(values, indices, k):
+    """Top-k by value (descending correlation); returns (vals, idxs)."""
+    v, pos = jax.lax.top_k(values, k)
+    return v, jnp.take_along_axis(indices, pos, axis=-1)
+
+
+def _merge_topk(gv, gi, wv, wi, offset, S, k):
+    """Merge a job's (S, k) top-k window into the global (L, k) arrays."""
+    zero = np.int32(0)
+    cur_v = jax.lax.dynamic_slice(gv, (offset, zero), (S, k))
+    cur_i = jax.lax.dynamic_slice(gi, (offset, zero), (S, k))
+    cat_v = jnp.concatenate([cur_v, wv], axis=1)
+    cat_i = jnp.concatenate([cur_i, wi], axis=1)
+    mv, mi = _topk_desc(cat_v, cat_i, k)
+    gv = jax.lax.dynamic_update_slice(gv, mv, (offset, zero))
+    gi = jax.lax.dynamic_update_slice(gi, mi, (offset, zero))
+    return gv, gi
+
+
+def _job_topk(stats: Stats, r0, k0, *, S, W, m, w, excl, k, dt):
+    from mpx.kernels.mxu import _windows
+
+    init_v = jnp.asarray(AGGREGATE_INIT, dt)
+    c0 = r0 + k0
+    inv_r = jax.lax.dynamic_slice(stats.inv, (r0,), (S,))
+    inv_c = jax.lax.dynamic_slice(stats.inv, (c0,), (W,))
+    fin_r = jnp.isfinite(inv_r)
+    fin_c = jnp.isfinite(inv_c)
+    if stats.windows is not None:
+        zero = np.int32(0)
+        Ur = jax.lax.dynamic_slice(stats.windows, (r0, zero), (S, m))
+        Uc = jax.lax.dynamic_slice(stats.windows, (c0, zero), (W, m))
+    else:
+        Tr = jax.lax.dynamic_slice(stats.T, (r0,), (S + m - 1,))
+        Tc = jax.lax.dynamic_slice(stats.T, (c0,), (W + m - 1,))
+        mu_r = jax.lax.dynamic_slice(stats.mu, (r0,), (S,))
+        mu_c = jax.lax.dynamic_slice(stats.mu, (c0,), (W,))
+        Ur = _windows(Tr, mu_r, jnp.where(fin_r, inv_r, 0), S, m)
+        Uc = _windows(Tc, mu_c, jnp.where(fin_c, inv_c, 0), W, m)
+
+    P = jax.lax.dot_general(
+        Ur, Uc, (((1,), (1,)), ((), ())),
+        preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rows = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]
+    cols = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = (
+        (cols - rows >= excl)
+        & (rows <= w - 1)
+        & (cols <= w - 1)
+        & fin_r[:, None]
+        & fin_c[None, :]
+    )
+    Pm = jnp.where(valid, P, init_v)
+
+    colmat = jnp.broadcast_to(cols, (S, W))
+    rowmat = jnp.broadcast_to(rows, (S, W))
+    rv, ri = _topk_desc(Pm, colmat, k)            # (S, k)
+    cv, ci = _topk_desc(Pm.T, rowmat.T, k)        # (W, k)
+    return rv, ri, cv, ci
+
+
+@partial(
+    jax.jit,
+    static_argnames=("S", "W", "m", "w", "excl", "k", "dtype"),
+)
+def _run_topk_jobs(stats, r0s, k0s, *, S, W, m, w, excl, k, dtype):
+    dt = canonical_dtype(dtype)
+    L = w + S + W
+    rows_v = jnp.full((L, k), AGGREGATE_INIT, dt)
+    rows_i = jnp.full((L, k), INDEX_INIT, jnp.int32)
+    cols_v = jnp.full((L, k), AGGREGATE_INIT, dt)
+    cols_i = jnp.full((L, k), INDEX_INIT, jnp.int32)
+
+    def body(carry, job):
+        rows_v, rows_i, cols_v, cols_i = carry
+        r0, k0 = job
+        rv, ri, cv, ci = _job_topk(
+            stats, r0, k0, S=S, W=W, m=m, w=w, excl=excl, k=k, dt=dt
+        )
+        rows_v, rows_i = _merge_topk(rows_v, rows_i, rv, ri, r0, S, k)
+        cols_v, cols_i = _merge_topk(cols_v, cols_i, cv, ci, r0 + k0, W, k)
+        return (rows_v, rows_i, cols_v, cols_i), None
+
+    (rows_v, rows_i, cols_v, cols_i), _ = jax.lax.scan(
+        body, (rows_v, rows_i, cols_v, cols_i), (r0s, k0s)
+    )
+    # Final merge: row side (later neighbors) + column side (earlier
+    # neighbors) are disjoint candidate sets per subsequence.
+    cat_v = jnp.concatenate([rows_v[:w], cols_v[:w]], axis=1)
+    cat_i = jnp.concatenate([rows_i[:w], cols_i[:w]], axis=1)
+    v, i = _topk_desc(cat_v, cat_i, k)
+    d = jnp.sqrt(jnp.maximum(2.0 * m * (1.0 - v), 0.0))
+    d = jnp.where(i >= 0, d, jnp.inf)
+    return d, i
+
+
+def compute_topk_profile(
+    T,
+    m: Optional[int] = None,
+    k: int = 4,
+    config: Optional[MatrixProfileConfig] = None,
+):
+    """k-NN matrix profile: (distances (w, k), indices (w, k)), each row
+    sorted by ascending distance; missing neighbors are (inf, -1)."""
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32)
+    elif m is not None and m != config.m:
+        raise ValueError(f"m={m} conflicts with config.m={config.m}")
+    m = config.m
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    T = np.asarray(T) if not isinstance(T, jax.Array) else T
+    n = T.shape[0]
+    config.validate_series(n)
+    w = n - m + 1
+    config = config.shrink_to(w)
+    S, W = config.band, config.chunk
+    if k > min(S, W):
+        raise ValueError(f"k={k} exceeds the job extent min(band, chunk)")
+    dt = canonical_dtype(config.dtype)
+
+    stats = precompute_statistics(T, m, band=S, chunk=W, dtype=dt)
+    grid = make_job_grid(w, S, W)
+
+    with x64_scope(needs_x64(dt)):
+        D, I = _run_topk_jobs(
+            stats,
+            jnp.asarray(grid.r0),
+            jnp.asarray(grid.k0),
+            S=S,
+            W=W,
+            m=m,
+            w=w,
+            excl=m // 4,
+            k=k,
+            dtype=str(dt),
+        )
+        jax.block_until_ready((D, I))
+    return D, I
