@@ -46,7 +46,11 @@ ecg = load_dataset("ecg-heartbeat-av.txt", "real")
 res = compute_ab_join(T, ecg[: T.shape[0]], m=m)
 print(f"ab-join: best cross-series match d={np.asarray(res.mp_a).min():.4f}")
 
-# --- 6. streaming appends ----------------------------------------------------
+# --- 6. k nearest neighbors per subsequence ---------------------------------
+D, I = mpx.compute_topk_profile(T, m=m, k=3)
+print(f"top-3 neighbors of window 0: {np.asarray(I)[0]} d={np.asarray(D)[0].round(3)}")
+
+# --- 7. streaming appends ----------------------------------------------------
 smp = StreamingMatrixProfile(T[:-200], m=m)
 smp.append(T[-200:])
 MP_s, MPI_s = smp.profile()
