@@ -74,7 +74,31 @@ class StreamingMatrixProfile:
         w = self._T.shape[0] - m + 1
         self._val = np.full(w, AGGREGATE_INIT, dtype=self.dtype)
         self._idx = np.full(w, INDEX_INIT, np.int32)
+        s = precompute_statistics_numpy(self._T, m)
+        self._mu = s["mu"]
+        self._inv = s["inv"]
         self._bootstrap()
+
+    def _extend_stats(self, old_w: int):
+        """Statistics for the new windows only: O(k * m) per append
+        (existing windows' mu/inv never change).  Uses the centered
+        two-pass form, with the same relative zero-variance rule as the
+        batch backends."""
+        from mpx.ops.precompute import ZERO_VARIANCE_REL
+
+        m = self.m
+        w = self._T.shape[0] - m + 1
+        win = np.lib.stride_tricks.sliding_window_view(self._T[old_w:], m)
+        mu_new = win.mean(axis=1)
+        cent = win - mu_new[:, None]
+        ssq = np.sum(cent * cent, axis=1)
+        sumsq = np.sum(win * win, axis=1)
+        ssq = np.where(ssq <= ZERO_VARIANCE_REL * sumsq, 0.0, ssq)
+        with np.errstate(divide="ignore"):
+            inv_new = 1.0 / np.sqrt(ssq)
+        self._mu = np.concatenate([self._mu, mu_new])
+        self._inv = np.concatenate([self._inv, inv_new])
+        assert self._mu.shape[0] == w
 
     def _bootstrap(self):
         from mpx.config import MatrixProfileConfig
@@ -107,9 +131,8 @@ class StreamingMatrixProfile:
         n = self._T.shape[0]
         w = n - m + 1
 
-        # Statistics of the updated series (O(n); incremental stats are a
-        # future optimization — the sweep below dominates).
-        s = precompute_statistics_numpy(self._T, m)
+        # Incremental statistics: only the new windows (O(k * m)).
+        self._extend_stats(old_w)
         dt = self.dtype
 
         # New rows: subsequences [old_w, w) — every window that contains
@@ -122,11 +145,11 @@ class StreamingMatrixProfile:
         with x64_scope(needs_x64(dt)):
             rv, ri, cv, ci = _rect_sweep(
                 jnp.asarray(Ta),
-                jnp.asarray(s["mu"][r_off : r_off + S].astype(dt)),
-                jnp.asarray(s["inv"][r_off : r_off + S].astype(dt)),
+                jnp.asarray(self._mu[r_off : r_off + S].astype(dt)),
+                jnp.asarray(self._inv[r_off : r_off + S].astype(dt)),
                 jnp.asarray(self._T.astype(dt)),
-                jnp.asarray(s["mu"].astype(dt)),
-                jnp.asarray(s["inv"].astype(dt)),
+                jnp.asarray(self._mu.astype(dt)),
+                jnp.asarray(self._inv.astype(dt)),
                 jnp.int32(r_off),
                 m=m,
                 excl=self._excl,
