@@ -189,6 +189,39 @@ def _cmd_abjoin(args) -> int:
     return 0
 
 
+def _add_topk(sub):
+    p = sub.add_parser("topk", help="k nearest neighbors per subsequence")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("-k", type=int, default=4)
+    p.add_argument("-o", "--output", help="writes <o>.topk.npz (distances, indices)")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--band", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=4096)
+    return p
+
+
+def _cmd_topk(args) -> int:
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series
+    from mpx.topk import compute_topk_profile
+
+    T = read_series(args.input)
+    cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype,
+                              band=args.band, chunk=args.chunk)
+    D, I = compute_topk_profile(T, k=args.k, config=cfg)
+    D, I = np.asarray(D), np.asarray(I)
+    if args.output:
+        np.savez(args.output + ".topk", distances=D, indices=I)
+        Logger.info(f"wrote {args.output}.topk.npz")
+    else:
+        for row_d, row_i in zip(D[:5], I[:5]):
+            print(" ".join(f"{d:.4f}@{i}" for d, i in zip(row_d, row_i)))
+        if D.shape[0] > 5:
+            print(f"... ({D.shape[0]} rows; pass -o to persist)")
+    return 0
+
+
 def _add_analyze(sub):
     p = sub.add_parser("analyze", help="extract motifs and discords")
     p.add_argument("-i", "--input", required=True, help="time series OR base path of .mpb/.mpib results")
@@ -272,6 +305,7 @@ def main(argv=None) -> int:
     _add_tsbin(sub)
     _add_golden(sub)
     _add_abjoin(sub)
+    _add_topk(sub)
     _add_analyze(sub)
     sub.add_parser("datasets", help="list vendored datasets")
     bench_p = sub.add_parser("bench", help="run the benchmark harness")
@@ -291,6 +325,7 @@ def main(argv=None) -> int:
         "tsbin": _cmd_tsbin,
         "golden": _cmd_golden,
         "abjoin": _cmd_abjoin,
+        "topk": _cmd_topk,
         "analyze": _cmd_analyze,
         "datasets": _cmd_datasets,
         "bench": _cmd_bench,

@@ -43,7 +43,7 @@ ZERO_VARIANCE_REL = 1e-10
 _WINDOWS_BLOCK = 8192
 # Normalized-windows matrix budget (bytes); beyond this the MXU kernel
 # falls back to per-job window construction (overridable via env).
-WINDOWS_BUDGET = int(os.environ.get("MPX_WINDOWS_BUDGET", 2 << 30))
+WINDOWS_BUDGET = int(os.environ.get("MPX_WINDOWS_BUDGET", 4 << 30))
 
 
 def _padded_width(w: int, band: int, chunk: int) -> int:

@@ -155,3 +155,20 @@ def test_compute_left_right_flag(tmp_path):
     rows = np.arange(mpl.shape[0])
     valid = mpli >= 0
     assert np.all(mpli[valid] < rows[valid])
+
+
+def test_topk_subcommand(tmp_path):
+    import numpy as np
+
+    from mpx.io.tsb import write_binary
+
+    T = random_walk(256, seed=71)
+    write_binary(str(tmp_path / "t.tsb"), T, "double")
+    assert main([
+        "topk", "-i", str(tmp_path / "t.tsb"), "-m", "16", "-k", "3",
+        "--dtype", "double", "--band", "64", "--chunk", "64",
+        "-o", str(tmp_path / "nn"),
+    ]) == 0
+    data = np.load(str(tmp_path / "nn.topk.npz"))
+    assert data["distances"].shape == (256 - 16 + 1, 3)
+    assert np.all(np.diff(data["distances"], axis=1) >= -1e-9)
