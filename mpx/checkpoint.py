@@ -32,7 +32,7 @@ from mpx.utils.profile import phase as _phase
 
 
 def _fingerprint(T: np.ndarray, cfg: MatrixProfileConfig, w: int,
-                 group_jobs: int = 0) -> str:
+                 group_jobs: int = 0, kernel: str = "") -> str:
     h = hashlib.sha256()
     h.update(np.ascontiguousarray(np.asarray(T, np.float64)).tobytes())
     meta = json.dumps(
@@ -45,6 +45,12 @@ def _fingerprint(T: np.ndarray, cfg: MatrixProfileConfig, w: int,
             # group size defines what next_group indexes; resuming with a
             # different grouping would skip or repeat jobs
             "group_jobs": group_jobs,
+            # resolved kernel + matmul precision: merging partial
+            # aggregates produced by a different backend/precision stays
+            # within tolerance but is not reproducible against an
+            # uninterrupted run
+            "kernel": kernel,
+            "mxu_precision": os.environ.get("MPX_MXU_PRECISION", "HIGHEST"),
         },
         sort_keys=True,
     )
@@ -109,7 +115,7 @@ def compute_with_checkpoint(
     S, W = cfg.band, cfg.chunk
     dt = canonical_dtype(cfg.dtype)
     kernel = resolve_kernel(cfg.kernel, dt, m)
-    fp = _fingerprint(T, cfg, w, group_jobs)
+    fp = _fingerprint(T, cfg, w, group_jobs, kernel)
 
     with _phase(profile, "1. Pre-Computation [device]"):
         stats = precompute_statistics(T, m, band=S, chunk=W, dtype=dt)

@@ -66,6 +66,13 @@ def _cmd_compute(args) -> int:
         tile_cols=args.tile_cols,
         num_shards=args.shards,
     )
+    # Reject silently-ignored flag combinations up front.
+    if args.left_right and args.checkpoint:
+        raise SystemExit("--left-right does not support --checkpoint")
+    if args.checkpoint and args.shards:
+        raise SystemExit("--checkpoint does not support --shards "
+                         "(checkpointed runs execute single-device)")
+
     prof = BenchmarkProfile()
     if args.left_right:
         mpl, mpli, mpr, mpri = compute_matrix_profile(
@@ -75,6 +82,14 @@ def _cmd_compute(args) -> int:
             write_results(args.output + ".left", np.asarray(mpl), np.asarray(mpli))
             write_results(args.output + ".right", np.asarray(mpr), np.asarray(mpri))
             Logger.info(f"wrote {args.output}.left/.right .mpb/.mpib")
+        else:
+            for dl, il, dr, ir in zip(
+                np.asarray(mpl)[:10], np.asarray(mpli)[:10],
+                np.asarray(mpr)[:10], np.asarray(mpri)[:10],
+            ):
+                print(dl, il, dr, ir)
+            if mpl.shape[0] > 10:
+                print(f"... ({mpl.shape[0]} total; pass -o to persist)")
         if args.verbose:
             prof.report(file=sys.stdout)
         return 0
@@ -127,7 +142,7 @@ def _cmd_tsbin(args) -> int:
 
     def window(data):
         off = args.offset or 0
-        lim = off + args.limit if args.limit else len(data)
+        lim = off + args.limit if args.limit is not None else len(data)
         return data[off:lim]
 
     if args.encode:

@@ -92,9 +92,19 @@ def precompute_statistics_numpy(T: np.ndarray, m: int) -> dict:
     df[1:] = (T[m:] - T[:w - 1]) / 2
     dg[1:] = (T[m:] - mu[1:]) + (T[:w - 1] - mu[:w - 1])
 
-    c2 = np.concatenate([[0.0], np.cumsum(T * T)])
-    sumsq = c2[m:] - c2[:-m]
-    ssq = sumsq - m * mu * mu
+    # Two-pass centered sum-of-squares — the SAME estimator as the native
+    # backend (mpx/native/scamp_host.cpp) and the streaming path, so the
+    # zero-variance classification below agrees across backends (the
+    # cumsum form sumsq - m*mu^2 rounds differently near the threshold).
+    windows = np.lib.stride_tricks.sliding_window_view(T, m)
+    ssq = np.empty(w, dtype=np.float64)
+    sumsq = np.empty(w, dtype=np.float64)
+    blk = 1 << 16  # bound the materialized centered block to ~128 MB
+    for o in range(0, w, blk):
+        wv = windows[o : o + blk]
+        cent = wv - mu[o : o + blk, None]
+        ssq[o : o + blk] = np.einsum("ij,ij->i", cent, cent)
+        sumsq[o : o + blk] = np.einsum("ij,ij->i", wv, wv)
     # Numerically-zero variance (constant subsequences up to rounding) is
     # clamped to exactly zero so inv becomes inf and the kernels' finite
     # masks skip those windows deterministically — regardless of which
@@ -103,7 +113,6 @@ def precompute_statistics_numpy(T: np.ndarray, m: int) -> dict:
     with np.errstate(divide="ignore"):
         inv = 1.0 / np.sqrt(ssq)
 
-    windows = np.lib.stride_tricks.sliding_window_view(T, m)
     sdp0 = windows @ T[:m]
     qt0 = sdp0 - m * mu[0] * mu
 
@@ -123,9 +132,18 @@ def _precompute_jax_f64(T: jax.Array, m: int):
         [jnp.zeros(1, T.dtype), (T[m:] - mu[1:]) + (T[: w - 1] - mu[: w - 1])]
     )
 
-    c2 = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(T * T)])
-    sumsq = c2[m:] - c2[:-m]
-    ssq = sumsq - m * mu * mu
+    # Globally-centered cumsum variance: ssq = sum((T-g)^2 over window)
+    # - m*(mu-g)^2 with g the series mean.  Not bitwise the native/numpy
+    # two-pass form (an O(n*m) window pass is prohibitive in emulated
+    # device f64), but centering bounds the cancellation to local
+    # deviations, so near-threshold classification divergence is limited
+    # to windows within ~ulp of the 1e-10 boundary.
+    g = jnp.mean(T)
+    Tc = T - g
+    c2 = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(Tc * Tc)])
+    ssq = (c2[m:] - c2[:-m]) - m * (mu - g) ** 2
+    c2r = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(T * T)])
+    sumsq = c2r[m:] - c2r[:-m]
     ssq = jnp.where(ssq <= ZERO_VARIANCE_REL * jnp.abs(sumsq), 0.0, ssq)
     inv = 1.0 / jnp.sqrt(ssq)
 

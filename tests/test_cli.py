@@ -49,6 +49,23 @@ def test_tsbin_encode_decode(tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert out.strip().splitlines() == ["2.0", "3.0"]
+    # an explicit --limit 0 emits zero elements (not the whole file)
+    assert main(["tsbin", "-d", str(tmp_path / "x.tsb"), "-l", "0"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_compute_rejects_unsupported_flag_combos(tmp_path):
+    import pytest
+
+    from mpx.io.tsb import write_binary
+
+    write_binary(str(tmp_path / "t.tsb"), random_walk(64, seed=1), "double")
+    with pytest.raises(SystemExit):
+        main(["compute", "-i", str(tmp_path / "t.tsb"), "-m", "8",
+              "--left-right", "--checkpoint", str(tmp_path / "c.npz")])
+    with pytest.raises(SystemExit):
+        main(["compute", "-i", str(tmp_path / "t.tsb"), "-m", "8",
+              "--checkpoint", str(tmp_path / "c.npz"), "--shards", "2"])
 
 
 def test_golden_subcommand(tmp_path):
@@ -81,7 +98,11 @@ def test_checkpoint_resume(tmp_path):
                                         keep_checkpoint=True)
     # checkpoint exists and is complete; a resume must be a no-op
     assert _load(ckpt, _fingerprint(np.asarray(T), cfg.shrink_to(400 - 16 + 1),
-                                    400 - 16 + 1, 4)) is not None
+                                    400 - 16 + 1, 4, "xla")) is not None
+    # a fingerprint for a different kernel must NOT match (resume would
+    # merge aggregates from mixed backends)
+    assert _load(ckpt, _fingerprint(np.asarray(T), cfg.shrink_to(400 - 16 + 1),
+                                    400 - 16 + 1, 4, "mxu")) is None
     MP2, MPI2 = compute_with_checkpoint(T, cfg, ckpt, group_jobs=4)
     np.testing.assert_array_equal(MP1, MP2)
     np.testing.assert_array_equal(MPI1, MPI2)
