@@ -115,6 +115,11 @@ def compute_with_checkpoint(
     S, W = cfg.band, cfg.chunk
     dt = canonical_dtype(cfg.dtype)
     kernel = resolve_kernel(cfg.kernel, dt, m)
+    if kernel == "hybrid":
+        raise ValueError(
+            "checkpointing is for long straight-f64 sweeps; the hybrid "
+            "tier runs in grouped f32 passes and needs no checkpoint"
+        )
     fp = _fingerprint(T, cfg, w, group_jobs, kernel)
 
     with _phase(profile, "1. Pre-Computation [device]"):

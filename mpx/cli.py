@@ -31,7 +31,7 @@ def _add_compute(sub):
     p.add_argument("-m", type=int, default=32, help="subsequence length")
     p.add_argument("--dtype", default="float32", help="double|float|float32|float64")
     p.add_argument("--kernel", default="auto",
-                   choices=("auto", "mxu", "xla", "pallas"))
+                   choices=("auto", "mxu", "xla", "pallas", "hybrid"))
     p.add_argument("--band", type=int, default=4096, help="rows per job (band height)")
     p.add_argument("--chunk", type=int, default=16384, help="diagonals per job")
     p.add_argument("--tile-rows", type=int, default=8)

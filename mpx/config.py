@@ -27,7 +27,7 @@ import numpy as np
 from mpx.dtypes import canonical_dtype
 from mpx.types import JobGrid
 
-_KERNELS = ("auto", "mxu", "xla", "pallas")
+_KERNELS = ("auto", "mxu", "xla", "pallas", "hybrid")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -116,10 +116,33 @@ def compute_matrix_profile(
     config = config.shrink_to(w)
     S, W = config.band, config.chunk
     dt = canonical_dtype(config.dtype)
-    kernel = resolve_kernel(config.kernel, dt, m)
+    num_shards_ = config.num_shards or 1
+    kernel = resolve_kernel(
+        config.kernel, dt, m,
+        allow_hybrid=(
+            not left_right
+            and num_shards_ <= 1
+            and not config.interpret
+            and stats is None
+        ),
+    )
 
     from mpx.dtypes import needs_x64, x64_scope
     from mpx.utils.profile import phase as _phase
+
+    if kernel == "hybrid":
+        from mpx.hybrid import compute_matrix_profile_f64_hybrid
+
+        if canonical_dtype(config.dtype) != np.dtype(np.float64):
+            raise ValueError("kernel='hybrid' requires dtype float64/double")
+        if left_right or num_shards_ > 1 or config.interpret or stats is not None:
+            raise ValueError(
+                "kernel='hybrid' supports the plain single-device self-join "
+                "only (no --left-right/--shards/interpret/external stats)"
+            )
+        # numpy outputs: staying off-device avoids the f32 canonicalization
+        # trap for f64 results outside an x64 scope.
+        return compute_matrix_profile_f64_hybrid(T, config, profile=profile)
 
     x64 = needs_x64(dt)
 

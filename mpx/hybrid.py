@@ -1,0 +1,401 @@
+"""Hybrid double-precision tier: f32 device sweeps + exact f64 rescoring.
+
+The reference's flagship configuration is the double-precision 1M-point
+self-join (/root/reference/README.md:35, CMakeLists.txt:11).  On TPU,
+float64 is XLA-emulated (~100x below f32), so a straight f64 sweep is
+hopeless.  This module computes the exact f64 profile with all O(n^2)
+work in fast f32 on the MXU:
+
+1. **Pass A** — the standard f32 max/argmax sweep (mpx.driver.run_jobs)
+   yields each subsequence's maximum f32 correlation ``gmax32``.
+2. **Pass B** — a second f32 sweep (sweep_band_suspects) counts, per
+   subsequence, every valid pair whose correlation reaches
+   ``thr = gmax32 - margin`` and captures the two smallest and two
+   largest such neighbor indices (associative sum/min/max merges; the
+   job grid covers each pair exactly once).
+3. **Rescore** — the captured suspects (<= 4 per subsequence) are
+   rescored exactly in f64 on the host (native C++ or numpy; device
+   gathers in emulated f64 are pathologically slow).
+4. **Escalate** — subsequences with more than 4 suspects (correlation
+   plateaus, repeated motifs) get a device pass C: their full profile
+   row is recomputed blockwise on the MXU and the top-K=64 entries are
+   rescored, with an on-device coverage count proving all suspects were
+   captured.  Only a count > K (pathologically tied data) falls back to
+   an exact f64 host scan of the whole row.
+
+Correctness is deterministic given the f32 error bound ``margin``: with
+``|P32 - P64| <= margin`` for every pair, the true f64 argmax c* has
+``P32(c*) >= P64(c*) - margin >= gmax32 - 2*margin = thr`` (because
+``gmax32 <= best64 + margin``), so c* is always a suspect; and any pair
+below ``thr`` has ``P64 < gmax32 - margin <= best64``, so it can never
+win.  The rescored values themselves are exact f64.  ``margin``
+defaults to >= 4x the worst per-pair error measured over the
+5.5e11-pair 1M benchmark (2.4e-5 at m=256) and scales linearly in m.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpx.config import MatrixProfileConfig, make_job_grid
+from mpx.dtypes import AGGREGATE_INIT, INDEX_INIT
+from mpx.kernels import band_geometry
+from mpx.kernels.mxu import (
+    SUSPECT_MAX_INIT,
+    SUSPECT_MIN_INIT,
+    SuspectWindow,
+    sweep_band_suspects,
+)
+from mpx.utils.logging import Logger
+from mpx.utils.profile import phase as _phase
+
+
+def default_margin(m: int) -> float:
+    """f32 sweep error budget: observed worst-case 2.4e-5 at m=256 over
+    5.5e11 pairs; linear-in-m scaling with a 4x safety factor and a
+    floor for small m."""
+    return max(1e-4, 4e-7 * m)
+
+
+def _merge_suspects_at(g: SuspectWindow, win: SuspectWindow, offset) -> SuspectWindow:
+    """Merge a job's suspect window into the global arrays at ``offset``.
+
+    cnt adds; (mn1, mn2) keep the two smallest of the union; (mx1, mx2)
+    the two largest — all associative, so job order never matters."""
+    size = win.cnt.shape[0]
+    sl = lambda a: jax.lax.dynamic_slice(a, (offset,), (size,))
+    upd = lambda a, v: jax.lax.dynamic_update_slice(a, v, (offset,))
+
+    cnt = sl(g.cnt) + win.cnt
+    g1, g2 = sl(g.mn1), sl(g.mn2)
+    mn1 = jnp.minimum(g1, win.mn1)
+    mn2 = jnp.minimum(jnp.maximum(g1, win.mn1), jnp.minimum(g2, win.mn2))
+    h1, h2 = sl(g.mx1), sl(g.mx2)
+    mx1 = jnp.maximum(h1, win.mx1)
+    mx2 = jnp.maximum(jnp.minimum(h1, win.mx1), jnp.maximum(h2, win.mx2))
+    return SuspectWindow(
+        cnt=upd(g.cnt, cnt),
+        mn1=upd(g.mn1, mn1),
+        mn2=upd(g.mn2, mn2),
+        mx1=upd(g.mx1, mx1),
+        mx2=upd(g.mx2, mx2),
+    )
+
+
+@partial(jax.jit, static_argnames=("S", "W", "m", "w", "tr", "tc"))
+def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc):
+    """Pass B: scan all jobs, merging per-job suspect summaries into
+    global per-subsequence arrays of length w + S + W (padded tail)."""
+    geom = band_geometry(S, W, m, w, tr, tc)
+    L = w + S + W
+    init = SuspectWindow(
+        cnt=jnp.zeros((L,), jnp.int32),
+        mn1=jnp.full((L,), SUSPECT_MIN_INIT, jnp.int32),
+        mn2=jnp.full((L,), SUSPECT_MIN_INIT, jnp.int32),
+        mx1=jnp.full((L,), SUSPECT_MAX_INIT, jnp.int32),
+        mx2=jnp.full((L,), SUSPECT_MAX_INIT, jnp.int32),
+    )
+
+    def body(carry, job):
+        r0, k0 = job
+        out = sweep_band_suspects(stats, r0, k0, geom, jnp.float32, thr)
+        carry = _merge_suspects_at(carry, out.row, r0)
+        carry = _merge_suspects_at(carry, out.col, r0 + k0)
+        return carry, None
+
+    out, _ = jax.lax.scan(body, init, (r0s, k0s))
+    return out
+
+
+@partial(jax.jit, static_argnames=("w", "pw"))
+def _make_thr(rows_v, cols_v, margin, *, w, pw):
+    """thr[i] = max f32 correlation of subsequence i minus 2*margin
+    (padded tail = +inf so padded lanes never count as suspects).
+    One executable: ad-hoc slicing ops pay ~seconds of per-op dispatch
+    through the TPU relay."""
+    gmax = jnp.maximum(rows_v[:w], cols_v[:w])
+    thr = jnp.full((pw,), jnp.inf, jnp.float32)
+    return jax.lax.dynamic_update_slice(
+        thr, gmax - jnp.float32(2.0) * margin.astype(jnp.float32), (0,)
+    )
+
+
+@partial(jax.jit, static_argnames=("m", "w", "excl", "K", "CW"))
+def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW):
+    """Pass C: exact suspect extraction for overflow rows, on the MXU.
+
+    For each flagged subsequence, recompute its full correlation row
+    blockwise (CW columns at a time, both sides of the join), keep the
+    top-K entries by a streaming top-k merge, and count every entry
+    reaching thr.  count <= K proves the top-K contains ALL suspects.
+    flag_idx is padded with out-of-range rows (thr = +inf there)."""
+    F = flag_idx.shape[0]
+    inv_f = stats.inv[flag_idx]
+    fin_f = jnp.isfinite(inv_f)
+    if stats.windows is not None:
+        Uf = stats.windows[flag_idx]
+    else:
+        j = jnp.arange(m, dtype=jnp.int32)
+        Wf = stats.T[flag_idx[:, None] + j[None, :]]
+        Uf = (Wf - stats.mu[flag_idx][:, None]) * jnp.where(fin_f, inv_f, 0)[:, None]
+    thr_f = thr[flag_idx]
+
+    pw = stats.mu.shape[0]
+    nchunks = pw // CW
+    neg = jnp.float32(AGGREGATE_INIT)
+
+    def body(carry, ci):
+        bv, bi, cnt = carry
+        c0 = ci * CW
+        zero = np.int32(0)
+        if stats.windows is not None:
+            Uc = jax.lax.dynamic_slice(stats.windows, (c0, zero), (CW, m))
+        else:
+            Tc = jax.lax.dynamic_slice(stats.T, (c0,), (CW + m - 1,))
+            mu_c = jax.lax.dynamic_slice(stats.mu, (c0,), (CW,))
+            inv_c = jax.lax.dynamic_slice(stats.inv, (c0,), (CW,))
+            finc = jnp.isfinite(inv_c)
+            cols_ = jnp.stack([Tc[t : t + CW] for t in range(m)], axis=1)
+            Uc = (cols_ - mu_c[:, None]) * jnp.where(finc, inv_c, 0)[:, None]
+        inv_c = jax.lax.dynamic_slice(stats.inv, (c0,), (CW,))
+        fin_c = jnp.isfinite(inv_c)
+        P = jax.lax.dot_general(
+            Uf, Uc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cols = c0 + jnp.arange(CW, dtype=jnp.int32)[None, :]
+        dist = jnp.abs(cols - flag_idx[:, None])
+        valid = (
+            (dist >= excl)
+            & (cols <= w - 1)
+            & fin_c[None, :]
+            & fin_f[:, None]
+        )
+        Pm = jnp.where(valid, P, neg)
+        cnt = cnt + jnp.sum(Pm >= thr_f[:, None], axis=1, dtype=jnp.int32)
+        v, loc = jax.lax.top_k(Pm, K)
+        idx = c0 + loc.astype(jnp.int32)
+        # streaming merge with the carry
+        av = jnp.concatenate([bv, v], axis=1)
+        ai = jnp.concatenate([bi, idx], axis=1)
+        nv, sel = jax.lax.top_k(av, K)
+        ni = jnp.take_along_axis(ai, sel, axis=1)
+        return (nv, ni, cnt), None
+
+    init = (
+        jnp.full((F, K), neg, jnp.float32),
+        jnp.full((F, K), -1, jnp.int32),
+        jnp.zeros((F,), jnp.int32),
+    )
+    (bv, bi, cnt), _ = jax.lax.scan(body, init, jnp.arange(nchunks, dtype=jnp.int32))
+    bi = jnp.where(bv > neg, bi, -1)
+    return bv, bi, cnt
+
+
+# ---------------------------------------------------------------------------
+# Host-side exact f64 stages (native C++ with numpy fallbacks)
+
+
+def _rescore_pairs(T64, mu, inv, m, rows, cols) -> np.ndarray:
+    """Exact f64 Pearson for (rows[i], cols[i]); cols[i] < 0 -> init."""
+    from mpx import native
+
+    if native.is_available():
+        return native.rescore(T64, mu, inv, m, rows, cols)
+
+    P = np.full(rows.shape[0], AGGREGATE_INIT, np.float64)
+    ok = (cols >= 0) & np.isfinite(inv[np.maximum(cols, 0)]) & np.isfinite(
+        inv[rows]
+    )
+    idx = np.nonzero(ok)[0]
+    blk = 1 << 16
+    win = np.lib.stride_tricks.sliding_window_view(T64, m)
+    for o in range(0, idx.shape[0], blk):
+        sel = idx[o : o + blk]
+        a, b = rows[sel], cols[sel]
+        wa = win[a] - mu[a][:, None]
+        wb = win[b] - mu[b][:, None]
+        P[sel] = np.einsum("ij,ij->i", wa, wb) * inv[a] * inv[b]
+    return P
+
+
+def _row_scan(T64, mu, inv, m, w, excl, rows) -> tuple[np.ndarray, np.ndarray]:
+    """Exact f64 best neighbor over ALL valid pairs of each given row."""
+    from mpx import native
+
+    if native.is_available():
+        return native.row_scan(T64, mu, inv, m, w, excl, rows)
+
+    win = np.lib.stride_tricks.sliding_window_view(T64, m)
+    bestP = np.full(rows.shape[0], AGGREGATE_INIT, np.float64)
+    bestI = np.full(rows.shape[0], INDEX_INIT, np.int32)
+    fin = np.isfinite(inv)
+    cent = win - mu[:, None]  # (w, m); fine for fallback-scale inputs
+    for i, r in enumerate(rows):
+        if not fin[r]:
+            continue
+        qt = cent @ cent[r]
+        with np.errstate(invalid="ignore"):
+            P = qt * inv * inv[r]
+        ks = np.abs(np.arange(w) - r)
+        P[(ks < excl) | ~fin] = AGGREGATE_INIT
+        bi = int(np.argmax(P))
+        bestP[i] = P[bi]
+        bestI[i] = bi if P[bi] > AGGREGATE_INIT else INDEX_INIT
+    return bestP, bestI
+
+
+# ---------------------------------------------------------------------------
+
+
+def compute_matrix_profile_f64_hybrid(
+    T,
+    config: Optional[MatrixProfileConfig] = None,
+    *,
+    m: Optional[int] = None,
+    margin: Optional[float] = None,
+    profile=None,
+):
+    """Exact double-precision self-join profile via the hybrid tier.
+
+    Returns (MP float64 distances, MPI int32) as numpy arrays, matching
+    the reference's double semantics at the 1e-8 test tolerance.
+    """
+    from mpx.driver import run_jobs
+    from mpx.ops.precompute import precompute_statistics, precompute_statistics_numpy
+
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32, dtype="float64")
+    m = config.m
+    T64 = np.asarray(T, np.float64)
+    n = T64.shape[0]
+    config.validate_series(n)
+    w = n - m + 1
+    config = config.shrink_to(w)
+    S, W = config.band, config.chunk
+    excl = m // 4
+    if margin is None:
+        margin = default_margin(m)
+
+    # 1. Host f64 statistics (single source of truth for the exact stages).
+    with _phase(profile, "1. Pre-Computation [host f64]"):
+        from mpx import native
+
+        if native.is_available():
+            s64 = native.precompute(T64, m)
+        else:
+            s64 = precompute_statistics_numpy(T64, m)
+        mu64, inv64 = s64["mu"], s64["inv"]
+
+    # 2. Device f32 statistics (reuses the host stats; no recompute).
+    with _phase(profile, "1. Pre-Computation [device f32]"):
+        stats = precompute_statistics(
+            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64
+        )
+        jax.block_until_ready(stats.mu)
+
+    grid = make_job_grid(w, S, W)
+    r0s, k0s = jnp.asarray(grid.r0), jnp.asarray(grid.k0)
+
+    # 3. Pass A: f32 max sweep -> per-subsequence max correlation.
+    with _phase(profile, "2. Compute [mxu f32 pass A]"):
+        rows, cols = run_jobs(
+            stats, r0s, k0s,
+            S=S, W=W, m=m, w=w, kernel="mxu", dtype="float32",
+            tr=config.tile_rows, tc=config.tile_cols,
+        )
+        pw = stats.mu.shape[0]
+        thr = _make_thr(
+            rows.value, cols.value, jnp.float32(margin), w=w, pw=pw
+        )
+        jax.block_until_ready(thr)
+
+    # 4. Pass B: suspect sweep against thr = gmax - 2*margin.
+    with _phase(profile, "2. Compute [mxu f32 pass B suspects]"):
+        sus = run_suspect_jobs(
+            stats, thr, r0s, k0s,
+            S=S, W=W, m=m, w=w, tr=config.tile_rows, tc=config.tile_cols,
+        )
+        # one bulk transfer; per-array slicing executables cost seconds
+        # of dispatch through the TPU relay
+        sus = jax.device_get(sus)
+
+    with _phase(profile, "3. Rescore [host f64]"):
+        cnt = sus.cnt[:w]
+        cand = np.stack(
+            [sus.mn1[:w], sus.mn2[:w], sus.mx2[:w], sus.mx1[:w]], axis=1
+        )
+        # Sentinels (no suspect in that slot) -> -1: rescore returns init.
+        cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
+        rows_idx = np.repeat(np.arange(w, dtype=np.int32), cand.shape[1])
+        P = _rescore_pairs(
+            T64, mu64, inv64, m, rows_idx, cand.reshape(-1).astype(np.int32)
+        ).reshape(w, cand.shape[1])
+        # Exclude duplicate slots from the tie-break by index: keep the
+        # best P; ties resolve to the smallest neighbor index.
+        bestP = P.max(axis=1)
+        tie = P >= bestP[:, None]
+        cand_for_tie = np.where(tie & (cand >= 0), cand, np.int32(2**30))
+        bestI = cand_for_tie.min(axis=1)
+        bestI = np.where(
+            (bestP > AGGREGATE_INIT) & (bestI < 2**30), bestI, INDEX_INIT
+        ).astype(np.int32)
+
+    # 5. Escalation: > 4 suspects means the capture slots overflowed.
+    flagged = np.nonzero(cnt > 4)[0].astype(np.int32)
+    if flagged.size:
+        K, CW = 64, 16384
+        with _phase(profile, "2. Compute [mxu f32 pass C flagged rows]"):
+            # pad F to a bucket (bounded recompiles) and pw to CW
+            F = max(256, 1 << int(np.ceil(np.log2(flagged.size))))
+            pad = np.full(F - flagged.size, pw - 1, np.int32)
+            fidx = jnp.asarray(np.concatenate([flagged, pad]))
+            # CW must divide the padded stats width (a multiple of 8192;
+            # smaller only for tiny inputs)
+            CW_ = CW
+            while pw % CW_:
+                CW_ //= 2
+            bv, bi, ccnt = scan_flagged_rows(
+                stats, thr, fidx, m=m, w=w, excl=excl, K=K, CW=CW_
+            )
+            bv, bi, ccnt = jax.device_get((bv, bi, ccnt))
+            bv, bi, ccnt = bv[: flagged.size], bi[: flagged.size], ccnt[: flagged.size]
+
+        with _phase(profile, "3. Rescore [host f64 flagged]"):
+            frows = np.repeat(flagged, K)
+            eP = _rescore_pairs(
+                T64, mu64, inv64, m, frows, bi.reshape(-1).astype(np.int32)
+            ).reshape(flagged.size, K)
+            fbest = eP.max(axis=1)
+            ftie = eP >= fbest[:, None]
+            fcand = np.where(ftie & (bi >= 0), bi, np.int32(2**30))
+            fidx_best = fcand.min(axis=1)
+            bestP[flagged] = fbest
+            bestI[flagged] = np.where(
+                (fbest > AGGREGATE_INIT) & (fidx_best < 2**30),
+                fidx_best, INDEX_INIT,
+            ).astype(np.int32)
+
+        # 6. Ultra-escalation: even K slots overflowed (pathological ties).
+        over = flagged[ccnt > K]
+        if over.size:
+            with _phase(profile, "3. Rescore [host f64 escalation]"):
+                if over.size > 1000:
+                    Logger.warning(
+                        f"hybrid tier: {over.size} subsequences have more "
+                        f"than {K} near-maximal pairs; exact host scans may "
+                        f"dominate the runtime"
+                    )
+                eP2, eI2 = _row_scan(T64, mu64, inv64, m, w, excl, over)
+                bestP[over] = eP2
+                bestI[over] = eI2
+
+    with _phase(profile, "4. Post-Computation [host]"):
+        MP = np.sqrt(np.maximum(2.0 * m * (1.0 - bestP), 0.0))
+        return MP, bestI

@@ -31,9 +31,24 @@ from mpx.kernels.xla import sweep_band_xla
 MXU_MAX_M = 4096
 
 
-def resolve_kernel(kernel: str, dtype, m: int = 0, interpret: bool = False) -> str:
+def resolve_kernel(
+    kernel: str,
+    dtype,
+    m: int = 0,
+    interpret: bool = False,
+    allow_hybrid: bool = False,
+) -> str:
     if kernel != "auto":
         return kernel
+    if (
+        allow_hybrid
+        and np.dtype(dtype) == np.dtype(np.float64)
+        and (not m or m <= MXU_MAX_M)
+    ):
+        # float64 is XLA-emulated on TPU (~100x below f32); the hybrid
+        # tier (f32 MXU sweeps + exact host-f64 rescoring, mpx.hybrid)
+        # computes the identical exact profile orders of magnitude faster.
+        return "hybrid"
     if m and m > MXU_MAX_M:
         if np.dtype(dtype) == np.dtype(np.float64):
             return "xla"

@@ -22,6 +22,7 @@ rhombus, so the column output covers (W,) at offset c0.
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,11 +48,10 @@ def _windows(Tseg: jax.Array, mu, inv, count: int, m: int):
     return (Wm - mu[:, None]) * inv[:, None]
 
 
-def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
+def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt):
+    """The shared (S x W) correlation tile: unit-window panels -> MXU
+    matmul -> validity mask.  Returns (P, valid, rows, cols)."""
     S, W, m, w, excl = geom.S, geom.W, geom.m, geom.w, geom.excl
-    dt = jnp.dtype(dtype)
-    init_v = jnp.asarray(AGGREGATE_INIT, dt)
-    c0 = r0 + k0
 
     inv_r = jax.lax.dynamic_slice(stats.inv, (r0,), (S,))
     inv_c = jax.lax.dynamic_slice(stats.inv, (c0,), (W,))
@@ -93,6 +93,15 @@ def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
         & fin_r[:, None]
         & fin_c[None, :]
     )
+    return P, valid, rows, cols
+
+
+def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
+    S, W = geom.S, geom.W
+    dt = jnp.dtype(dtype)
+    init_v = jnp.asarray(AGGREGATE_INIT, dt)
+    c0 = r0 + k0
+    P, valid, rows, cols = _job_correlations(stats, r0, c0, geom, dt)
     Pm = jnp.where(valid, P, init_v)
 
     # max + first-occurrence index via an iota-min over the tie mask.
@@ -110,4 +119,65 @@ def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
     return BandOut(
         row=Aggregates(row_v, row_i),
         col=Aggregates(col_v, col_i),
+    )
+
+
+# Sentinels for suspect-index capture (min-merged / max-merged).
+SUSPECT_MIN_INIT = np.int32(2**30)
+SUSPECT_MAX_INIT = np.int32(-1)
+
+
+class SuspectWindow(NamedTuple):
+    """Per-subsequence suspect summary over one job's rows or columns:
+    how many valid pairs reach the caller-provided correlation threshold,
+    plus the two smallest and two largest neighbor indices among them.
+    All five fields merge associatively across jobs (sum / min / max),
+    so the captured set is exact whenever the global count is <= 4."""
+
+    cnt: jax.Array  # (k,) int32 number of suspects
+    mn1: jax.Array  # (k,) int32 smallest suspect index (SUSPECT_MIN_INIT if none)
+    mn2: jax.Array  # (k,) int32 second smallest
+    mx1: jax.Array  # (k,) int32 largest (SUSPECT_MAX_INIT if none)
+    mx2: jax.Array  # (k,) int32 second largest
+
+
+class SuspectOut(NamedTuple):
+    row: SuspectWindow  # (S,)  subsequences r0 .. r0+S, suspects among columns
+    col: SuspectWindow  # (W,)  subsequences c0 .. c0+W, suspects among rows
+
+
+def _suspect_reduce(mask, idx, axis) -> SuspectWindow:
+    cnt = jnp.sum(mask, axis=axis, dtype=jnp.int32)
+    lo = jnp.where(mask, idx, SUSPECT_MIN_INIT)
+    hi = jnp.where(mask, idx, SUSPECT_MAX_INIT)
+    mn1 = jnp.min(lo, axis=axis)
+    mx1 = jnp.max(hi, axis=axis)
+    mn1k = jnp.expand_dims(mn1, axis)
+    mx1k = jnp.expand_dims(mx1, axis)
+    mn2 = jnp.min(jnp.where(idx == mn1k, SUSPECT_MIN_INIT, lo), axis=axis)
+    mx2 = jnp.max(jnp.where(idx == mx1k, SUSPECT_MAX_INIT, hi), axis=axis)
+    return SuspectWindow(cnt, mn1, mn2, mx1, mx2)
+
+
+def sweep_band_suspects(
+    stats: Stats, r0, k0, geom: BandGeometry, dtype, thr: jax.Array
+) -> SuspectOut:
+    """Stage-2 sweep of the hybrid double tier: recompute the f32
+    correlation tile and summarize, per subsequence, every pair whose
+    correlation reaches ``thr`` (its global f32 maximum minus the hybrid
+    margin).  The job grid covers each valid pair exactly once (see
+    mpx.config.make_job_grid), so counts sum correctly across jobs."""
+    dt = jnp.dtype(dtype)
+    c0 = r0 + k0
+    S, W = geom.S, geom.W
+    P, valid, rows, cols = _job_correlations(stats, r0, c0, geom, dt)
+    thr_r = jax.lax.dynamic_slice(thr, (r0,), (S,))
+    thr_c = jax.lax.dynamic_slice(thr, (c0,), (W,))
+    hit_r = valid & (P >= thr_r[:, None])
+    hit_c = valid & (P >= thr_c[None, :])
+    bcols = jnp.broadcast_to(cols, (S, W))
+    brows = jnp.broadcast_to(rows, (S, W))
+    return SuspectOut(
+        row=_suspect_reduce(hit_r, bcols, axis=1),
+        col=_suspect_reduce(hit_c, brows, axis=0),
     )

@@ -50,6 +50,12 @@ def _bind(lib):
     lib.mpx_golden_scamp.restype = None
     lib.mpx_merge_aggregates.argtypes = [f64p, i32p, f64p, i32p, i64]
     lib.mpx_merge_aggregates.restype = None
+    lib.mpx_rescore.argtypes = [f64p, f64p, f64p, i64, i32p, i32p, i64, f64p]
+    lib.mpx_rescore.restype = None
+    lib.mpx_row_scan.argtypes = [
+        f64p, f64p, f64p, i64, i64, i64, i32p, i64, f64p, i32p,
+    ]
+    lib.mpx_row_scan.restype = None
     return lib
 
 
@@ -103,6 +109,32 @@ def golden_scamp(T: np.ndarray, m: int):
     MPI = np.empty(w, dtype=np.int32)
     lib.mpx_golden_scamp(T, T.shape[0], m, MP, MPI)
     return MP, MPI
+
+
+def rescore(T, mu, inv, m: int, rows, cols):
+    """Exact f64 Pearson P for explicit (rows[i], cols[i]) pairs."""
+    lib = load()
+    T = np.ascontiguousarray(T, np.float64)
+    mu = np.ascontiguousarray(mu, np.float64)
+    inv = np.ascontiguousarray(inv, np.float64)
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    P = np.empty(rows.shape[0], np.float64)
+    lib.mpx_rescore(T, mu, inv, m, rows, cols, rows.shape[0], P)
+    return P
+
+
+def row_scan(T, mu, inv, m: int, w: int, excl: int, rows):
+    """Exact f64 best (P, index) over all valid neighbors of each row."""
+    lib = load()
+    T = np.ascontiguousarray(T, np.float64)
+    mu = np.ascontiguousarray(mu, np.float64)
+    inv = np.ascontiguousarray(inv, np.float64)
+    rows = np.ascontiguousarray(rows, np.int32)
+    bestP = np.empty(rows.shape[0], np.float64)
+    bestI = np.empty(rows.shape[0], np.int32)
+    lib.mpx_row_scan(T, mu, inv, m, w, excl, rows, rows.shape[0], bestP, bestI)
+    return bestP, bestI
 
 
 def merge_aggregates(a_val, a_idx, b_val, b_idx):

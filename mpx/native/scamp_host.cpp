@@ -86,6 +86,67 @@ void mpx_merge_aggregates(double* a_val, int32_t* a_idx, const double* b_val,
   }
 }
 
+// Exact float64 Pearson correlations for explicit candidate pairs —
+// stage 2 of the hybrid double tier (f32 device sweep proposes
+// candidates; this rescores them exactly).  Two-pass centered dot:
+//   P = sum_j (T[a+j]-mu[a]) (T[b+j]-mu[b]) * inv[a] * inv[b].
+// Degenerate windows (inv = inf) or negative indices yield the
+// aggregate init so they never win a merge.
+void mpx_rescore(const double* T, const double* mu, const double* inv,
+                 int64_t m, const int32_t* rows, const int32_t* cols,
+                 int64_t count, double* P) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t a = rows[i];
+    const int64_t b = cols[i];
+    if (a < 0 || b < 0 || !std::isfinite(inv[a]) || !std::isfinite(inv[b])) {
+      P[i] = kAggregateInit;
+      continue;
+    }
+    const double mua = mu[a], mub = mu[b];
+    double qt = 0.0;
+    for (int64_t j = 0; j < m; ++j) {
+      qt += (T[a + j] - mua) * (T[b + j] - mub);
+    }
+    P[i] = qt * inv[a] * inv[b];
+  }
+}
+
+// Exact float64 full scan for one subsequence against every valid
+// neighbor (both sides of the join) — the escalation path for rows whose
+// f32 suspect count overflows the captured candidate slots.  O(w*m) per
+// row; callers invoke it for the (rare) flagged rows only.
+void mpx_row_scan(const double* T, const double* mu, const double* inv,
+                  int64_t m, int64_t w, int64_t excl, const int32_t* rows,
+                  int64_t count, double* bestP, int32_t* bestIdx) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t r = rows[i];
+    bestP[i] = kAggregateInit;
+    bestIdx[i] = kIndexInit;
+    if (r < 0 || r >= w || !std::isfinite(inv[r])) continue;
+    const double mur = mu[r];
+    double bv = kAggregateInit;
+    int32_t bi = kIndexInit;
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t k = (c > r) ? (c - r) : (r - c);
+      if (k < excl || !std::isfinite(inv[c])) continue;
+      const double muc = mu[c];
+      double qt = 0.0;
+      for (int64_t j = 0; j < m; ++j) {
+        qt += (T[r + j] - mur) * (T[c + j] - muc);
+      }
+      const double p = qt * inv[r] * inv[c];
+      if (p > bv) {
+        bv = p;
+        bi = static_cast<int32_t>(c);
+      }
+    }
+    bestP[i] = bv;
+    bestIdx[i] = bi;
+  }
+}
+
 // Golden O(n^2) SCAMP self-join.  Parallelized over diagonal chunks;
 // each thread sweeps its diagonals with the O(1) QT update against
 // private aggregates, merged under strict-greater at the end (ties keep

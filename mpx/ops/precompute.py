@@ -187,6 +187,7 @@ def precompute_statistics(
     dtype=jnp.float32,
     backend: str = "auto",
     windows: bool | None = None,
+    host_stats: dict | None = None,
 ) -> Stats:
     """Device-resident, padded statistics in the compute dtype.
 
@@ -205,7 +206,9 @@ def precompute_statistics(
       statistics are O(n) next to the O(n^2) sweep, so the host paths
       cost one small transfer and avoid slow on-device f64 emulation.
     """
-    if backend == "auto":
+    if host_stats is not None:
+        backend = "precomputed"
+    elif backend == "auto":
         from mpx import native
 
         backend = "native" if native.is_available() else "numpy"
@@ -215,11 +218,13 @@ def precompute_statistics(
     pw = _padded_width(w, band, chunk)
     dt = jnp.dtype(dtype)
 
-    if backend in ("native", "numpy"):
+    if backend in ("native", "numpy", "precomputed"):
         from mpx.dtypes import x64_scope
 
         T64 = np.asarray(T, dtype=np.float64)
-        if backend == "native":
+        if backend == "precomputed":
+            s = host_stats
+        elif backend == "native":
             from mpx import native
 
             s = native.precompute(T64, m)

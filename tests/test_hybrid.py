@@ -1,0 +1,124 @@
+"""Hybrid double tier: f32 sweeps + exact f64 rescoring (mpx/hybrid.py).
+
+Must match the float64 golden oracle at the reference's 1e-8 tolerance
+(test/include/MatrixProfileTests.hpp:73-74), including on tie-heavy and
+degenerate inputs that exercise the suspect-capture and escalation paths.
+"""
+
+import numpy as np
+import pytest
+
+from mpx.config import MatrixProfileConfig
+from mpx.driver import compute_matrix_profile
+from mpx.hybrid import compute_matrix_profile_f64_hybrid, default_margin
+from mpx.reference import compute_matrix_profile_reference
+
+from tests.conftest import random_walk
+from tests.helpers import assert_profile_close
+
+
+@pytest.mark.parametrize(
+    "n,m,band,chunk",
+    [(256, 16, 32, 64), (1024, 16, 128, 256), (1024, 128, 256, 256)],
+)
+def test_hybrid_matches_golden(n, m, band, chunk):
+    T = random_walk(n, seed=11)
+    cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="hybrid",
+                              band=band, chunk=chunk,
+                              tile_rows=8, tile_cols=64)
+    MP, MPI = compute_matrix_profile_f64_hybrid(T, cfg)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert MP.dtype == np.float64
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+
+def test_hybrid_via_driver_auto_kernel():
+    """dtype=float64 + kernel=auto routes to the hybrid tier."""
+    T = random_walk(512, seed=3)
+    cfg = MatrixProfileConfig(m=32, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=64)
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, 32)
+    assert_profile_close(T, 32, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+
+def test_hybrid_tie_heavy_escalation():
+    """An exactly repeated motif creates >4 equal-correlation suspects,
+    overflowing the capture slots and forcing the exact escalation scan."""
+    rng = np.random.default_rng(7)
+    motif = np.sin(np.linspace(0, 4 * np.pi, 32))
+    T = rng.standard_normal(640) * 0.01
+    for off in (0, 96, 192, 288, 384, 480, 576):  # 7 exact repeats
+        T[off : off + 32] += motif
+    m = 16
+    cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="hybrid",
+                              band=64, chunk=128, tile_rows=8, tile_cols=64)
+    MP, MPI = compute_matrix_profile_f64_hybrid(T, cfg)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+
+def test_hybrid_ultra_escalation_host_scan():
+    """>64 exact motif repeats overflow even the pass-C top-K capture,
+    forcing the exact host row scan — the last-resort path."""
+    rng = np.random.default_rng(13)
+    motif = np.sin(np.linspace(0, 2 * np.pi, 24))
+    T = rng.standard_normal(24 * 80) * 1e-3
+    for r in range(80):
+        T[r * 24 : r * 24 + 24] += motif
+    m = 16
+    cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="hybrid",
+                              band=64, chunk=128, tile_rows=8, tile_cols=64)
+    MP, MPI = compute_matrix_profile_f64_hybrid(T, cfg)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+
+def test_hybrid_degenerate_segments():
+    """Constant (zero-variance) stretches must come out as unmatched
+    sentinels, exactly like the strict f64 path."""
+    T = random_walk(300, seed=5)
+    T[100:180] = 2.5  # constant stretch
+    m = 16
+    cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="hybrid",
+                              band=32, chunk=64, tile_rows=8, tile_cols=64)
+    MP, MPI = compute_matrix_profile_f64_hybrid(T, cfg)
+    strict_cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="mxu",
+                                     band=32, chunk=64,
+                                     tile_rows=8, tile_cols=64)
+    MP_s, MPI_s = compute_matrix_profile(T, config=strict_cfg)
+    np.testing.assert_allclose(MP, np.asarray(MP_s), atol=1e-8, rtol=0)
+    # degenerate windows are unmatched on both paths
+    assert (MPI[np.asarray(MPI_s) == -1] == -1).all()
+
+
+def test_hybrid_numpy_fallbacks(monkeypatch):
+    """The tier works without the native toolchain (numpy rescore/scan)."""
+    from mpx import native
+
+    monkeypatch.setattr(native, "is_available", lambda: False)
+    T = random_walk(256, seed=9)
+    m = 16
+    cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="hybrid",
+                              band=32, chunk=64, tile_rows=8, tile_cols=64)
+    MP, MPI = compute_matrix_profile_f64_hybrid(T, cfg)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+
+def test_hybrid_rejects_unsupported_modes():
+    T = random_walk(128, seed=1)
+    cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="hybrid",
+                              band=32, chunk=32, tile_rows=8, tile_cols=32)
+    with pytest.raises(ValueError):
+        compute_matrix_profile(T, config=cfg, left_right=True)
+    f32_cfg = MatrixProfileConfig(m=16, dtype="float32", kernel="hybrid",
+                                  band=32, chunk=32, tile_rows=8, tile_cols=32)
+    with pytest.raises(ValueError):
+        compute_matrix_profile(T, config=f32_cfg)
+
+
+def test_default_margin_scales_with_m():
+    assert default_margin(16) == pytest.approx(1e-4)
+    assert default_margin(256) == pytest.approx(1.024e-4)
+    assert default_margin(4096) == pytest.approx(4096 * 4e-7)
