@@ -112,13 +112,32 @@ def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc):
     return out
 
 
-@partial(jax.jit, static_argnames=("w", "pw"))
-def _make_thr(rows_v, cols_v, margin, *, w, pw):
-    """thr[i] = max f32 correlation of subsequence i minus 2*margin
-    (padded tail = +inf so padded lanes never count as suspects).
-    One executable: ad-hoc slicing ops pay ~seconds of per-op dispatch
-    through the TPU relay."""
-    gmax = jnp.maximum(rows_v[:w], cols_v[:w])
+@partial(jax.jit, static_argnames=("S", "W", "m", "w", "tr", "tc", "pw"))
+def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw):
+    """Pass A: value-only max sweep over all jobs, folded directly into
+    the suspect threshold (one executable, minimal epilogue traffic)."""
+    from mpx.kernels.mxu import sweep_band_max
+
+    geom = band_geometry(S, W, m, w, tr, tc)
+    L = w + S + W
+    neg = jnp.float32(AGGREGATE_INIT)
+
+    def body(carry, job):
+        rmax, cmax = carry
+        r0, k0 = job
+        rv, cv = sweep_band_max(stats, r0, k0, geom, jnp.float32)
+        rmax = jax.lax.dynamic_update_slice(
+            rmax, jnp.maximum(jax.lax.dynamic_slice(rmax, (r0,), (S,)), rv), (r0,)
+        )
+        c0 = r0 + k0
+        cmax = jax.lax.dynamic_update_slice(
+            cmax, jnp.maximum(jax.lax.dynamic_slice(cmax, (c0,), (W,)), cv), (c0,)
+        )
+        return (rmax, cmax), None
+
+    init = (jnp.full((L,), neg, jnp.float32), jnp.full((L,), neg, jnp.float32))
+    (rmax, cmax), _ = jax.lax.scan(body, init, (r0s, k0s))
+    gmax = jnp.maximum(rmax[:w], cmax[:w])
     thr = jnp.full((pw,), jnp.inf, jnp.float32)
     return jax.lax.dynamic_update_slice(
         thr, gmax - jnp.float32(2.0) * margin.astype(jnp.float32), (0,)
@@ -267,7 +286,6 @@ def compute_matrix_profile_f64_hybrid(
     Returns (MP float64 distances, MPI int32) as numpy arrays, matching
     the reference's double semantics at the 1e-8 test tolerance.
     """
-    from mpx.driver import run_jobs
     from mpx.ops.precompute import precompute_statistics, precompute_statistics_numpy
 
     if config is None:
@@ -303,16 +321,13 @@ def compute_matrix_profile_f64_hybrid(
     grid = make_job_grid(w, S, W)
     r0s, k0s = jnp.asarray(grid.r0), jnp.asarray(grid.k0)
 
-    # 3. Pass A: f32 max sweep -> per-subsequence max correlation.
+    # 3. Pass A: f32 value-only max sweep -> suspect threshold.
     with _phase(profile, "2. Compute [mxu f32 pass A]"):
-        rows, cols = run_jobs(
-            stats, r0s, k0s,
-            S=S, W=W, m=m, w=w, kernel="mxu", dtype="float32",
-            tr=config.tile_rows, tc=config.tile_cols,
-        )
         pw = stats.mu.shape[0]
-        thr = _make_thr(
-            rows.value, cols.value, jnp.float32(margin), w=w, pw=pw
+        thr = run_max_jobs(
+            stats, r0s, k0s, jnp.float32(margin),
+            S=S, W=W, m=m, w=w,
+            tr=config.tile_rows, tc=config.tile_cols, pw=pw,
         )
         jax.block_until_ready(thr)
 
@@ -352,8 +367,9 @@ def compute_matrix_profile_f64_hybrid(
     if flagged.size:
         K, CW = 64, 16384
         with _phase(profile, "2. Compute [mxu f32 pass C flagged rows]"):
-            # pad F to a bucket (bounded recompiles) and pw to CW
-            F = max(256, 1 << int(np.ceil(np.log2(flagged.size))))
+            # pad F to a 512-row bucket (bounded recompiles; pass C cost
+            # is linear in F, so fine-grained buckets beat powers of two)
+            F = max(256, ((flagged.size + 511) // 512) * 512)
             pad = np.full(F - flagged.size, pw - 1, np.int32)
             fidx = jnp.asarray(np.concatenate([flagged, pad]))
             # CW must divide the padded stats width (a multiple of 8192;

@@ -122,6 +122,19 @@ def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
     )
 
 
+def sweep_band_max(stats: Stats, r0, k0, geom: BandGeometry, dtype):
+    """Value-only band sweep: per-row and per-column max correlation,
+    no argmax.  Pass A of the hybrid tier needs only the maxima (to set
+    the suspect threshold); dropping the two tie-index reductions saves
+    HBM epilogue traffic.  Returns ((S,) row maxes, (W,) col maxes)."""
+    dt = jnp.dtype(dtype)
+    init_v = jnp.asarray(AGGREGATE_INIT, dt)
+    c0 = r0 + k0
+    P, valid, _, _ = _job_correlations(stats, r0, c0, geom, dt)
+    Pm = jnp.where(valid, P, init_v)
+    return jnp.max(Pm, axis=1), jnp.max(Pm, axis=0)
+
+
 # Sentinels for suspect-index capture (min-merged / max-merged).
 SUSPECT_MIN_INIT = np.int32(2**30)
 SUSPECT_MAX_INIT = np.int32(-1)
