@@ -99,6 +99,80 @@ def run_benchmark(
     }
 
 
+# The benchmark suite: every configuration BASELINE.md:37-39 requires.
+# band/chunk are schedule knobs (reference analogs: w=MP_SIZE_W chunks);
+# m/n/dtype define the workload.
+SUITE = [
+    {
+        # reference default build config (CMakeLists.txt:30-46)
+        "name": "vanilla-f32-8192",
+        "n": 8192, "m": 32, "dtype": "float32", "band": 1024, "chunk": 1024,
+    },
+    {
+        # Tiled-equivalent float tier (w=4096 diagonal chunks)
+        "name": "tiled-f32-131072",
+        "n": 131072, "m": 128, "dtype": "float32", "band": 4096, "chunk": 4096,
+    },
+    {
+        # the showcase job's float tier (the driver headline config)
+        "name": "headline-f32-1048576",
+        "n": 1 << 20, "m": 256, "dtype": "float32", "band": 4096, "chunk": 4096,
+    },
+    {
+        # the showcase job (README.md:35): double, n=2^20, m=256
+        "name": "showcase-f64-1048576",
+        "n": 1 << 20, "m": 256, "dtype": "double", "band": 4096, "chunk": 16384,
+    },
+    {
+        # real dataset tier
+        "name": "real-sudden-cardiac-death",
+        "input": "sudden-cardiac-death.txt", "m": 128, "dtype": "float32",
+        "band": 4096, "chunk": 4096,
+    },
+    {
+        # scaling row: 4x the showcase pair count, float tier
+        "name": "scale-f32-2097152",
+        "n": 1 << 21, "m": 256, "dtype": "float32", "band": 4096, "chunk": 4096,
+    },
+]
+
+
+def run_suite(names=None, verbose: bool = False) -> list:
+    """Run the benchmark suite; returns a list of result dicts (one per
+    config) each including vs_baseline against the U250 roofline."""
+    results = []
+    for cfg in SUITE:
+        if names and cfg["name"] not in names:
+            continue
+        kwargs = {k: v for k, v in cfg.items() if k not in ("name", "input")}
+        if "input" in cfg:
+            from mpx.io.datasets import dataset_path
+
+            kwargs["input_path"] = dataset_path(cfg["input"], category="real")
+        if verbose:
+            print(f"# running {cfg['name']} ...", file=sys.stderr)
+        res = run_benchmark(verbose=verbose, **kwargs)
+        res["name"] = cfg["name"]
+        res["vs_baseline"] = res["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC
+        results.append(res)
+    return results
+
+
+def suite_table(results: list) -> str:
+    """Markdown table for the README, generated from suite results."""
+    lines = [
+        "| config | n | m | dtype | wall (s) | pairs/s | vs U250 roofline |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['name']} | {r['n']:,} | {r['m']} | {r['dtype']} "
+            f"| {r['wall_s']:.2f} | {r['pairs_per_sec']:.3e} "
+            f"| {r['vs_baseline']:.2f}x |"
+        )
+    return "\n".join(lines)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mpx bench")
     p.add_argument("-n", type=int, default=int(os.environ.get("MPX_BENCH_N", 1 << 20)))
@@ -110,8 +184,26 @@ def main(argv=None) -> int:
     p.add_argument("--tile-rows", type=int, default=64)
     p.add_argument("--shards", type=int, default=None)
     p.add_argument("--input", default=None, help="benchmark a dataset file instead of a random walk")
+    p.add_argument("--suite", action="store_true",
+                   help="run every BASELINE.md config; prints one JSON array")
+    p.add_argument("--only", action="append", default=None,
+                   help="restrict --suite to named configs (repeatable)")
+    p.add_argument("--table", action="store_true",
+                   help="with --suite: also print the README markdown table to stderr")
+    p.add_argument("--out", default=None, help="with --suite: write the JSON array to a file")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
+
+    if args.suite:
+        results = run_suite(names=args.only, verbose=args.verbose)
+        blob = json.dumps(results, indent=2)
+        print(blob)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(blob + "\n")
+        if args.table:
+            print(suite_table(results), file=sys.stderr)
+        return 0
 
     res = run_benchmark(
         n=args.n, m=args.m, dtype=args.dtype, kernel=args.kernel,

@@ -309,6 +309,16 @@ def _cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # argparse's REMAINDER does not reliably capture leading flags
+    # ("mpx bench --suite" errors at the top-level parser); hand the
+    # benchmark harness its argv directly.
+    if argv and argv[0] == "bench":
+        from mpx import bench
+
+        return bench.main(argv[1:])
+
     parser = argparse.ArgumentParser(
         prog="mpx", description="TPU-native matrix-profile framework"
     )

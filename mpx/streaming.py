@@ -1,11 +1,22 @@
 """Streaming (incremental) self-join matrix profile.
 
 The reference recomputes from scratch per run; its host aggregate arrays
-are the natural incremental state (SURVEY §5).  mpx keeps that state live:
-appending ``k`` points costs one rectangle sweep of the ``k + m - 1`` new
-subsequences against the whole (updated) series — O(k * n) pairs instead
-of O(n^2) — using the same MXU windows-matmul as the batch kernels, with
-the self-join exclusion zone applied on global indices.
+are the natural incremental state (SURVEY §5).  mpx keeps that state live
+ON DEVICE: appending ``k`` points costs one rectangle sweep of the new
+subsequences against the whole series — O(k * n) pairs instead of O(n^2)
+— using the same MXU windows-matmul as the batch kernels.
+
+Scaling design (everything here exists to make appends O(k), not O(n)):
+
+* series/statistics/aggregates live in padded device arrays of capacity
+  ``cap`` (a power of two, doubled on overflow) — appends transfer only
+  the new points and their O(k*m) host-computed statistics;
+* the sweep is compiled for (append-bucket, capacity) shape pairs only:
+  ``k`` is padded to the next append bucket and the true extents are
+  dynamic operands, so a long stream of single-point appends reuses ONE
+  executable (plus one per capacity doubling);
+* aggregates merge on device inside the same executable; nothing O(n)
+  crosses the host boundary until ``profile()`` is called.
 
 State is held in Pearson-correlation space (like the device kernels);
 distances are materialized on demand.
@@ -20,39 +31,78 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpx.dtypes import AGGREGATE_INIT, INDEX_INIT, canonical_dtype
-from mpx.kernels.mxu import _windows
-from mpx.ops.precompute import precompute_statistics_numpy
+
+_MIN_BUCKET = 64
 
 
-@partial(jax.jit, static_argnames=("m", "excl", "S", "W"))
-def _rect_sweep(
-    Ta, mu_a, inv_a, Tb, mu_b, inv_b, r_off, *, m, excl, S, W
+def _bucket(k: int) -> int:
+    b = _MIN_BUCKET
+    while b < k:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("m", "excl", "S", "cap"))
+def _append_step(
+    T_dev, mu_dev, inv_dev, val_dev, idx_dev,
+    new_T, new_mu, new_inv, r_off, w, *, m, excl, S, cap
 ):
-    """Correlations of A-windows (global rows r_off + i) against B-windows
-    (global cols j), with the self-join exclusion |c - r| < excl.
-    Returns row aggregates (S,) and column aggregates (W,)."""
-    dt = Ta.dtype
+    """One device-resident append: write the new tail, sweep the S_pad
+    new rows against all ``cap`` columns (true extents masked via the
+    dynamic ``r_off``/``w`` scalars), and merge aggregates in place.
+
+    Static shapes: S (append bucket) and cap (capacity) only — a stream
+    of same-bucket appends reuses one executable."""
+    dt = T_dev.dtype
     init_v = jnp.asarray(AGGREGATE_INIT, dt)
-    fin_a = jnp.isfinite(inv_a)
-    fin_b = jnp.isfinite(inv_b)
-    Ua = _windows(Ta, mu_a, jnp.where(fin_a, inv_a, 0), S, m)
-    Ub = _windows(Tb, mu_b, jnp.where(fin_b, inv_b, 0), W, m)
+
+    # Write the new points / stats into the padded device state.
+    T_dev = jax.lax.dynamic_update_slice(T_dev, new_T, (r_off,))
+    mu_dev = jax.lax.dynamic_update_slice(mu_dev, new_mu, (r_off,))
+    inv_dev = jax.lax.dynamic_update_slice(inv_dev, new_inv, (r_off,))
+
+    fin_a_raw = jnp.isfinite(new_inv)
+    rows_l = jnp.arange(S, dtype=jnp.int32)
+    live_a = (r_off + rows_l) <= w - 1  # rows beyond the true width are pad
+    fin_a = fin_a_raw & live_a
+    Ta = jax.lax.dynamic_slice(T_dev, (r_off,), (S + m - 1,))
+    mu_a = new_mu
+
+    def windows(seg, mu, invc, count):
+        cols = [seg[j : j + count] for j in range(m)]
+        Wm = jnp.stack(cols, axis=1)
+        return (Wm - mu[:, None]) * invc[:, None]
+
+    Ua = windows(Ta, mu_a, jnp.where(fin_a, new_inv, 0), S)
+
+    cols_g = jnp.arange(cap, dtype=jnp.int32)
+    fin_b = jnp.isfinite(inv_dev) & (cols_g <= w - 1)
+    Ub = windows(T_dev, mu_dev, jnp.where(fin_b, inv_dev, 0), cap)
+
     P = jax.lax.dot_general(
         Ua, Ub, (((1,), (1,)), ((), ())),
         preferred_element_type=dt,
         precision=jax.lax.Precision.HIGHEST,
     )
-    rows = r_off + jnp.arange(S, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    rows = r_off + rows_l[:, None]
+    cols = cols_g[None, :]
     valid = (jnp.abs(cols - rows) >= excl) & fin_a[:, None] & fin_b[None, :]
     Pm = jnp.where(valid, P, init_v)
 
     big = np.int32(2**30)
     rv = jnp.max(Pm, axis=1)
-    ri = jnp.min(jnp.where(Pm == rv[:, None], cols, big), axis=1)
+    ri = jnp.min(jnp.where(Pm == rv[:, None], cols, big), axis=1).astype(jnp.int32)
     cv = jnp.max(Pm, axis=0)
-    ci = jnp.min(jnp.where(Pm == cv[None, :], rows, big), axis=0)
-    return rv, ri.astype(jnp.int32), cv, ci.astype(jnp.int32)
+    ci = jnp.min(jnp.where(Pm == cv[None, :], rows, big), axis=0).astype(jnp.int32)
+
+    # New rows own their aggregate slots; columns max-merge globally.
+    ri = jnp.where(rv > init_v, ri, jnp.int32(INDEX_INIT))
+    val_dev = jax.lax.dynamic_update_slice(val_dev, rv, (r_off,))
+    idx_dev = jax.lax.dynamic_update_slice(idx_dev, ri, (r_off,))
+    better = cv > val_dev
+    val_dev = jnp.where(better, cv, val_dev)
+    idx_dev = jnp.where(better, ci, idx_dev)
+    return T_dev, mu_dev, inv_dev, val_dev, idx_dev
 
 
 class StreamingMatrixProfile:
@@ -64,20 +114,27 @@ class StreamingMatrixProfile:
     """
 
     def __init__(self, T, m: int, dtype: str = "float32"):
+        from mpx.ops.precompute import precompute_statistics_numpy
+
         self.m = m
         self.dtype = canonical_dtype(dtype)
         self._T = np.asarray(T, np.float64).copy()
         if self._T.shape[0] < m + m // 4:
             raise ValueError("initial series too short for a self-join")
         self._excl = m // 4
-        # Pearson-space aggregates.
-        w = self._T.shape[0] - m + 1
-        self._val = np.full(w, AGGREGATE_INIT, dtype=self.dtype)
-        self._idx = np.full(w, INDEX_INIT, np.int32)
         s = precompute_statistics_numpy(self._T, m)
         self._mu = s["mu"]
         self._inv = s["inv"]
+        # instrumentation: executable count and per-append staging volume
+        self.compile_keys: set = set()
+        self.staged_elements: int = 0
         self._bootstrap()
+
+    # -- host-side bookkeeping -------------------------------------------
+
+    @property
+    def _w(self) -> int:
+        return self._T.shape[0] - self.m + 1
 
     def _extend_stats(self, old_w: int):
         """Statistics for the new windows only: O(k * m) per append
@@ -87,7 +144,6 @@ class StreamingMatrixProfile:
         from mpx.ops.precompute import ZERO_VARIANCE_REL
 
         m = self.m
-        w = self._T.shape[0] - m + 1
         win = np.lib.stride_tricks.sliding_window_view(self._T[old_w:], m)
         mu_new = win.mean(axis=1)
         cent = win - mu_new[:, None]
@@ -98,83 +154,124 @@ class StreamingMatrixProfile:
             inv_new = 1.0 / np.sqrt(ssq)
         self._mu = np.concatenate([self._mu, mu_new])
         self._inv = np.concatenate([self._inv, inv_new])
-        assert self._mu.shape[0] == w
+        assert self._mu.shape[0] == self._w
+        return mu_new, inv_new
 
     def _bootstrap(self):
         from mpx.config import MatrixProfileConfig
         from mpx.driver import compute_matrix_profile
 
         cfg = MatrixProfileConfig(m=self.m, dtype=str(self.dtype))
+        if self.dtype == np.dtype(np.float64):
+            # the streaming state is device-resident; stay on the strict
+            # device kernels (the hybrid tier returns host arrays)
+            cfg = MatrixProfileConfig(m=self.m, dtype="float64", kernel="mxu")
         MP, MPI = compute_matrix_profile(self._T, config=cfg)
+        d = np.asarray(MP, np.float64)
+        idx = np.asarray(MPI, np.int32)
         # Convert distances back to Pearson space for merging:
         # P = 1 - d^2 / (2m).
-        d = np.asarray(MP, np.float64)
-        self._idx = np.asarray(MPI, np.int32).copy()
-        val = 1.0 - (d * d) / (2.0 * self.m)
-        self._val = np.where(
-            self._idx >= 0, val, AGGREGATE_INIT
-        ).astype(self.dtype)
+        val = np.where(idx >= 0, 1.0 - (d * d) / (2.0 * self.m), AGGREGATE_INIT)
+        self._init_device_state(val.astype(self.dtype), idx)
+
+    def _init_device_state(self, val: np.ndarray, idx: np.ndarray,
+                           min_cap: int = 0):
+        """(Re)build the padded device arrays at the next capacity."""
+        from mpx.dtypes import needs_x64, x64_scope
+
+        w = self._w
+        cap = _bucket(max(w, min_cap, 1024))
+        self._cap = cap
+        dt = self.dtype
+        m = self.m
+
+        def pad(x, width, fill=0.0, dtype=dt):
+            out = np.full(width, fill, dtype=dtype)
+            out[: x.shape[0]] = x
+            return out
+
+        with x64_scope(needs_x64(dt)):
+            self._T_dev = jnp.asarray(pad(self._T.astype(dt), cap + m - 1))
+            self._mu_dev = jnp.asarray(pad(self._mu.astype(dt), cap))
+            self._inv_dev = jnp.asarray(pad(self._inv.astype(dt), cap))
+            self._val_dev = jnp.asarray(pad(val, cap, fill=AGGREGATE_INIT))
+            self._idx_dev = jnp.asarray(
+                pad(idx, cap, fill=INDEX_INIT, dtype=np.int32)
+            )
+        self.staged_elements += 4 * cap + m - 1
 
     @property
     def series(self) -> np.ndarray:
         return self._T
 
     def append(self, points):
-        """Append new points; update the profile incrementally."""
+        """Append new points; update the profile incrementally.
+
+        Transfers O(k + m) elements and reuses one compiled executable
+        per (append-bucket, capacity) pair."""
+        from mpx.dtypes import needs_x64, x64_scope
+
         points = np.atleast_1d(np.asarray(points, np.float64))
         k = points.shape[0]
         if k == 0:
             return
         m = self.m
-        old_w = self._T.shape[0] - m + 1
+        old_w = self._w
+        old_n = self._T.shape[0]
         self._T = np.concatenate([self._T, points])
-        n = self._T.shape[0]
-        w = n - m + 1
+        w = self._w
 
-        # Incremental statistics: only the new windows (O(k * m)).
-        self._extend_stats(old_w)
+        mu_new, inv_new = self._extend_stats(old_w)
         dt = self.dtype
 
-        # New rows: subsequences [old_w, w) — every window that contains
-        # at least one new point, i.e. starts at old_w or later.
-        S = w - old_w            # == k
+        S = _bucket(k)
+        if old_w + S > self._cap:
+            # capacity overflow (including the padded append bucket, so
+            # the in-place update slice never clamps): rebuild at the
+            # next power of two (amortized); aggregates come back from
+            # device once
+            val = np.asarray(self._val_dev[:old_w])
+            idx = np.asarray(self._idx_dev[:old_w])
+            self._init_device_state(
+                np.concatenate([val, np.full(w - old_w, AGGREGATE_INIT, dt)]),
+                np.concatenate([idx, np.full(w - old_w, INDEX_INIT, np.int32)]),
+                min_cap=old_w + S,
+            )
         r_off = old_w
-        Ta = self._T[r_off : r_off + S + m - 1].astype(dt)
-        from mpx.dtypes import needs_x64, x64_scope
+        # the new tail of the series: the k new points plus the m-1
+        # points before them (they complete the first new window)
+        seg = self._T[old_n - (m - 1):].astype(dt)
+
+        def padv(x, width, fill=0.0):
+            out = np.full(width, fill, dtype=dt)
+            out[: x.shape[0]] = x
+            return out
+
+        new_T = padv(seg, S + m - 1)
+        new_mu = padv(self._mu[old_w:].astype(dt), S)
+        # pad inv with 0 (finite) — pad rows are masked by the dynamic
+        # width; pad COLUMNS beyond w-1 are masked in fin_b
+        new_inv = padv(self._inv[old_w:].astype(dt), S)
+        self.staged_elements += (S + m - 1) + 2 * S
+        self.compile_keys.add((S, self._cap, str(dt)))
 
         with x64_scope(needs_x64(dt)):
-            rv, ri, cv, ci = _rect_sweep(
-                jnp.asarray(Ta),
-                jnp.asarray(self._mu[r_off : r_off + S].astype(dt)),
-                jnp.asarray(self._inv[r_off : r_off + S].astype(dt)),
-                jnp.asarray(self._T.astype(dt)),
-                jnp.asarray(self._mu.astype(dt)),
-                jnp.asarray(self._inv.astype(dt)),
-                jnp.int32(r_off),
-                m=m,
-                excl=self._excl,
-                S=S,
-                W=w,
+            # new_T must land at position old_n - (m-1) = r_off in T_dev?
+            # T_dev index of the segment start: old_n - (m - 1) == r_off + 0
+            # because r_off = old_w = old_n - m + 1.
+            out = _append_step(
+                self._T_dev, self._mu_dev, self._inv_dev,
+                self._val_dev, self._idx_dev,
+                jnp.asarray(new_T), jnp.asarray(new_mu), jnp.asarray(new_inv),
+                jnp.int32(r_off), jnp.int32(w),
+                m=m, excl=self._excl, S=S, cap=self._cap,
             )
-        rv = np.asarray(rv)
-        ri = np.asarray(ri)
-        cv = np.asarray(cv)
-        ci = np.asarray(ci)
-
-        # Grow the aggregate arrays and merge.
-        grown_val = np.full(w, AGGREGATE_INIT, dtype=dt)
-        grown_idx = np.full(w, INDEX_INIT, np.int32)
-        grown_val[:old_w] = self._val
-        grown_idx[:old_w] = self._idx
-        grown_val[old_w:] = rv
-        grown_idx[old_w:] = ri
-        better = cv > grown_val
-        self._val = np.where(better, cv, grown_val)
-        self._idx = np.where(better, ci, grown_idx)
+        (self._T_dev, self._mu_dev, self._inv_dev,
+         self._val_dev, self._idx_dev) = out
 
     def profile(self):
         """Current (MP, MPI) as numpy arrays (reference distance units)."""
-        MP = np.sqrt(
-            np.maximum(2.0 * self.m * (1.0 - self._val.astype(np.float64)), 0.0)
-        )
-        return MP, self._idx.copy()
+        w = self._w
+        val = np.asarray(self._val_dev[:w], np.float64)
+        MP = np.sqrt(np.maximum(2.0 * self.m * (1.0 - val), 0.0))
+        return MP, np.asarray(self._idx_dev[:w], np.int32)

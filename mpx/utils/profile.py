@@ -34,10 +34,26 @@ class BenchmarkProfile:
         )
 
     def report(self, file=None) -> str:
+        """Category totals plus per-entry lines with in-category
+        percentages, like the reference's BenchmarkProfile::Report
+        (include/host/BenchmarkProfile.hpp:30-51) — e.g. the checkpoint
+        path pushes one named entry per dispatch group."""
         total = max(self.total(), 1)
         lines = ["Benchmark profile:"]
-        for cat, ns in self.category_totals().items():
-            lines.append(f"  {cat}: {Timer.pretty(ns)} ({100.0 * ns / total:.2f}%)")
+        for cat, entries in self._categories.items():
+            cat_ns = sum(entries.values())
+            lines.append(
+                f"  {cat}: {Timer.pretty(cat_ns)} ({100.0 * cat_ns / total:.2f}%)"
+            )
+            # Per-entry breakdown when the category has named entries or
+            # more than one push.
+            if len(entries) > 1 or any(not k.startswith("#") for k in entries):
+                denom = max(cat_ns, 1)
+                for name, ns in entries.items():
+                    lines.append(
+                        f"    {name}: {Timer.pretty(ns)} "
+                        f"({100.0 * ns / denom:.2f}%)"
+                    )
         lines.append(f"  Total: {Timer.pretty(self.total())}")
         text = "\n".join(lines)
         if file is not None:
@@ -46,7 +62,10 @@ class BenchmarkProfile:
 
     def as_json(self) -> str:
         return json.dumps(
-            {cat: ns for cat, ns in self.category_totals().items()}
+            {
+                cat: {"total_ns": sum(e.values()), "entries": dict(e)}
+                for cat, e in self._categories.items()
+            }
         )
 
 
