@@ -37,6 +37,9 @@ def _add_compute(sub):
     p.add_argument("--tile-rows", type=int, default=8)
     p.add_argument("--tile-cols", type=int, default=2048)
     p.add_argument("--shards", type=int, default=None, help="device count")
+    p.add_argument("--shard-mode", default="jobs", choices=("jobs", "ring"),
+                   help="'jobs' replicates stats and shards the job list; "
+                        "'ring' shards the inputs (pod-scale memory)")
     p.add_argument("--checkpoint", help="checkpoint file for resumable runs")
     p.add_argument("--left-right", action="store_true",
                    help="emit left/right profiles (<o>.left/.right .mpb/.mpib)")
@@ -65,6 +68,7 @@ def _cmd_compute(args) -> int:
         tile_rows=args.tile_rows,
         tile_cols=args.tile_cols,
         num_shards=args.shards,
+        shard_mode=args.shard_mode,
     )
     # Reject silently-ignored flag combinations up front.
     if args.left_right and args.checkpoint:

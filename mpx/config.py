@@ -40,13 +40,27 @@ class MatrixProfileConfig:
     tile_rows: int = 8
     tile_cols: int = 2048
     num_shards: Optional[int] = None
+    # Multi-chip input strategy: 'jobs' replicates the O(n) statistics
+    # and shards the job list (fastest to n ~ 16M f32); 'ring' shards
+    # the inputs themselves and rotates column blocks over ICI
+    # (pod-scale memory: O(n / num_shards) per device).
+    shard_mode: str = "jobs"
     # Interpret-mode Pallas (the sw_emu analog) for debugging off-TPU.
     interpret: bool = False
+    # Jobs per device dispatch.  None = automatic: sized so one dispatch
+    # stays under ~60s on the slowest kernel tier, because multi-minute
+    # single executions can trip device/runtime watchdogs (observed on
+    # TPU with straight-f64 sweeps).  0 disables grouping entirely.
+    dispatch_group: Optional[int] = None
 
     def __post_init__(self):
         canonical_dtype(self.dtype)  # raises on unsupported
         if self.kernel not in _KERNELS:
             raise ValueError(f"kernel must be one of {_KERNELS}, got {self.kernel!r}")
+        if self.shard_mode not in ("jobs", "ring"):
+            raise ValueError(
+                f"shard_mode must be 'jobs' or 'ring', got {self.shard_mode!r}"
+            )
         if self.m < 4:
             raise ValueError("m must be >= 4 (exclusion zone is m/4)")
         for name in ("band", "chunk", "tile_rows", "tile_cols"):

@@ -35,6 +35,26 @@ def _agg_length(w: int, S: int, W: int) -> int:
     return w + S + W
 
 
+# Conservative sustained pairs/s by tier, used only to size dispatch
+# groups (~60s each); measured round-1/2 rates on one v5e chip.
+_TIER_RATE = {"f64": 3e8, "pallas": 3e9, "default": 3e10}
+
+
+def _auto_dispatch_group(config, kernel: str, dt, S: int, W: int):
+    """Jobs per dispatch: explicit config wins; 0 disables; None sizes
+    groups so one dispatch stays under ~60 wall seconds on the slowest
+    plausible tier (device watchdogs kill multi-minute executions)."""
+    if config.dispatch_group is not None:
+        return config.dispatch_group
+    if np.dtype(dt) == np.dtype(np.float64):
+        rate = _TIER_RATE["f64"]
+    elif kernel == "pallas":
+        rate = _TIER_RATE["pallas"]
+    else:
+        rate = _TIER_RATE["default"]
+    return max(64, int(rate * 60) // (S * W))
+
+
 @partial(
     jax.jit,
     static_argnames=("S", "W", "m", "w", "kernel", "dtype", "interpret", "tr", "tc"),
@@ -154,6 +174,18 @@ def compute_matrix_profile(
     grid = make_job_grid(w, S, W)
 
     num_shards = config.num_shards
+    if num_shards is not None and num_shards > 1 and config.shard_mode == "ring":
+        from mpx.parallel.ring import run_ring_sharded
+
+        with _phase(profile, f"2. Compute [ring sharded x{num_shards}]"):
+            if left_right:
+                raise ValueError("ring sharding does not support --left-right")
+            MP, MPI = run_ring_sharded(
+                T if isinstance(T, np.ndarray) else np.asarray(T), m,
+                num_shards=num_shards, band=S, chunk=W, dtype=str(dt),
+            )
+            return MP, MPI
+
     if num_shards is not None and num_shards > 1:
         from mpx.parallel.sharding import run_jobs_sharded
 
@@ -174,22 +206,56 @@ def compute_matrix_profile(
             )
             jax.block_until_ready((rows, cols))
     else:
-        with _phase(profile, f"2. Compute [{kernel}]"), x64_scope(x64):
-            rows, cols = run_jobs(
-                stats,
-                jnp.asarray(grid.r0),
-                jnp.asarray(grid.k0),
-                S=S,
-                W=W,
-                m=m,
-                w=w,
-                kernel=kernel,
-                dtype=str(dt),
-                interpret=config.interpret,
-                tr=config.tile_rows,
-                tc=config.tile_cols,
-            )
-            jax.block_until_ready((rows, cols))
+        group = _auto_dispatch_group(config, kernel, dt, S, W)
+        njobs = grid.r0.shape[0]
+        if group and njobs > group:
+            # Grouped dispatches: long single executions can trip
+            # device watchdogs (a ~25-min f64 scan faulted the TPU
+            # runtime); groups also feed the per-entry benchmark report.
+            from mpx.config import pad_job_grid
+            from mpx.ops.aggregates import merge_aggregates
+
+            # pad to a group multiple so every dispatch shares one
+            # compiled shape (dummy jobs merge as no-ops)
+            grid = pad_job_grid(grid, group, dummy_r0=w)
+            njobs = grid.r0.shape[0]
+            rows = cols = None
+            with x64_scope(x64):
+                for gi, off in enumerate(range(0, njobs, group)):
+                    sl = slice(off, off + group)
+                    with _phase(profile, f"2. Compute [{kernel}]", f"group_{gi}"):
+                        g_rows, g_cols = run_jobs(
+                            stats,
+                            jnp.asarray(grid.r0[sl]),
+                            jnp.asarray(grid.k0[sl]),
+                            S=S, W=W, m=m, w=w,
+                            kernel=kernel, dtype=str(dt),
+                            interpret=config.interpret,
+                            tr=config.tile_rows, tc=config.tile_cols,
+                        )
+                        if rows is None:
+                            rows, cols = g_rows, g_cols
+                        else:
+                            rows = merge_aggregates(rows, g_rows)
+                            cols = merge_aggregates(cols, g_cols)
+                        jax.block_until_ready((rows, cols))
+        else:
+            with _phase(profile, f"2. Compute [{kernel}]"), x64_scope(x64):
+                rows, cols = run_jobs(
+                    stats,
+                    jnp.asarray(grid.r0),
+                    jnp.asarray(grid.k0),
+                    S=S,
+                    W=W,
+                    m=m,
+                    w=w,
+                    kernel=kernel,
+                    dtype=str(dt),
+                    interpret=config.interpret,
+                    tr=config.tile_rows,
+                    tc=config.tile_cols,
+                )
+                jax.block_until_ready((rows, cols))
 
     with _phase(profile, "3. Post-Computation [device]"), x64_scope(x64):
         if left_right:

@@ -64,6 +64,26 @@ def test_profile_phases_recorded():
     assert prof.total() > 0
 
 
+def test_grouped_dispatch_matches_single():
+    """dispatch_group splits the job scan into several device dispatches
+    (watchdog resilience); results must match the single-dispatch run and
+    the per-entry report must show the groups."""
+    from mpx.utils.profile import BenchmarkProfile
+
+    T = random_walk(800, seed=21)
+    base = dict(m=16, dtype="float64", kernel="mxu", band=64, chunk=64,
+                tile_rows=8, tile_cols=8)
+    cfg1 = MatrixProfileConfig(**base, dispatch_group=0)
+    cfg2 = MatrixProfileConfig(**base, dispatch_group=4)
+    MP1, MPI1 = compute_matrix_profile(T, config=cfg1)
+    prof = BenchmarkProfile()
+    MP2, MPI2 = compute_matrix_profile(T, config=cfg2, profile=prof)
+    np.testing.assert_array_equal(np.asarray(MP1), np.asarray(MP2))
+    np.testing.assert_array_equal(np.asarray(MPI1), np.asarray(MPI2))
+    report = prof.report()
+    assert "group_0" in report and "group_1" in report
+
+
 def test_constant_window_skipped():
     # Zero-variance subsequences must never be anyone's neighbor, and get
     # the untouched sentinel themselves only if nothing matches them.
