@@ -26,9 +26,21 @@ import numpy as np
 from mpx.kernels.common import BandOut, band_geometry
 from mpx.kernels.xla import sweep_band_xla
 
-# Above this subsequence length the O(m) matmul kernel loses to the O(1)
-# recurrence kernels (MXU:VPU f32 throughput ratio ~ 2m at the crossover).
+# Hybrid-tier eligibility ceiling: the hybrid's f32 MXU sweeps pay an
+# O(m)-HLO compile cost (minutes beyond m~4096, amortized by the
+# persistent cache); past it the strict f64 recurrence takes over.
 MXU_MAX_M = 4096
+
+# Measured v5e crossover sweep (n=65536 f32, round 2 — see ROADMAP.md):
+#   m      mxu       pallas    xla
+#   512    1.83e10   8.2e8     -
+#   1024   1.08e10   4.2e8     -
+#   2048   6.0e9     1.9e8     9.9e7
+#   4096   3.3e9     -         -
+#   8192   1.7e9     -         -
+# The matmul kernel dominates at EVERY m (its rate halves per m
+# doubling but starts ~20x ahead; the recurrence kernels are VPU/
+# scan-bound).  There is no f32 crossover: auto is always 'mxu'.
 
 
 def resolve_kernel(
@@ -40,23 +52,18 @@ def resolve_kernel(
 ) -> str:
     if kernel != "auto":
         return kernel
-    if (
-        allow_hybrid
-        and np.dtype(dtype) == np.dtype(np.float64)
-        and (not m or m <= MXU_MAX_M)
-    ):
-        # float64 is XLA-emulated on TPU (~100x below f32); the hybrid
-        # tier (f32 MXU sweeps + exact host-f64 rescoring, mpx.hybrid)
-        # computes the identical exact profile orders of magnitude faster.
-        return "hybrid"
-    if m and m > MXU_MAX_M:
-        if np.dtype(dtype) == np.dtype(np.float64):
+    if np.dtype(dtype) == np.dtype(np.float64):
+        if allow_hybrid and (not m or m <= MXU_MAX_M):
+            # float64 is XLA-emulated on TPU (~100x below f32); the
+            # hybrid tier (f32 MXU sweeps + exact host-f64 rescoring,
+            # mpx.hybrid) computes the identical exact profile orders of
+            # magnitude faster.
+            return "hybrid"
+        if m and m > MXU_MAX_M:
+            # emulated-f64 matmul is ~0.01 Tflop/s: at large m the O(1)
+            # recurrence wins for the strict tier
             return "xla"
-        try:
-            platform = jax.devices()[0].platform
-        except RuntimeError:
-            platform = "cpu"
-        return "pallas" if platform in ("tpu", "axon") else "xla"
+        return "mxu"
     return "mxu"
 
 
