@@ -30,6 +30,20 @@ GRID = [
 
 
 @pytest.mark.parametrize("name,n,m,chunk,band", GRID)
+def test_dataset_config_grid_hybrid(name, n, m, chunk, band):
+    """The reference grid on the DEFAULT double path (the hybrid tier) —
+    same ε=1e-8 and equidistant-tie contract."""
+    T = load_dataset(name)[:n]
+    cfg = MatrixProfileConfig(
+        m=m, dtype="float64", kernel="hybrid", band=band, chunk=chunk,
+        tile_rows=8, tile_cols=8,
+    )
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    MP_exp, MPI_exp = _golden(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+
+@pytest.mark.parametrize("name,n,m,chunk,band", GRID)
 def test_dataset_config_grid(name, n, m, chunk, band):
     T = load_dataset(name)[:n]
     assert T.shape[0] == n

@@ -17,7 +17,7 @@ def test_fuzz_configs_f64(seed):
     m = int(rng.integers(4, max(5, min(64, n // 3))))
     band = int(rng.choice([8, 16, 32, 64, 128]))
     chunk = int(rng.choice([8, 16, 32, 64, 128, 256]))
-    kernel = str(rng.choice(["mxu", "xla"]))
+    kernel = str(rng.choice(["mxu", "xla", "hybrid"]))
     T = random_walk(n, seed=seed * 7 + 1)
     if rng.random() < 0.3:
         # inject a constant segment (degenerate windows)
