@@ -111,6 +111,17 @@ def compute_ab_join(
         raise ValueError(f"m={m} conflicts with config.m={config.m}")
     m = config.m
 
+    # double-precision AB-joins route to the hybrid tier (f32 MXU sweeps
+    # + exact host-f64 rescoring); kernel='mxu' forces the strict
+    # emulated-f64 device path.
+    if (
+        canonical_dtype(config.dtype) == np.dtype(np.float64)
+        and config.kernel in ("auto", "hybrid")
+    ):
+        from mpx.hybrid import compute_ab_join_f64_hybrid
+
+        return compute_ab_join_f64_hybrid(A, B, config, profile=profile)
+
     A = np.asarray(A) if not isinstance(A, jax.Array) else A
     B = np.asarray(B) if not isinstance(B, jax.Array) else B
     config.validate_series(A.shape[0])

@@ -87,13 +87,20 @@ def _merge_suspects_at(g: SuspectWindow, win: SuspectWindow, offset) -> SuspectW
     )
 
 
-@partial(jax.jit, static_argnames=("S", "W", "m", "w", "tr", "tc"))
-def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc):
-    """Pass B: scan all jobs, merging per-job suspect summaries into
-    global per-subsequence arrays of length w + S + W (padded tail)."""
-    geom = band_geometry(S, W, m, w, tr, tc)
-    L = w + S + W
-    init = SuspectWindow(
+def _combine_suspects(a: SuspectWindow, b: SuspectWindow) -> SuspectWindow:
+    """Elementwise merge of two suspect summaries over the same axis
+    (used to fold a self-join's row- and column-side summaries)."""
+    return SuspectWindow(
+        cnt=a.cnt + b.cnt,
+        mn1=jnp.minimum(a.mn1, b.mn1),
+        mn2=jnp.minimum(jnp.maximum(a.mn1, b.mn1), jnp.minimum(a.mn2, b.mn2)),
+        mx1=jnp.maximum(a.mx1, b.mx1),
+        mx2=jnp.maximum(jnp.minimum(a.mx1, b.mx1), jnp.maximum(a.mx2, b.mx2)),
+    )
+
+
+def _init_suspects(L: int) -> SuspectWindow:
+    return SuspectWindow(
         cnt=jnp.zeros((L,), jnp.int32),
         mn1=jnp.full((L,), SUSPECT_MIN_INIT, jnp.int32),
         mn2=jnp.full((L,), SUSPECT_MIN_INIT, jnp.int32),
@@ -101,31 +108,65 @@ def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc):
         mx2=jnp.full((L,), SUSPECT_MAX_INIT, jnp.int32),
     )
 
+
+@partial(jax.jit, static_argnames=(
+    "S", "W", "m", "w", "tr", "tc", "wc", "excl", "combine"
+))
+def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc,
+                     wc=None, excl=None, stats_c=None, thr_col=None,
+                     combine=True):
+    """Pass B: scan all jobs, merging per-job suspect summaries into
+    global row-axis and column-axis arrays.  Self-joins (combine=True)
+    fold the two sides into one per-subsequence summary; AB-joins get
+    (query-side, target-side) separately."""
+    geom = band_geometry(S, W, m, w, tr, tc, wc=wc, excl=excl)
+    Lr, Lc = w + S, geom.wc + W
+
     def body(carry, job):
+        rows_g, cols_g = carry
         r0, k0 = job
-        out = sweep_band_suspects(stats, r0, k0, geom, jnp.float32, thr)
-        carry = _merge_suspects_at(carry, out.row, r0)
-        carry = _merge_suspects_at(carry, out.col, r0 + k0)
-        return carry, None
+        out = sweep_band_suspects(
+            stats, r0, k0, geom, jnp.float32, thr, stats_c, thr_col
+        )
+        rows_g = _merge_suspects_at(rows_g, out.row, r0)
+        cols_g = _merge_suspects_at(cols_g, out.col, r0 + k0)
+        return (rows_g, cols_g), None
 
-    out, _ = jax.lax.scan(body, init, (r0s, k0s))
-    return out
+    (rows_g, cols_g), _ = jax.lax.scan(
+        body, (_init_suspects(Lr), _init_suspects(Lc)), (r0s, k0s)
+    )
+    if combine:
+        both = _combine_suspects(
+            jax.tree.map(lambda a: a[:w], rows_g),
+            jax.tree.map(lambda a: a[:w], cols_g),
+        )
+        return both
+    return rows_g, cols_g
 
 
-@partial(jax.jit, static_argnames=("S", "W", "m", "w", "tr", "tc", "pw"))
-def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw):
+@partial(jax.jit, static_argnames=(
+    "S", "W", "m", "w", "tr", "tc", "pw", "wc", "excl", "pwc", "combine"
+))
+def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
+                 wc=None, excl=None, pwc=None, stats_c=None, combine=True):
     """Pass A: value-only max sweep over all jobs, folded directly into
-    the suspect threshold (one executable, minimal epilogue traffic)."""
+    the suspect threshold (one executable, minimal epilogue traffic).
+
+    combine=True (self-join): one thr array over the shared subsequence
+    axis.  combine=False (AB-join): separate (thr_rows, thr_cols) over
+    the query/target axes, with stats_c/wc/excl carrying the AB geometry.
+    """
     from mpx.kernels.mxu import sweep_band_max
 
-    geom = band_geometry(S, W, m, w, tr, tc)
-    L = w + S + W
+    geom = band_geometry(S, W, m, w, tr, tc, wc=wc, excl=excl)
+    Lr = w + S
+    Lc = geom.wc + W
     neg = jnp.float32(AGGREGATE_INIT)
 
     def body(carry, job):
         rmax, cmax = carry
         r0, k0 = job
-        rv, cv = sweep_band_max(stats, r0, k0, geom, jnp.float32)
+        rv, cv = sweep_band_max(stats, r0, k0, geom, jnp.float32, stats_c)
         rmax = jax.lax.dynamic_update_slice(
             rmax, jnp.maximum(jax.lax.dynamic_slice(rmax, (r0,), (S,)), rv), (r0,)
         )
@@ -135,24 +176,36 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw):
         )
         return (rmax, cmax), None
 
-    init = (jnp.full((L,), neg, jnp.float32), jnp.full((L,), neg, jnp.float32))
+    init = (jnp.full((Lr,), neg, jnp.float32), jnp.full((Lc,), neg, jnp.float32))
     (rmax, cmax), _ = jax.lax.scan(body, init, (r0s, k0s))
-    gmax = jnp.maximum(rmax[:w], cmax[:w])
-    thr = jnp.full((pw,), jnp.inf, jnp.float32)
-    return jax.lax.dynamic_update_slice(
-        thr, gmax - jnp.float32(2.0) * margin.astype(jnp.float32), (0,)
-    )
+    two_eps = jnp.float32(2.0) * margin.astype(jnp.float32)
+    if combine:
+        gmax = jnp.maximum(rmax[:w], cmax[:w])
+        thr = jnp.full((pw,), jnp.inf, jnp.float32)
+        return jax.lax.dynamic_update_slice(thr, gmax - two_eps, (0,))
+    thr_r = jnp.full((pw,), jnp.inf, jnp.float32)
+    thr_r = jax.lax.dynamic_update_slice(thr_r, rmax[:w] - two_eps, (0,))
+    thr_c = jnp.full((pwc,), jnp.inf, jnp.float32)
+    thr_c = jax.lax.dynamic_update_slice(thr_c, cmax[: geom.wc] - two_eps, (0,))
+    return thr_r, thr_c
 
 
 @partial(jax.jit, static_argnames=("m", "w", "excl", "K", "CW"))
-def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW):
+def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
+                      stats_t=None):
     """Pass C: exact suspect extraction for overflow rows, on the MXU.
 
     For each flagged subsequence, recompute its full correlation row
     blockwise (CW columns at a time, both sides of the join), keep the
     top-K entries by a streaming top-k merge, and count every entry
     reaching thr.  count <= K proves the top-K contains ALL suspects.
-    flag_idx is padded with out-of-range rows (thr = +inf there)."""
+    flag_idx is padded with out-of-range rows (thr = +inf there).
+
+    ``stats_t`` selects a different target series (AB-joins; pass
+    excl=-1 to disable the trivial-match zone); ``w`` is the TARGET
+    profile width."""
+    if stats_t is None:
+        stats_t = stats
     F = flag_idx.shape[0]
     inv_f = stats.inv[flag_idx]
     fin_f = jnp.isfinite(inv_f)
@@ -164,7 +217,7 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW):
         Uf = (Wf - stats.mu[flag_idx][:, None]) * jnp.where(fin_f, inv_f, 0)[:, None]
     thr_f = thr[flag_idx]
 
-    pw = stats.mu.shape[0]
+    pw = stats_t.mu.shape[0]
     nchunks = pw // CW
     neg = jnp.float32(AGGREGATE_INIT)
 
@@ -172,16 +225,16 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW):
         bv, bi, cnt = carry
         c0 = ci * CW
         zero = np.int32(0)
-        if stats.windows is not None:
-            Uc = jax.lax.dynamic_slice(stats.windows, (c0, zero), (CW, m))
+        if stats_t.windows is not None:
+            Uc = jax.lax.dynamic_slice(stats_t.windows, (c0, zero), (CW, m))
         else:
-            Tc = jax.lax.dynamic_slice(stats.T, (c0,), (CW + m - 1,))
-            mu_c = jax.lax.dynamic_slice(stats.mu, (c0,), (CW,))
-            inv_c = jax.lax.dynamic_slice(stats.inv, (c0,), (CW,))
+            Tc = jax.lax.dynamic_slice(stats_t.T, (c0,), (CW + m - 1,))
+            mu_c = jax.lax.dynamic_slice(stats_t.mu, (c0,), (CW,))
+            inv_c = jax.lax.dynamic_slice(stats_t.inv, (c0,), (CW,))
             finc = jnp.isfinite(inv_c)
             cols_ = jnp.stack([Tc[t : t + CW] for t in range(m)], axis=1)
             Uc = (cols_ - mu_c[:, None]) * jnp.where(finc, inv_c, 0)[:, None]
-        inv_c = jax.lax.dynamic_slice(stats.inv, (c0,), (CW,))
+        inv_c = jax.lax.dynamic_slice(stats_t.inv, (c0,), (CW,))
         fin_c = jnp.isfinite(inv_c)
         P = jax.lax.dot_general(
             Uf, Uc, (((1,), (1,)), ((), ())),
@@ -221,27 +274,34 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW):
 # Host-side exact f64 stages (native C++ with numpy fallbacks)
 
 
-def _rescore_pairs(T64, mu, inv, m, rows, cols) -> np.ndarray:
-    """Exact f64 Pearson for (rows[i], cols[i]); cols[i] < 0 -> init."""
+def _rescore_pairs_ab(Tq, muq, invq, Tt, mut, invt, m, rows, cols) -> np.ndarray:
+    """Exact f64 Pearson for (query rows[i], target cols[i]);
+    cols[i] < 0 -> init."""
     from mpx import native
 
     if native.is_available():
-        return native.rescore(T64, mu, inv, m, rows, cols)
+        return native.rescore_ab(Tq, muq, invq, Tt, mut, invt, m, rows, cols)
 
     P = np.full(rows.shape[0], AGGREGATE_INIT, np.float64)
-    ok = (cols >= 0) & np.isfinite(inv[np.maximum(cols, 0)]) & np.isfinite(
-        inv[rows]
+    ok = (cols >= 0) & np.isfinite(invt[np.maximum(cols, 0)]) & np.isfinite(
+        invq[rows]
     )
     idx = np.nonzero(ok)[0]
     blk = 1 << 16
-    win = np.lib.stride_tricks.sliding_window_view(T64, m)
+    winq = np.lib.stride_tricks.sliding_window_view(Tq, m)
+    wint = np.lib.stride_tricks.sliding_window_view(Tt, m)
     for o in range(0, idx.shape[0], blk):
         sel = idx[o : o + blk]
         a, b = rows[sel], cols[sel]
-        wa = win[a] - mu[a][:, None]
-        wb = win[b] - mu[b][:, None]
-        P[sel] = np.einsum("ij,ij->i", wa, wb) * inv[a] * inv[b]
+        wa = winq[a] - muq[a][:, None]
+        wb = wint[b] - mut[b][:, None]
+        P[sel] = np.einsum("ij,ij->i", wa, wb) * invq[a] * invt[b]
     return P
+
+
+def _rescore_pairs(T64, mu, inv, m, rows, cols) -> np.ndarray:
+    """Exact f64 Pearson for (rows[i], cols[i]); cols[i] < 0 -> init."""
+    return _rescore_pairs_ab(T64, mu, inv, T64, mu, inv, m, rows, cols)
 
 
 def _row_scan(T64, mu, inv, m, w, excl, rows) -> tuple[np.ndarray, np.ndarray]:
@@ -341,17 +401,36 @@ def compute_matrix_profile_f64_hybrid(
         # of dispatch through the TPU relay
         sus = jax.device_get(sus)
 
+    bestP, bestI = _resolve_side(
+        sus, w, m,
+        rescore=lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c),
+        stats_q=stats, stats_t=stats, thr_q=thr, excl=excl, wt=w,
+        escalate=lambda rows: _row_scan(T64, mu64, inv64, m, w, excl, rows),
+        profile=profile,
+    )
+
+    with _phase(profile, "4. Post-Computation [host]"):
+        MP = np.sqrt(np.maximum(2.0 * m * (1.0 - bestP), 0.0))
+        return MP, bestI
+
+
+def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
+                  escalate, profile):
+    """Shared suspect-resolution stage: rescore the captured candidates
+    exactly, run the device pass C for capture-overflow rows, and hand
+    pathological rows to the exact host scan.  ``sus`` is a host
+    SuspectWindow over the query axis (length >= wq)."""
     with _phase(profile, "3. Rescore [host f64]"):
-        cnt = sus.cnt[:w]
+        cnt = sus.cnt[:wq]
         cand = np.stack(
-            [sus.mn1[:w], sus.mn2[:w], sus.mx2[:w], sus.mx1[:w]], axis=1
+            [sus.mn1[:wq], sus.mn2[:wq], sus.mx2[:wq], sus.mx1[:wq]], axis=1
         )
         # Sentinels (no suspect in that slot) -> -1: rescore returns init.
         cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
-        rows_idx = np.repeat(np.arange(w, dtype=np.int32), cand.shape[1])
-        P = _rescore_pairs(
-            T64, mu64, inv64, m, rows_idx, cand.reshape(-1).astype(np.int32)
-        ).reshape(w, cand.shape[1])
+        rows_idx = np.repeat(np.arange(wq, dtype=np.int32), cand.shape[1])
+        P = rescore(rows_idx, cand.reshape(-1).astype(np.int32)).reshape(
+            wq, cand.shape[1]
+        )
         # Exclude duplicate slots from the tie-break by index: keep the
         # best P; ties resolve to the smallest neighbor index.
         bestP = P.max(axis=1)
@@ -362,32 +441,35 @@ def compute_matrix_profile_f64_hybrid(
             (bestP > AGGREGATE_INIT) & (bestI < 2**30), bestI, INDEX_INIT
         ).astype(np.int32)
 
-    # 5. Escalation: > 4 suspects means the capture slots overflowed.
+    # Escalation: > 4 suspects means the capture slots overflowed.
     flagged = np.nonzero(cnt > 4)[0].astype(np.int32)
     if flagged.size:
         K, CW = 64, 16384
+        pw = stats_q.mu.shape[0]
+        pwt = stats_t.mu.shape[0]
         with _phase(profile, "2. Compute [mxu f32 pass C flagged rows]"):
             # pad F to a 512-row bucket (bounded recompiles; pass C cost
             # is linear in F, so fine-grained buckets beat powers of two)
             F = max(256, ((flagged.size + 511) // 512) * 512)
             pad = np.full(F - flagged.size, pw - 1, np.int32)
             fidx = jnp.asarray(np.concatenate([flagged, pad]))
-            # CW must divide the padded stats width (a multiple of 8192;
+            # CW must divide the padded target width (a multiple of 8192;
             # smaller only for tiny inputs)
             CW_ = CW
-            while pw % CW_:
+            while pwt % CW_:
                 CW_ //= 2
             bv, bi, ccnt = scan_flagged_rows(
-                stats, thr, fidx, m=m, w=w, excl=excl, K=K, CW=CW_
+                stats_q, thr_q, fidx, m=m, w=wt, excl=excl, K=K, CW=CW_,
+                stats_t=None if stats_t is stats_q else stats_t,
             )
             bv, bi, ccnt = jax.device_get((bv, bi, ccnt))
             bv, bi, ccnt = bv[: flagged.size], bi[: flagged.size], ccnt[: flagged.size]
 
         with _phase(profile, "3. Rescore [host f64 flagged]"):
             frows = np.repeat(flagged, K)
-            eP = _rescore_pairs(
-                T64, mu64, inv64, m, frows, bi.reshape(-1).astype(np.int32)
-            ).reshape(flagged.size, K)
+            eP = rescore(frows, bi.reshape(-1).astype(np.int32)).reshape(
+                flagged.size, K
+            )
             fbest = eP.max(axis=1)
             ftie = eP >= fbest[:, None]
             fcand = np.where(ftie & (bi >= 0), bi, np.int32(2**30))
@@ -398,7 +480,7 @@ def compute_matrix_profile_f64_hybrid(
                 fidx_best, INDEX_INIT,
             ).astype(np.int32)
 
-        # 6. Ultra-escalation: even K slots overflowed (pathological ties).
+        # Ultra-escalation: even K slots overflowed (pathological ties).
         over = flagged[ccnt > K]
         if over.size:
             with _phase(profile, "3. Rescore [host f64 escalation]"):
@@ -408,10 +490,147 @@ def compute_matrix_profile_f64_hybrid(
                         f"than {K} near-maximal pairs; exact host scans may "
                         f"dominate the runtime"
                     )
-                eP2, eI2 = _row_scan(T64, mu64, inv64, m, w, excl, over)
+                eP2, eI2 = escalate(over)
                 bestP[over] = eP2
                 bestI[over] = eI2
+    return bestP, bestI
+
+
+def compute_ab_join_f64_hybrid(
+    A,
+    B,
+    config: Optional[MatrixProfileConfig] = None,
+    *,
+    m: Optional[int] = None,
+    margin: Optional[float] = None,
+    profile=None,
+):
+    """Exact double-precision AB-join via the hybrid tier.
+
+    Returns an ABJoinResult (numpy float64 distances / int32 indices):
+    both directional profiles come out of the same two f32 sweeps (rows
+    = A suspects, columns = B suspects), each side rescored exactly in
+    host f64.  No trivial-match exclusion zone (AB semantics)."""
+    from mpx import native
+    from mpx.abjoin import ABJoinResult
+    from mpx.ops.precompute import precompute_statistics, precompute_statistics_numpy
+
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32, dtype="float64")
+    m = config.m
+    A64 = np.asarray(A, np.float64)
+    B64 = np.asarray(B, np.float64)
+    config.validate_series(A64.shape[0])
+    config.validate_series(B64.shape[0])
+    wa = A64.shape[0] - m + 1
+    wb = B64.shape[0] - m + 1
+    config = config.shrink_to(max(wa, wb))
+    S, W = config.band, config.chunk
+    if margin is None:
+        margin = default_margin(m)
+    NO_EXCL = -(2**30)
+
+    with _phase(profile, "1. Pre-Computation [host f64]"):
+        if native.is_available():
+            sa = native.precompute(A64, m)
+            sb = native.precompute(B64, m)
+        else:
+            sa = precompute_statistics_numpy(A64, m)
+            sb = precompute_statistics_numpy(B64, m)
+
+    with _phase(profile, "1. Pre-Computation [device f32]"):
+        stats_a = precompute_statistics(
+            A64, m, band=S, chunk=W, dtype="float32", host_stats=sa
+        )
+        stats_b = precompute_statistics(
+            B64, m, band=S, chunk=W, dtype="float32", host_stats=sb
+        )
+        jax.block_until_ready(stats_b.mu)
+
+    # Rectangle jobs over A-rows x B-cols, encoded as (r0, k0 = c0 - r0)
+    # so the shared job machinery reconstructs c0 = r0 + k0.
+    r0s, k0s = [], []
+    for r0 in range(0, wa, S):
+        for c0 in range(0, wb, W):
+            r0s.append(r0)
+            k0s.append(c0 - r0)
+    r0s = jnp.asarray(np.asarray(r0s, np.int32))
+    k0s = jnp.asarray(np.asarray(k0s, np.int32))
+
+    pwa = stats_a.mu.shape[0]
+    pwb = stats_b.mu.shape[0]
+
+    with _phase(profile, "2. Compute [mxu f32 pass A]"):
+        thr_a, thr_b = run_max_jobs(
+            stats_a, r0s, k0s, jnp.float32(margin),
+            S=S, W=W, m=m, w=wa, tr=config.tile_rows, tc=config.tile_cols,
+            pw=pwa, wc=wb, excl=NO_EXCL, pwc=pwb, stats_c=stats_b,
+            combine=False,
+        )
+        jax.block_until_ready(thr_b)
+
+    with _phase(profile, "2. Compute [mxu f32 pass B suspects]"):
+        sus_a, sus_b = run_suspect_jobs(
+            stats_a, thr_a, r0s, k0s,
+            S=S, W=W, m=m, w=wa, tr=config.tile_rows, tc=config.tile_cols,
+            wc=wb, excl=NO_EXCL, stats_c=stats_b, thr_col=thr_b,
+            combine=False,
+        )
+        sus_a, sus_b = jax.device_get((sus_a, sus_b))
+
+    mp_a, mpi_a = _resolve_side(
+        sus_a, wa, m,
+        rescore=lambda r, c: _rescore_pairs_ab(
+            A64, sa["mu"], sa["inv"], B64, sb["mu"], sb["inv"], m, r, c
+        ),
+        stats_q=stats_a, stats_t=stats_b, thr_q=thr_a, excl=-1, wt=wb,
+        escalate=lambda rows: _row_scan_ab(
+            A64, sa["mu"], sa["inv"], B64, sb["mu"], sb["inv"], m, wb, rows
+        ),
+        profile=profile,
+    )
+    mp_b, mpi_b = _resolve_side(
+        sus_b, wb, m,
+        rescore=lambda r, c: _rescore_pairs_ab(
+            B64, sb["mu"], sb["inv"], A64, sa["mu"], sa["inv"], m, r, c
+        ),
+        stats_q=stats_b, stats_t=stats_a, thr_q=thr_b, excl=-1, wt=wa,
+        escalate=lambda rows: _row_scan_ab(
+            B64, sb["mu"], sb["inv"], A64, sa["mu"], sa["inv"], m, wa, rows
+        ),
+        profile=profile,
+    )
 
     with _phase(profile, "4. Post-Computation [host]"):
-        MP = np.sqrt(np.maximum(2.0 * m * (1.0 - bestP), 0.0))
-        return MP, bestI
+        return ABJoinResult(
+            mp_a=np.sqrt(np.maximum(2.0 * m * (1.0 - mp_a), 0.0)),
+            mpi_a=mpi_a,
+            mp_b=np.sqrt(np.maximum(2.0 * m * (1.0 - mp_b), 0.0)),
+            mpi_b=mpi_b,
+        )
+
+
+def _row_scan_ab(Tq, muq, invq, Tt, mut, invt, m, wt, rows):
+    """Exact f64 best target neighbor per query row (no exclusion)."""
+    from mpx import native
+
+    if native.is_available():
+        return native.row_scan_ab(Tq, muq, invq, Tt, mut, invt, m, wt, -1, rows)
+
+    wint = np.lib.stride_tricks.sliding_window_view(Tt, m)
+    winq = np.lib.stride_tricks.sliding_window_view(Tq, m)
+    cent_t = wint - mut[:, None]
+    fin = np.isfinite(invt)
+    bestP = np.full(rows.shape[0], AGGREGATE_INIT, np.float64)
+    bestI = np.full(rows.shape[0], INDEX_INIT, np.int32)
+    for i, r in enumerate(rows):
+        if not np.isfinite(invq[r]):
+            continue
+        q = winq[r] - muq[r]
+        with np.errstate(invalid="ignore"):
+            P = (cent_t @ q) * invt * invq[r]
+        P[~fin] = AGGREGATE_INIT
+        bi = int(np.argmax(P))
+        bestP[i] = P[bi]
+        bestI[i] = bi if P[bi] > AGGREGATE_INIT else INDEX_INIT
+    return bestP, bestI

@@ -52,20 +52,27 @@ class BandGeometry(NamedTuple):
     S: int      # band rows
     W: int      # chunk diagonals
     m: int      # subsequence length
-    w: int      # profile width n - m + 1
-    excl: int   # exclusion zone m // 4
+    w: int      # row-axis profile width (n - m + 1 of the query series)
+    excl: int   # exclusion zone m // 4 (negative: none — AB-joins)
     tr: int     # pallas tile rows (MP_SIZE_T analog); xla backend ignores
     tc: int     # pallas tile diagonals
+    wc: int     # column-axis profile width (== w for self-joins)
 
 
 def band_geometry(
-    S: int, W: int, m: int, w: int, tr: int = 8, tc: int = 2048
+    S: int, W: int, m: int, w: int, tr: int = 8, tc: int = 2048,
+    wc: int | None = None, excl: int | None = None,
 ) -> BandGeometry:
     tr = min(tr, S)
     tc = min(tc, W)
     if S % tr or W % tc:
         raise ValueError(f"band {S} / chunk {W} must tile by ({tr}, {tc})")
-    return BandGeometry(S=S, W=W, m=m, w=w, excl=m // 4, tr=tr, tc=tc)
+    return BandGeometry(
+        S=S, W=W, m=m, w=w,
+        excl=m // 4 if excl is None else excl,
+        tr=tr, tc=tc,
+        wc=w if wc is None else wc,
+    )
 
 
 def seed_qt(stats, r0, c0, W: int, m: int):

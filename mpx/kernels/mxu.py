@@ -48,31 +48,36 @@ def _windows(Tseg: jax.Array, mu, inv, count: int, m: int):
     return (Wm - mu[:, None]) * inv[:, None]
 
 
-def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt):
-    """The shared (S x W) correlation tile: unit-window panels -> MXU
-    matmul -> validity mask.  Returns (P, valid, rows, cols)."""
-    S, W, m, w, excl = geom.S, geom.W, geom.m, geom.w, geom.excl
-
-    inv_r = jax.lax.dynamic_slice(stats.inv, (r0,), (S,))
-    inv_c = jax.lax.dynamic_slice(stats.inv, (c0,), (W,))
+def _panel(stats: Stats, o, count: int, m: int):
+    """Unit-normalized window panel (count, m) at offset ``o`` plus the
+    finite (non-degenerate) mask."""
+    inv = jax.lax.dynamic_slice(stats.inv, (o,), (count,))
     # Zero-variance windows have inv = inf; their operand rows are zeroed
-    # (masked below) so inf/NaN never enters the matmul.
-    fin_r = jnp.isfinite(inv_r)
-    fin_c = jnp.isfinite(inv_c)
-
+    # (masked by callers) so inf/NaN never enters the matmul.
+    fin = jnp.isfinite(inv)
     if stats.windows is not None:
         # Slice the precomputed normalized-windows matrix (saves the
         # per-job window construction; see Stats.windows).
         zero = np.int32(0)  # bare 0 traces as i64 under x64 scope
-        Ur = jax.lax.dynamic_slice(stats.windows, (r0, zero), (S, m))
-        Uc = jax.lax.dynamic_slice(stats.windows, (c0, zero), (W, m))
+        U = jax.lax.dynamic_slice(stats.windows, (o, zero), (count, m))
     else:
-        Tr = jax.lax.dynamic_slice(stats.T, (r0,), (S + m - 1,))
-        Tc = jax.lax.dynamic_slice(stats.T, (c0,), (W + m - 1,))
-        mu_r = jax.lax.dynamic_slice(stats.mu, (r0,), (S,))
-        mu_c = jax.lax.dynamic_slice(stats.mu, (c0,), (W,))
-        Ur = _windows(Tr, mu_r, jnp.where(fin_r, inv_r, 0), S, m)
-        Uc = _windows(Tc, mu_c, jnp.where(fin_c, inv_c, 0), W, m)
+        Tseg = jax.lax.dynamic_slice(stats.T, (o,), (count + m - 1,))
+        mu = jax.lax.dynamic_slice(stats.mu, (o,), (count,))
+        U = _windows(Tseg, mu, jnp.where(fin, inv, 0), count, m)
+    return U, fin
+
+
+def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt,
+                      stats_c: Stats | None = None):
+    """The shared (S x W) correlation tile: unit-window panels -> MXU
+    matmul -> validity mask.  Returns (P, valid, rows, cols).
+
+    ``stats_c`` selects a different statistics set for the column axis
+    (AB-joins: rows from A, columns from B; geom.excl < 0 and geom.wc
+    carry the AB semantics).  Default: self-join."""
+    S, W, m, w, excl = geom.S, geom.W, geom.m, geom.w, geom.excl
+    Ur, fin_r = _panel(stats, r0, S, m)
+    Uc, fin_c = _panel(stats if stats_c is None else stats_c, c0, W, m)
 
     # HIGHEST precision: the TPU default would multiply f32 in bfloat16,
     # far outside the distance tolerance.
@@ -89,7 +94,7 @@ def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt):
     valid = (
         (cols - rows >= excl)
         & (rows <= w - 1)
-        & (cols <= w - 1)
+        & (cols <= geom.wc - 1)
         & fin_r[:, None]
         & fin_c[None, :]
     )
@@ -122,7 +127,8 @@ def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
     )
 
 
-def sweep_band_max(stats: Stats, r0, k0, geom: BandGeometry, dtype):
+def sweep_band_max(stats: Stats, r0, k0, geom: BandGeometry, dtype,
+                   stats_c: Stats | None = None):
     """Value-only band sweep: per-row and per-column max correlation,
     no argmax.  Pass A of the hybrid tier needs only the maxima (to set
     the suspect threshold); dropping the two tie-index reductions saves
@@ -130,7 +136,7 @@ def sweep_band_max(stats: Stats, r0, k0, geom: BandGeometry, dtype):
     dt = jnp.dtype(dtype)
     init_v = jnp.asarray(AGGREGATE_INIT, dt)
     c0 = r0 + k0
-    P, valid, _, _ = _job_correlations(stats, r0, c0, geom, dt)
+    P, valid, _, _ = _job_correlations(stats, r0, c0, geom, dt, stats_c)
     Pm = jnp.where(valid, P, init_v)
     return jnp.max(Pm, axis=1), jnp.max(Pm, axis=0)
 
@@ -173,19 +179,25 @@ def _suspect_reduce(mask, idx, axis) -> SuspectWindow:
 
 
 def sweep_band_suspects(
-    stats: Stats, r0, k0, geom: BandGeometry, dtype, thr: jax.Array
+    stats: Stats, r0, k0, geom: BandGeometry, dtype, thr: jax.Array,
+    stats_c: Stats | None = None, thr_col: jax.Array | None = None,
 ) -> SuspectOut:
     """Stage-2 sweep of the hybrid double tier: recompute the f32
     correlation tile and summarize, per subsequence, every pair whose
     correlation reaches ``thr`` (its global f32 maximum minus the hybrid
     margin).  The job grid covers each valid pair exactly once (see
-    mpx.config.make_job_grid), so counts sum correctly across jobs."""
+    mpx.config.make_job_grid), so counts sum correctly across jobs.
+
+    AB-joins pass ``stats_c``/``thr_col`` for the column (target) axis;
+    self-joins use one statistics set and one threshold array."""
     dt = jnp.dtype(dtype)
     c0 = r0 + k0
     S, W = geom.S, geom.W
-    P, valid, rows, cols = _job_correlations(stats, r0, c0, geom, dt)
+    P, valid, rows, cols = _job_correlations(stats, r0, c0, geom, dt, stats_c)
     thr_r = jax.lax.dynamic_slice(thr, (r0,), (S,))
-    thr_c = jax.lax.dynamic_slice(thr, (c0,), (W,))
+    thr_c = jax.lax.dynamic_slice(
+        thr if thr_col is None else thr_col, (c0,), (W,)
+    )
     hit_r = valid & (P >= thr_r[:, None])
     hit_c = valid & (P >= thr_c[None, :])
     bcols = jnp.broadcast_to(cols, (S, W))

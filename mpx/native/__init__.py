@@ -56,6 +56,15 @@ def _bind(lib):
         f64p, f64p, f64p, i64, i64, i64, i32p, i64, f64p, i32p,
     ]
     lib.mpx_row_scan.restype = None
+    lib.mpx_rescore_ab.argtypes = [
+        f64p, f64p, f64p, f64p, f64p, f64p, i64, i32p, i32p, i64, f64p,
+    ]
+    lib.mpx_rescore_ab.restype = None
+    lib.mpx_row_scan_ab.argtypes = [
+        f64p, f64p, f64p, f64p, f64p, f64p, i64, i64, i64, i32p, i64,
+        f64p, i32p,
+    ]
+    lib.mpx_row_scan_ab.restype = None
     return lib
 
 
@@ -134,6 +143,31 @@ def row_scan(T, mu, inv, m: int, w: int, excl: int, rows):
     bestP = np.empty(rows.shape[0], np.float64)
     bestI = np.empty(rows.shape[0], np.int32)
     lib.mpx_row_scan(T, mu, inv, m, w, excl, rows, rows.shape[0], bestP, bestI)
+    return bestP, bestI
+
+
+def rescore_ab(Tq, muq, invq, Tt, mut, invt, m: int, rows, cols):
+    """Exact f64 Pearson for (query rows[i], target cols[i]) pairs."""
+    lib = load()
+    args = [np.ascontiguousarray(x, np.float64)
+            for x in (Tq, muq, invq, Tt, mut, invt)]
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    P = np.empty(rows.shape[0], np.float64)
+    lib.mpx_rescore_ab(*args, m, rows, cols, rows.shape[0], P)
+    return P
+
+
+def row_scan_ab(Tq, muq, invq, Tt, mut, invt, m: int, wt: int, excl: int,
+                rows):
+    """Exact f64 best target neighbor per query row (excl<0: no zone)."""
+    lib = load()
+    args = [np.ascontiguousarray(x, np.float64)
+            for x in (Tq, muq, invq, Tt, mut, invt)]
+    rows = np.ascontiguousarray(rows, np.int32)
+    bestP = np.empty(rows.shape[0], np.float64)
+    bestI = np.empty(rows.shape[0], np.int32)
+    lib.mpx_row_scan_ab(*args, m, wt, excl, rows, rows.shape[0], bestP, bestI)
     return bestP, bestI
 
 

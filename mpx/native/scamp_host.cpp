@@ -112,6 +112,66 @@ void mpx_rescore(const double* T, const double* mu, const double* inv,
   }
 }
 
+// Two-series variant (AB-joins): rows index into (Tq, muq, invq),
+// cols into (Tt, mut, invt).
+void mpx_rescore_ab(const double* Tq, const double* muq, const double* invq,
+                    const double* Tt, const double* mut, const double* invt,
+                    int64_t m, const int32_t* rows, const int32_t* cols,
+                    int64_t count, double* P) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t a = rows[i];
+    const int64_t b = cols[i];
+    if (a < 0 || b < 0 || !std::isfinite(invq[a]) || !std::isfinite(invt[b])) {
+      P[i] = kAggregateInit;
+      continue;
+    }
+    const double mua = muq[a], mub = mut[b];
+    double qt = 0.0;
+    for (int64_t j = 0; j < m; ++j) {
+      qt += (Tq[a + j] - mua) * (Tt[b + j] - mub);
+    }
+    P[i] = qt * invq[a] * invt[b];
+  }
+}
+
+// Two-series full scan: best target neighbor of each query row.
+// excl < 0 disables the trivial-match zone (AB-joins).
+void mpx_row_scan_ab(const double* Tq, const double* muq, const double* invq,
+                     const double* Tt, const double* mut, const double* invt,
+                     int64_t m, int64_t wt, int64_t excl, const int32_t* rows,
+                     int64_t count, double* bestP, int32_t* bestIdx) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t r = rows[i];
+    bestP[i] = kAggregateInit;
+    bestIdx[i] = kIndexInit;
+    if (r < 0 || !std::isfinite(invq[r])) continue;
+    const double mur = muq[r];
+    double bv = kAggregateInit;
+    int32_t bi = kIndexInit;
+    for (int64_t c = 0; c < wt; ++c) {
+      if (excl >= 0) {
+        const int64_t k = (c > r) ? (c - r) : (r - c);
+        if (k < excl) continue;
+      }
+      if (!std::isfinite(invt[c])) continue;
+      const double muc = mut[c];
+      double qt = 0.0;
+      for (int64_t j = 0; j < m; ++j) {
+        qt += (Tq[r + j] - mur) * (Tt[c + j] - muc);
+      }
+      const double p = qt * invq[r] * invt[c];
+      if (p > bv) {
+        bv = p;
+        bi = static_cast<int32_t>(c);
+      }
+    }
+    bestP[i] = bv;
+    bestIdx[i] = bi;
+  }
+}
+
 // Exact float64 full scan for one subsequence against every valid
 // neighbor (both sides of the join) — the escalation path for rows whose
 // f32 suspect count overflows the captured candidate slots.  O(w*m) per

@@ -118,6 +118,48 @@ def test_hybrid_rejects_unsupported_modes():
         compute_matrix_profile(T, config=f32_cfg)
 
 
+def test_hybrid_ab_join_matches_brute_force():
+    """Double AB-joins route to the hybrid tier and must match the
+    brute-force f64 oracle at 1e-8 on both directional profiles."""
+    from mpx.abjoin import brute_force_ab_join, compute_ab_join
+    from mpx.hybrid import compute_ab_join_f64_hybrid
+
+    A = random_walk(700, seed=61)
+    B = random_walk(500, seed=62)
+    m = 24
+    cfg = MatrixProfileConfig(m=m, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=64)
+    res = compute_ab_join(A, B, config=cfg)
+    mpa, mpia, mpb, mpib = brute_force_ab_join(A, B, m)
+    np.testing.assert_allclose(np.asarray(res.mp_a), mpa, atol=1e-8, rtol=0)
+    np.testing.assert_allclose(np.asarray(res.mp_b), mpb, atol=1e-8, rtol=0)
+    # direct entry point agrees
+    res2 = compute_ab_join_f64_hybrid(A, B, cfg)
+    np.testing.assert_array_equal(res.mp_a, res2.mp_a)
+
+
+def test_hybrid_ab_join_tie_heavy():
+    """Motifs repeated across A and B overflow the capture slots on both
+    sides (exercises AB pass C + escalation)."""
+    rng = np.random.default_rng(63)
+    motif = np.sin(np.linspace(0, 2 * np.pi, 24))
+    A = rng.standard_normal(24 * 12) * 1e-3
+    B = rng.standard_normal(24 * 12) * 1e-3
+    for r in range(12):
+        A[r * 24 : r * 24 + 24] += motif
+        B[r * 24 : r * 24 + 24] += motif
+    m = 16
+    from mpx.abjoin import brute_force_ab_join
+    from mpx.hybrid import compute_ab_join_f64_hybrid
+
+    cfg = MatrixProfileConfig(m=m, dtype="float64", band=32, chunk=64,
+                              tile_rows=8, tile_cols=32)
+    res = compute_ab_join_f64_hybrid(A, B, cfg)
+    mpa, _, mpb, _ = brute_force_ab_join(A, B, m)
+    np.testing.assert_allclose(res.mp_a, mpa, atol=1e-8, rtol=0)
+    np.testing.assert_allclose(res.mp_b, mpb, atol=1e-8, rtol=0)
+
+
 def test_default_margin_scales_with_m():
     assert default_margin(16) == pytest.approx(1e-4)
     assert default_margin(256) == pytest.approx(1.024e-4)
