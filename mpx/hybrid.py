@@ -109,18 +109,13 @@ def _init_suspects(L: int) -> SuspectWindow:
     )
 
 
-@partial(jax.jit, static_argnames=(
-    "S", "W", "m", "w", "tr", "tc", "wc", "excl", "combine"
-))
-def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc,
-                     wc=None, excl=None, stats_c=None, thr_col=None,
-                     combine=True):
-    """Pass B: scan all jobs, merging per-job suspect summaries into
-    global row-axis and column-axis arrays.  Self-joins (combine=True)
-    fold the two sides into one per-subsequence summary; AB-joins get
-    (query-side, target-side) separately."""
+@partial(jax.jit, static_argnames=("S", "W", "m", "w", "tr", "tc", "wc", "excl"))
+def _suspect_jobs_group(stats, thr, r0s, k0s, rows_g, cols_g, *, S, W, m, w,
+                        tr, tc, wc=None, excl=None, stats_c=None,
+                        thr_col=None):
+    """One dispatch group of the pass-B suspect sweep (all merges are
+    associative: sum counts, min/max index capture)."""
     geom = band_geometry(S, W, m, w, tr, tc, wc=wc, excl=excl)
-    Lr, Lc = w + S, geom.wc + W
 
     def body(carry, job):
         rows_g, cols_g = carry
@@ -132,36 +127,48 @@ def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc,
         cols_g = _merge_suspects_at(cols_g, out.col, r0 + k0)
         return (rows_g, cols_g), None
 
-    (rows_g, cols_g), _ = jax.lax.scan(
-        body, (_init_suspects(Lr), _init_suspects(Lc)), (r0s, k0s)
+    return jax.lax.scan(body, (rows_g, cols_g), (r0s, k0s))[0]
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _fold_suspects(rows_g, cols_g, *, w):
+    return _combine_suspects(
+        jax.tree.map(lambda a: a[:w], rows_g),
+        jax.tree.map(lambda a: a[:w], cols_g),
     )
-    if combine:
-        both = _combine_suspects(
-            jax.tree.map(lambda a: a[:w], rows_g),
-            jax.tree.map(lambda a: a[:w], cols_g),
+
+
+def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc,
+                     wc=None, excl=None, stats_c=None, thr_col=None,
+                     combine=True):
+    """Pass B: sweep all jobs in watchdog-safe dispatch groups, merging
+    per-job suspect summaries into global row-axis and column-axis
+    arrays.  Self-joins (combine=True) fold the two sides into one
+    per-subsequence summary; AB-joins get (query, target) separately."""
+    r0s = np.asarray(r0s, np.int32)
+    k0s = np.asarray(k0s, np.int32)
+    Lr = w + S
+    Lc = (w if wc is None else wc) + W
+    rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
+    for gr, gk in _job_groups(r0s, k0s, S, W, w):
+        rows_g, cols_g = _suspect_jobs_group(
+            stats, thr, jnp.asarray(gr), jnp.asarray(gk), rows_g, cols_g,
+            S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
+            stats_c=stats_c, thr_col=thr_col,
         )
-        return both
+    if combine:
+        return _fold_suspects(rows_g, cols_g, w=w)
     return rows_g, cols_g
 
 
-@partial(jax.jit, static_argnames=(
-    "S", "W", "m", "w", "tr", "tc", "pw", "wc", "excl", "pwc", "combine"
-))
-def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
-                 wc=None, excl=None, pwc=None, stats_c=None, combine=True):
-    """Pass A: value-only max sweep over all jobs, folded directly into
-    the suspect threshold (one executable, minimal epilogue traffic).
-
-    combine=True (self-join): one thr array over the shared subsequence
-    axis.  combine=False (AB-join): separate (thr_rows, thr_cols) over
-    the query/target axes, with stats_c/wc/excl carrying the AB geometry.
-    """
+@partial(jax.jit, static_argnames=("S", "W", "m", "w", "tr", "tc", "wc", "excl"))
+def _max_jobs_group(stats, r0s, k0s, rmax, cmax, *, S, W, m, w, tr, tc,
+                    wc=None, excl=None, stats_c=None):
+    """One dispatch group of the pass-A value-only max sweep, merging
+    into carried (rmax, cmax) arrays (associative: groups in any order)."""
     from mpx.kernels.mxu import sweep_band_max
 
     geom = band_geometry(S, W, m, w, tr, tc, wc=wc, excl=excl)
-    Lr = w + S
-    Lc = geom.wc + W
-    neg = jnp.float32(AGGREGATE_INIT)
 
     def body(carry, job):
         rmax, cmax = carry
@@ -176,8 +183,12 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
         )
         return (rmax, cmax), None
 
-    init = (jnp.full((Lr,), neg, jnp.float32), jnp.full((Lc,), neg, jnp.float32))
-    (rmax, cmax), _ = jax.lax.scan(body, init, (r0s, k0s))
+    return jax.lax.scan(body, (rmax, cmax), (r0s, k0s))[0]
+
+
+@partial(jax.jit, static_argnames=("w", "pw", "wc", "pwc", "combine"))
+def _build_thr(rmax, cmax, margin, *, w, pw, wc=None, pwc=None, combine=True):
+    """Fold pass-A maxima into suspect thresholds (pad tail = +inf)."""
     two_eps = jnp.float32(2.0) * margin.astype(jnp.float32)
     if combine:
         gmax = jnp.maximum(rmax[:w], cmax[:w])
@@ -186,8 +197,59 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
     thr_r = jnp.full((pw,), jnp.inf, jnp.float32)
     thr_r = jax.lax.dynamic_update_slice(thr_r, rmax[:w] - two_eps, (0,))
     thr_c = jnp.full((pwc,), jnp.inf, jnp.float32)
-    thr_c = jax.lax.dynamic_update_slice(thr_c, cmax[: geom.wc] - two_eps, (0,))
+    thr_c = jax.lax.dynamic_update_slice(thr_c, cmax[:wc] - two_eps, (0,))
     return thr_r, thr_c
+
+
+# Dispatch-group sizing for the hybrid's f32 passes: ~60s at the
+# measured sweep rate so long jobs never trip device watchdogs.
+_PASS_RATE = 3.5e10
+
+
+def _job_groups(r0s, k0s, S, W, w):
+    njobs = r0s.shape[0]
+    group = max(64, int(_PASS_RATE * 60) // (S * W))
+    if njobs <= group:
+        return [(r0s, k0s)]
+    # pad to a group multiple with dummy jobs whose rows start at w:
+    # every pair fails the bounds mask, so their merges are init no-ops
+    # (same trick as mpx.config.pad_job_grid)
+    pad = (-njobs) % group
+    if pad:
+        r0s = np.concatenate([r0s, np.full(pad, w, np.int32)])
+        k0s = np.concatenate([k0s, np.zeros(pad, np.int32)])
+    return [
+        (r0s[o : o + group], k0s[o : o + group])
+        for o in range(0, njobs + pad, group)
+    ]
+
+
+def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
+                 wc=None, excl=None, pwc=None, stats_c=None, combine=True):
+    """Pass A: value-only max sweep over all jobs in watchdog-safe
+    dispatch groups, folded into the suspect threshold(s).
+
+    combine=True (self-join): one thr array over the shared subsequence
+    axis.  combine=False (AB-join): separate (thr_rows, thr_cols) over
+    the query/target axes, with stats_c/wc/excl carrying the AB geometry.
+    """
+    r0s = np.asarray(r0s, np.int32)
+    k0s = np.asarray(k0s, np.int32)
+    Lr = w + S
+    Lc = (w if wc is None else wc) + W
+    neg = jnp.float32(AGGREGATE_INIT)
+    rmax = jnp.full((Lr,), neg, jnp.float32)
+    cmax = jnp.full((Lc,), neg, jnp.float32)
+    for gr, gk in _job_groups(r0s, k0s, S, W, w):
+        rmax, cmax = _max_jobs_group(
+            stats, jnp.asarray(gr), jnp.asarray(gk), rmax, cmax,
+            S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
+            stats_c=stats_c,
+        )
+    return _build_thr(
+        rmax, cmax, margin, w=w, pw=pw,
+        wc=wc, pwc=pwc, combine=combine,
+    )
 
 
 @partial(jax.jit, static_argnames=("m", "w", "excl", "K", "CW"))

@@ -160,6 +160,22 @@ def test_hybrid_ab_join_tie_heavy():
     np.testing.assert_allclose(res.mp_b, mpb, atol=1e-8, rtol=0)
 
 
+def test_hybrid_grouped_passes(monkeypatch):
+    """Forcing tiny dispatch groups (watchdog-safe splitting for n>1M)
+    must not change the result."""
+    import mpx.hybrid as hybrid
+
+    T = random_walk(1024, seed=71)
+    m = 16
+    cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="hybrid",
+                              band=64, chunk=128, tile_rows=8, tile_cols=64)
+    MP1, MPI1 = compute_matrix_profile_f64_hybrid(T, cfg)
+    monkeypatch.setattr(hybrid, "_PASS_RATE", 64 * 128 * 3 / 60.0)  # 3 jobs/group
+    MP2, MPI2 = compute_matrix_profile_f64_hybrid(T, cfg)
+    np.testing.assert_array_equal(MP1, MP2)
+    np.testing.assert_array_equal(MPI1, MPI2)
+
+
 def test_default_margin_scales_with_m():
     assert default_margin(16) == pytest.approx(1e-4)
     assert default_margin(256) == pytest.approx(1.024e-4)
