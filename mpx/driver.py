@@ -140,8 +140,7 @@ def compute_matrix_profile(
     kernel = resolve_kernel(
         config.kernel, dt, m,
         allow_hybrid=(
-            not left_right
-            and num_shards_ <= 1
+            num_shards_ <= 1
             and not config.interpret
             and stats is None
         ),
@@ -151,17 +150,21 @@ def compute_matrix_profile(
     from mpx.utils.profile import phase as _phase
 
     if kernel == "hybrid":
-        from mpx.hybrid import compute_matrix_profile_f64_hybrid
-
         if canonical_dtype(config.dtype) != np.dtype(np.float64):
             raise ValueError("kernel='hybrid' requires dtype float64/double")
-        if left_right or num_shards_ > 1 or config.interpret or stats is not None:
+        if num_shards_ > 1 or config.interpret or stats is not None:
             raise ValueError(
-                "kernel='hybrid' supports the plain single-device self-join "
-                "only (no --left-right/--shards/interpret/external stats)"
+                "kernel='hybrid' supports single-device self-joins only "
+                "(no --shards/interpret/external stats)"
             )
         # numpy outputs: staying off-device avoids the f32 canonicalization
         # trap for f64 results outside an x64 scope.
+        if left_right:
+            from mpx.hybrid import compute_left_right_f64_hybrid
+
+            return compute_left_right_f64_hybrid(T, config, profile=profile)
+        from mpx.hybrid import compute_matrix_profile_f64_hybrid
+
         return compute_matrix_profile_f64_hybrid(T, config, profile=profile)
 
     x64 = needs_x64(dt)

@@ -252,9 +252,9 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
     )
 
 
-@partial(jax.jit, static_argnames=("m", "w", "excl", "K", "CW"))
+@partial(jax.jit, static_argnames=("m", "w", "excl", "K", "CW", "side"))
 def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
-                      stats_t=None):
+                      stats_t=None, side=0):
     """Pass C: exact suspect extraction for overflow rows, on the MXU.
 
     For each flagged subsequence, recompute its full correlation row
@@ -265,7 +265,9 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
 
     ``stats_t`` selects a different target series (AB-joins; pass
     excl=-1 to disable the trivial-match zone); ``w`` is the TARGET
-    profile width."""
+    profile width.  ``side`` restricts neighbors for the left/right
+    profiles: +1 keeps only later targets (c - r >= excl), -1 only
+    earlier ones (r - c >= excl), 0 both."""
     if stats_t is None:
         stats_t = stats
     F = flag_idx.shape[0]
@@ -304,9 +306,15 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
             precision=jax.lax.Precision.HIGHEST,
         )
         cols = c0 + jnp.arange(CW, dtype=jnp.int32)[None, :]
-        dist = jnp.abs(cols - flag_idx[:, None])
+        delta = cols - flag_idx[:, None]
+        if side > 0:
+            zone = delta >= excl
+        elif side < 0:
+            zone = -delta >= excl
+        else:
+            zone = jnp.abs(delta) >= excl
         valid = (
-            (dist >= excl)
+            zone
             & (cols <= w - 1)
             & fin_c[None, :]
             & fin_f[:, None]
@@ -477,7 +485,7 @@ def compute_matrix_profile_f64_hybrid(
 
 
 def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
-                  escalate, profile):
+                  escalate, profile, side=0):
     """Shared suspect-resolution stage: rescore the captured candidates
     exactly, run the device pass C for capture-overflow rows, and hand
     pathological rows to the exact host scan.  ``sus`` is a host
@@ -522,7 +530,7 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
                 CW_ //= 2
             bv, bi, ccnt = scan_flagged_rows(
                 stats_q, thr_q, fidx, m=m, w=wt, excl=excl, K=K, CW=CW_,
-                stats_t=None if stats_t is stats_q else stats_t,
+                stats_t=None if stats_t is stats_q else stats_t, side=side,
             )
             bv, bi, ccnt = jax.device_get((bv, bi, ccnt))
             bv, bi, ccnt = bv[: flagged.size], bi[: flagged.size], ccnt[: flagged.size]
@@ -670,6 +678,119 @@ def compute_ab_join_f64_hybrid(
             mp_b=np.sqrt(np.maximum(2.0 * m * (1.0 - mp_b), 0.0)),
             mpi_b=mpi_b,
         )
+
+
+def _row_scan_sided(T64, mu, inv, m, w, excl, rows, side):
+    """Exact one-sided f64 scan (numpy; the sided ultra-escalation is
+    rare enough that BLAS-per-row is fine)."""
+    win = np.lib.stride_tricks.sliding_window_view(T64, m)
+    cent = win - mu[:, None]
+    fin = np.isfinite(inv)
+    bestP = np.full(rows.shape[0], AGGREGATE_INIT, np.float64)
+    bestI = np.full(rows.shape[0], INDEX_INIT, np.int32)
+    cols = np.arange(w)
+    for i, r in enumerate(rows):
+        if not fin[r]:
+            continue
+        with np.errstate(invalid="ignore"):
+            P = (cent @ cent[r]) * inv * inv[r]
+        delta = cols - r
+        zone = delta >= excl if side > 0 else -delta >= excl
+        P[~zone | ~fin] = AGGREGATE_INIT
+        bi = int(np.argmax(P))
+        bestP[i] = P[bi]
+        bestI[i] = bi if P[bi] > AGGREGATE_INIT else INDEX_INIT
+    return bestP, bestI
+
+
+def compute_left_right_f64_hybrid(
+    T,
+    config: Optional[MatrixProfileConfig] = None,
+    *,
+    m: Optional[int] = None,
+    margin: Optional[float] = None,
+    profile=None,
+):
+    """Exact double-precision LEFT/RIGHT profiles via the hybrid tier.
+
+    Returns (MP_left, MPI_left, MP_right, MPI_right) numpy arrays —
+    nearest earlier / later neighbor respectively (the per-side
+    aggregates of mpx.ops.aggregates.postcompute_left_right, computed
+    exactly).  The job grid covers the upper triangle, so the row side
+    IS the right profile and the column side the left profile; pass A/B
+    run with per-side thresholds and each side resolves independently
+    with side-restricted escalation."""
+    from mpx.ops.precompute import precompute_statistics, precompute_statistics_numpy
+
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32, dtype="float64")
+    m = config.m
+    T64 = np.asarray(T, np.float64)
+    n = T64.shape[0]
+    config.validate_series(n)
+    w = n - m + 1
+    config = config.shrink_to(w)
+    S, W = config.band, config.chunk
+    excl = m // 4
+    if margin is None:
+        margin = default_margin(m)
+
+    with _phase(profile, "1. Pre-Computation [host f64]"):
+        from mpx import native
+
+        if native.is_available():
+            s64 = native.precompute(T64, m)
+        else:
+            s64 = precompute_statistics_numpy(T64, m)
+        mu64, inv64 = s64["mu"], s64["inv"]
+
+    with _phase(profile, "1. Pre-Computation [device f32]"):
+        stats = precompute_statistics(
+            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64
+        )
+        jax.block_until_ready(stats.mu)
+
+    grid = make_job_grid(w, S, W)
+    r0s, k0s = jnp.asarray(grid.r0), jnp.asarray(grid.k0)
+    pw = stats.mu.shape[0]
+
+    with _phase(profile, "2. Compute [mxu f32 pass A]"):
+        thr_r, thr_c = run_max_jobs(
+            stats, r0s, k0s, jnp.float32(margin),
+            S=S, W=W, m=m, w=w, tr=config.tile_rows, tc=config.tile_cols,
+            pw=pw, pwc=pw, combine=False,
+        )
+        jax.block_until_ready(thr_c)
+
+    with _phase(profile, "2. Compute [mxu f32 pass B suspects]"):
+        sus_r, sus_c = run_suspect_jobs(
+            stats, thr_r, r0s, k0s,
+            S=S, W=W, m=m, w=w, tr=config.tile_rows, tc=config.tile_cols,
+            thr_col=thr_c, combine=False,
+        )
+        sus_r, sus_c = jax.device_get((sus_r, sus_c))
+
+    rescore = lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c)
+    # row side = RIGHT profile (later neighbors)
+    rP, rI = _resolve_side(
+        sus_r, w, m, rescore=rescore,
+        stats_q=stats, stats_t=stats, thr_q=thr_r, excl=excl, wt=w,
+        escalate=lambda rows: _row_scan_sided(T64, mu64, inv64, m, w, excl,
+                                              rows, +1),
+        profile=profile, side=+1,
+    )
+    # column side = LEFT profile (earlier neighbors)
+    lP, lI = _resolve_side(
+        sus_c, w, m, rescore=rescore,
+        stats_q=stats, stats_t=stats, thr_q=thr_c, excl=excl, wt=w,
+        escalate=lambda rows: _row_scan_sided(T64, mu64, inv64, m, w, excl,
+                                              rows, -1),
+        profile=profile, side=-1,
+    )
+
+    with _phase(profile, "4. Post-Computation [host]"):
+        to_d = lambda P: np.sqrt(np.maximum(2.0 * m * (1.0 - P), 0.0))
+        return to_d(lP), lI, to_d(rP), rI
 
 
 def _row_scan_ab(Tq, muq, invq, Tt, mut, invt, m, wt, rows):

@@ -110,12 +110,54 @@ def test_hybrid_rejects_unsupported_modes():
     T = random_walk(128, seed=1)
     cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="hybrid",
                               band=32, chunk=32, tile_rows=8, tile_cols=32)
-    with pytest.raises(ValueError):
-        compute_matrix_profile(T, config=cfg, left_right=True)
     f32_cfg = MatrixProfileConfig(m=16, dtype="float32", kernel="hybrid",
                                   band=32, chunk=32, tile_rows=8, tile_cols=32)
     with pytest.raises(ValueError):
         compute_matrix_profile(T, config=f32_cfg)
+    shard_cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="hybrid",
+                                    band=32, chunk=32, tile_rows=8,
+                                    tile_cols=32, num_shards=2)
+    with pytest.raises(ValueError):
+        compute_matrix_profile(T, config=shard_cfg)
+
+
+def test_hybrid_left_right_matches_strict():
+    """Double left/right profiles route through the hybrid tier and must
+    equal the strict emulated-f64 per-side aggregates at 1e-8."""
+    T = random_walk(900, seed=81)
+    m = 24
+    base = dict(m=m, dtype="float64", band=64, chunk=128,
+                tile_rows=8, tile_cols=64)
+    hyb = MatrixProfileConfig(**base, kernel="hybrid")
+    strict = MatrixProfileConfig(**base, kernel="mxu")
+    lh, lih, rh, rih = compute_matrix_profile(T, config=hyb, left_right=True)
+    ls, lis, rs, ris = compute_matrix_profile(T, config=strict, left_right=True)
+    np.testing.assert_allclose(lh, np.asarray(ls), atol=1e-8, rtol=0)
+    np.testing.assert_allclose(rh, np.asarray(rs), atol=1e-8, rtol=0)
+    # indices match except equidistant ties
+    from tests.helpers import znorm_distance
+    for got, exp in ((lih, np.asarray(lis)), (rih, np.asarray(ris))):
+        for i in np.nonzero(got != exp)[0]:
+            assert abs(znorm_distance(T, m, int(i), int(got[i]))
+                       - znorm_distance(T, m, int(i), int(exp[i]))) <= 1e-7
+
+
+def test_hybrid_left_right_tie_heavy():
+    """Repeated motifs exercise the SIDED pass C / escalation paths."""
+    rng = np.random.default_rng(83)
+    motif = np.sin(np.linspace(0, 2 * np.pi, 24))
+    T = rng.standard_normal(24 * 12) * 1e-3
+    for r in range(12):
+        T[r * 24 : r * 24 + 24] += motif
+    m = 16
+    base = dict(m=m, dtype="float64", band=32, chunk=64,
+                tile_rows=8, tile_cols=32)
+    hyb = MatrixProfileConfig(**base, kernel="hybrid")
+    strict = MatrixProfileConfig(**base, kernel="mxu")
+    lh, _, rh, _ = compute_matrix_profile(T, config=hyb, left_right=True)
+    ls, _, rs, _ = compute_matrix_profile(T, config=strict, left_right=True)
+    np.testing.assert_allclose(lh, np.asarray(ls), atol=1e-8, rtol=0)
+    np.testing.assert_allclose(rh, np.asarray(rs), atol=1e-8, rtol=0)
 
 
 def test_hybrid_ab_join_matches_brute_force():
