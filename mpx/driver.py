@@ -140,9 +140,10 @@ def compute_matrix_profile(
     kernel = resolve_kernel(
         config.kernel, dt, m,
         allow_hybrid=(
-            num_shards_ <= 1
-            and not config.interpret
+            not config.interpret
             and stats is None
+            and not (left_right and num_shards_ > 1)
+            and config.shard_mode == "jobs"
         ),
     )
 
@@ -152,10 +153,15 @@ def compute_matrix_profile(
     if kernel == "hybrid":
         if canonical_dtype(config.dtype) != np.dtype(np.float64):
             raise ValueError("kernel='hybrid' requires dtype float64/double")
-        if num_shards_ > 1 or config.interpret or stats is not None:
+        if config.interpret or stats is not None:
             raise ValueError(
-                "kernel='hybrid' supports single-device self-joins only "
-                "(no --shards/interpret/external stats)"
+                "kernel='hybrid' does not support interpret mode or "
+                "externally-provided stats"
+            )
+        if left_right and num_shards_ > 1:
+            raise ValueError(
+                "hybrid left/right profiles are single-device; drop "
+                "--shards or use --kernel mxu"
             )
         # numpy outputs: staying off-device avoids the f32 canonicalization
         # trap for f64 results outside an x64 scope.

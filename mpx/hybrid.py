@@ -341,6 +341,115 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
 
 
 # ---------------------------------------------------------------------------
+# Multi-chip pass A/B: jobs shard over a 1-D mesh (the MP_KERNEL_REPL
+# analog, like mpx.parallel.sharding); per-device partial maxima /
+# suspect summaries merge with the same associative operators across the
+# device axis.  Pass C / rescoring remain single-device + host (they are
+# O(flagged), not O(n^2)).
+
+
+def _shard_jobs(grid, num_shards):
+    from mpx.config import pad_job_grid
+
+    # dummy rows start beyond every real subsequence: fully masked no-ops
+    grid = pad_job_grid(grid, num_shards, dummy_r0=grid.r0.max() + 2**20)
+    per_dev = grid.r0.shape[0] // num_shards
+    order = np.arange(grid.r0.shape[0]).reshape(per_dev, num_shards).T.reshape(-1)
+    r0s = jnp.asarray(grid.r0[order]).reshape(num_shards, per_dev)
+    k0s = jnp.asarray(grid.k0[order]).reshape(num_shards, per_dev)
+    return r0s, k0s
+
+
+def _fold_device_axis(stacked: SuspectWindow) -> SuspectWindow:
+    """Fold (ndev, L) suspect summaries over the device axis."""
+    n = stacked.cnt.shape[0]
+    acc = jax.tree.map(lambda a: a[0], stacked)
+    for d in range(1, n):
+        acc = _combine_suspects(acc, jax.tree.map(lambda a: a[d], stacked))
+    return acc
+
+
+def run_max_jobs_sharded(stats, grid, margin, *, num_shards, S, W, m, w,
+                         tr, tc, pw, mesh=None):
+    """Sharded pass A: each device max-sweeps its job subset; partials
+    max-merge over the mesh into one replicated threshold array."""
+    from jax.sharding import PartitionSpec as P
+
+    from mpx.parallel.mesh import default_mesh
+
+    if mesh is None:
+        mesh = default_mesh(num_shards)
+    r0s, k0s = _shard_jobs(grid, num_shards)
+    Lr = w + S
+    neg = jnp.float32(AGGREGATE_INIT)
+
+    def local(st, r, k):
+        rmax = jnp.full((Lr,), neg, jnp.float32)
+        cmax = jnp.full((w + W,), neg, jnp.float32)
+        rmax, cmax = _max_jobs_group(
+            st, r[0], k[0], rmax, cmax, S=S, W=W, m=m, w=w, tr=tr, tc=tc
+        )
+        return rmax[None], cmax[None]
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("jobs"), P("jobs")),
+        out_specs=P("jobs"),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, static_argnames=())
+    def merged(st, r, k, mg):
+        rmax, cmax = shard_fn(st, r, k)
+        return _build_thr(
+            jnp.max(rmax, axis=0), jnp.max(cmax, axis=0), mg, w=w, pw=pw
+        )
+
+    with mesh:
+        return merged(stats, r0s, k0s, jnp.float32(margin))
+
+
+def run_suspect_jobs_sharded(stats, thr, grid, *, num_shards, S, W, m, w,
+                             tr, tc, mesh=None):
+    """Sharded pass B: per-device suspect summaries folded over the
+    device axis (sum counts, min/max capture), then the self-join's
+    row/column sides folded per subsequence."""
+    from jax.sharding import PartitionSpec as P
+
+    from mpx.parallel.mesh import default_mesh
+
+    if mesh is None:
+        mesh = default_mesh(num_shards)
+    r0s, k0s = _shard_jobs(grid, num_shards)
+    Lr, Lc = w + S, w + W
+
+    def local(st, t, r, k):
+        rows_g, cols_g = _suspect_jobs_group(
+            st, t, r[0], k[0], _init_suspects(Lr), _init_suspects(Lc),
+            S=S, W=W, m=m, w=w, tr=tr, tc=tc,
+        )
+        expand = lambda sw: jax.tree.map(lambda a: a[None], sw)
+        return expand(rows_g), expand(cols_g)
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P("jobs"), P("jobs")),
+        out_specs=P("jobs"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def merged(st, t, r, k):
+        rows_s, cols_s = shard_fn(st, t, r, k)
+        rows_g = _fold_device_axis(rows_s)
+        cols_g = _fold_device_axis(cols_s)
+        return _fold_suspects(rows_g, cols_g, w=w)
+
+    with mesh:
+        return merged(stats, thr, r0s, k0s)
+
+
+# ---------------------------------------------------------------------------
 # Host-side exact f64 stages (native C++ with numpy fallbacks)
 
 
@@ -449,24 +558,41 @@ def compute_matrix_profile_f64_hybrid(
         jax.block_until_ready(stats.mu)
 
     grid = make_job_grid(w, S, W)
-    r0s, k0s = jnp.asarray(grid.r0), jnp.asarray(grid.k0)
+    num_shards = config.num_shards or 1
+    pw = stats.mu.shape[0]
+    shard_tag = f", sharded x{num_shards}" if num_shards > 1 else ""
 
     # 3. Pass A: f32 value-only max sweep -> suspect threshold.
-    with _phase(profile, "2. Compute [mxu f32 pass A]"):
-        pw = stats.mu.shape[0]
-        thr = run_max_jobs(
-            stats, r0s, k0s, jnp.float32(margin),
-            S=S, W=W, m=m, w=w,
-            tr=config.tile_rows, tc=config.tile_cols, pw=pw,
-        )
+    with _phase(profile, f"2. Compute [mxu f32 pass A{shard_tag}]"):
+        if num_shards > 1:
+            thr = run_max_jobs_sharded(
+                stats, grid, margin, num_shards=num_shards,
+                S=S, W=W, m=m, w=w,
+                tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+            )
+        else:
+            thr = run_max_jobs(
+                stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                jnp.float32(margin),
+                S=S, W=W, m=m, w=w,
+                tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+            )
         jax.block_until_ready(thr)
 
     # 4. Pass B: suspect sweep against thr = gmax - 2*margin.
-    with _phase(profile, "2. Compute [mxu f32 pass B suspects]"):
-        sus = run_suspect_jobs(
-            stats, thr, r0s, k0s,
-            S=S, W=W, m=m, w=w, tr=config.tile_rows, tc=config.tile_cols,
-        )
+    with _phase(profile, f"2. Compute [mxu f32 pass B suspects{shard_tag}]"):
+        if num_shards > 1:
+            sus = run_suspect_jobs_sharded(
+                stats, thr, grid, num_shards=num_shards,
+                S=S, W=W, m=m, w=w,
+                tr=config.tile_rows, tc=config.tile_cols,
+            )
+        else:
+            sus = run_suspect_jobs(
+                stats, thr, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                S=S, W=W, m=m, w=w,
+                tr=config.tile_rows, tc=config.tile_cols,
+            )
         # one bulk transfer; per-array slicing executables cost seconds
         # of dispatch through the TPU relay
         sus = jax.device_get(sus)

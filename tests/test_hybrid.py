@@ -114,11 +114,47 @@ def test_hybrid_rejects_unsupported_modes():
                                   band=32, chunk=32, tile_rows=8, tile_cols=32)
     with pytest.raises(ValueError):
         compute_matrix_profile(T, config=f32_cfg)
-    shard_cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="hybrid",
-                                    band=32, chunk=32, tile_rows=8,
-                                    tile_cols=32, num_shards=2)
+    shard_lr_cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="hybrid",
+                                       band=32, chunk=32, tile_rows=8,
+                                       tile_cols=32, num_shards=2)
     with pytest.raises(ValueError):
-        compute_matrix_profile(T, config=shard_cfg)
+        compute_matrix_profile(T, config=shard_lr_cfg, left_right=True)
+
+
+@pytest.mark.parametrize("shards", [2, 8])
+def test_hybrid_sharded_matches_single(shards):
+    """Multi-chip hybrid: pass A/B shard over the mesh; the result must
+    equal the single-device hybrid exactly (associative merges)."""
+    T = random_walk(1200, seed=91)
+    m = 24
+    base = dict(m=m, dtype="float64", band=64, chunk=128,
+                tile_rows=8, tile_cols=64)
+    MP1, MPI1 = compute_matrix_profile(
+        T, config=MatrixProfileConfig(**base, kernel="hybrid"))
+    MP2, MPI2 = compute_matrix_profile(
+        T, config=MatrixProfileConfig(**base, kernel="hybrid",
+                                      num_shards=shards))
+    np.testing.assert_array_equal(MP1, MP2)
+    np.testing.assert_array_equal(MPI1, MPI2)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP2, MPI2, MP_exp, MPI_exp, eps=1e-8)
+
+
+def test_hybrid_sharded_tie_heavy():
+    """Sharded pass B must fold suspect counts/captures across devices
+    correctly even when capture slots overflow (pass C)."""
+    rng = np.random.default_rng(93)
+    motif = np.sin(np.linspace(0, 2 * np.pi, 24))
+    T = rng.standard_normal(24 * 30) * 1e-3
+    for r in range(30):
+        T[r * 24 : r * 24 + 24] += motif
+    m = 16
+    cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="hybrid",
+                              band=32, chunk=64, tile_rows=8, tile_cols=32,
+                              num_shards=4)
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
 
 
 def test_hybrid_left_right_matches_strict():
