@@ -1,4 +1,4 @@
-"""Matrix-profile analysis helpers: motifs and discords.
+"""Matrix-profile analysis helpers: motifs, discords, segmentation.
 
 The reference computes the raw profile only; its dataset catalog ships a
 motifs-discords set (data/synthetic/motifs-discords-small.txt) for
@@ -8,7 +8,10 @@ the profile is directly actionable:
 * motifs   — lowest-distance mutually-nearest pairs, with an exclusion
   zone around each reported motif to suppress trivial variants;
 * discords — highest-distance subsequences (most anomalous), same
-  exclusion rule.
+  exclusion rule;
+* corrected arc curve + regime extraction (FLUSS-style semantic
+  segmentation): nearest-neighbor arcs rarely cross a regime boundary,
+  so normalized arc-crossing counts dip at change points.
 """
 
 from __future__ import annotations
@@ -51,6 +54,54 @@ def top_motifs(MP, MPI, m: int, k: int = 3) -> List[Motif]:
         out.append(Motif(min(i, j), max(i, j), float(MP[i])))
         _suppress(alive, i, zone)
         _suppress(alive, j, zone)
+    return out
+
+
+def corrected_arc_curve(MPI, m: int) -> np.ndarray:
+    """FLUSS corrected arc curve (CAC) from the profile index.
+
+    For each position i, counts the nearest-neighbor arcs (j <-> MPI[j])
+    spanning i — computed in O(n) with a +1/-1 sweep — and normalizes by
+    the idealized parabola 2*i*(w-i)/w expected of boundary-free data.
+    Values near 1 mean "as many crossings as random"; dips toward 0 mark
+    semantic regime boundaries.  The first/last m positions are pinned
+    to 1 (edge arcs are structurally sparse there)."""
+    MPI = np.asarray(MPI)
+    w = MPI.shape[0]
+    delta = np.zeros(w + 1, np.float64)
+    valid = MPI >= 0
+    src = np.nonzero(valid)[0]
+    dst = MPI[src]
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    np.add.at(delta, lo, 1.0)
+    np.add.at(delta, hi, -1.0)
+    crossings = np.cumsum(delta[:-1])
+    i = np.arange(w, dtype=np.float64)
+    ideal = 2.0 * i * (w - i) / w
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cac = np.where(ideal > 0, crossings / ideal, 1.0)
+    cac = np.minimum(cac, 1.0)
+    edge = min(m, w // 2)
+    cac[:edge] = 1.0
+    cac[w - edge:] = 1.0
+    return cac
+
+
+def regimes(MPI, m: int, k: int = 1) -> List[int]:
+    """k regime-change locations: the k lowest CAC valleys, each
+    suppressing a 5*m zone (the FLUSS extraction rule)."""
+    cac = corrected_arc_curve(MPI, m).copy()
+    w = cac.shape[0]
+    zone = 5 * m
+    out: List[int] = []
+    while len(out) < k:
+        i = int(cac.argmin())
+        if not np.isfinite(cac[i]) or cac[i] >= 1.0:
+            break
+        out.append(i)
+        lo = max(0, i - zone)
+        cac[lo : i + zone + 1] = np.inf
     return out
 
 

@@ -246,6 +246,8 @@ def _add_analyze(sub):
     p.add_argument("-i", "--input", required=True, help="time series OR base path of .mpb/.mpib results")
     p.add_argument("-m", type=int, required=True)
     p.add_argument("-k", type=int, default=3, help="top-k motifs/discords")
+    p.add_argument("--regimes", type=int, default=0,
+                   help="also report this many regime changes (FLUSS CAC)")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--kernel", default="auto")
     return p
@@ -274,6 +276,12 @@ def _cmd_analyze(args) -> int:
     print("discords (index, distance):")
     for d in top_discords(MP, MPI, args.m, k=args.k):
         print(f"  {d.index:8d} {d.distance:.6f}")
+    if args.regimes:
+        from mpx.analysis import regimes
+
+        print("regime changes (index):")
+        for r in regimes(MPI, args.m, k=args.regimes):
+            print(f"  {r:8d}")
     return 0
 
 

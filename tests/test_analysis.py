@@ -28,3 +28,47 @@ def test_motifs_and_discords():
     assert discords
     # the bump at 400 must be among the most anomalous windows
     assert abs(discords[0].index - (400 + 16 - m // 2)) <= m
+
+
+def test_corrected_arc_curve_and_regimes():
+    """Two glued regimes (fast sine vs slow sine): the CAC must dip at
+    the boundary and regimes() must locate it within ~2m."""
+    import numpy as np
+
+    from mpx import MatrixProfileConfig, compute_matrix_profile
+    from mpx.analysis import corrected_arc_curve, regimes
+
+    t = np.arange(3000) / 20.0
+    T = np.where(np.arange(3000) < 1500, np.sin(t), np.sin(3.1 * t))
+    T = T + np.random.default_rng(5).standard_normal(3000) * 0.02
+    m = 50
+    cfg = MatrixProfileConfig(m=m, dtype="float32", band=256, chunk=512,
+                              tile_rows=8, tile_cols=256)
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    MPI = np.asarray(MPI)
+    cac = corrected_arc_curve(MPI, m)
+    w = MPI.shape[0]
+    assert cac.shape == (w,)
+    assert (cac <= 1.0 + 1e-12).all()
+    found = regimes(MPI, m, k=1)
+    assert found, "no regime found"
+    assert abs(found[0] - 1500) <= 2 * m, found
+    # interior of each regime stays well above the boundary dip
+    assert cac[found[0]] < 0.3
+
+
+def test_arc_curve_no_regime_is_flat():
+    import numpy as np
+
+    from mpx import MatrixProfileConfig, compute_matrix_profile
+    from mpx.analysis import corrected_arc_curve
+
+    T = np.sin(np.arange(2000) / 15.0)
+    m = 40
+    cfg = MatrixProfileConfig(m=m, dtype="float32", band=256, chunk=512,
+                              tile_rows=8, tile_cols=256)
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    cac = corrected_arc_curve(np.asarray(MPI), m)
+    # periodic single-regime data: arcs are short (neighboring periods),
+    # so the normalized curve sits low but must never report an edge dip
+    assert cac[:m].min() >= 1.0 - 1e-12
