@@ -105,6 +105,46 @@ def regimes(MPI, m: int, k: int = 1) -> List[int]:
     return out
 
 
+def apply_annotation_vector(MP, AV, mode: str = "motif") -> np.ndarray:
+    """Guided matrix profile (Matrix Profile V semantics): bias the
+    profile by a per-window annotation vector AV in [0, 1] so that
+    low-annotation windows stop surfacing:
+
+        motif:   CMP[i] = MP[i] + (1 - AV[i]) * max(MP_finite)
+        discord: CMP[i] = MP[i] - (1 - AV[i]) * max(MP_finite)
+
+    A window with AV=1 is untouched; AV=0 is pushed past every genuine
+    candidate in the chosen direction (larger distance never wins a
+    motif search; smaller never wins a discord search).  The correction
+    is rank-preserving within equal annotations."""
+    MP = np.asarray(MP, np.float64)
+    AV = np.asarray(AV, np.float64)
+    if AV.shape != MP.shape:
+        raise ValueError(f"annotation vector shape {AV.shape} != profile {MP.shape}")
+    if AV.min() < 0 or AV.max() > 1:
+        raise ValueError("annotation vector values must lie in [0, 1]")
+    if mode not in ("motif", "discord"):
+        raise ValueError("mode must be 'motif' or 'discord'")
+    finite = np.isfinite(MP)
+    peak = MP[finite].max() if finite.any() else 0.0
+    sign = 1.0 if mode == "motif" else -1.0
+    return np.where(finite, MP + sign * (1.0 - AV) * peak, MP)
+
+
+def complexity_annotation(T, m: int) -> np.ndarray:
+    """Complexity-estimation annotation vector (favor windows with
+    signal structure over flat/low-activity ones): the normalized root
+    sum of squared first differences per window."""
+    T = np.asarray(T, np.float64)
+    d2 = np.diff(T) ** 2
+    c = np.concatenate([[0.0], np.cumsum(d2)])
+    ce = np.sqrt(c[m - 1 :] - c[: -(m - 1)])
+    lo, hi = ce.min(), ce.max()
+    if hi - lo < 1e-300:
+        return np.ones_like(ce)
+    return (ce - lo) / (hi - lo)
+
+
 def top_discords(MP, MPI, m: int, k: int = 3) -> List[Discord]:
     """k highest-distance subsequences (anomalies)."""
     MP = np.asarray(MP, dtype=np.float64)

@@ -72,3 +72,49 @@ def test_arc_curve_no_regime_is_flat():
     # periodic single-regime data: arcs are short (neighboring periods),
     # so the normalized curve sits low but must never report an edge dip
     assert cac[:m].min() >= 1.0 - 1e-12
+
+
+def test_annotation_vector_guided_profile():
+    """A spike-corrupted region would dominate the discords; annotating
+    it away must redirect the discord to the genuine anomaly."""
+    import numpy as np
+
+    from mpx import MatrixProfileConfig, compute_matrix_profile
+    from mpx.analysis import (apply_annotation_vector,
+                              complexity_annotation, top_discords)
+
+    rng = np.random.default_rng(8)
+    T = np.sin(np.arange(1200) / 10.0) + rng.standard_normal(1200) * 0.05
+    T[200:204] += 30.0          # sensor spike (to be annotated away)
+    T[800:840] += np.linspace(0, 2.5, 40)  # genuine anomaly
+    m = 50
+    cfg = MatrixProfileConfig(m=m, dtype="float32", band=128, chunk=256,
+                              tile_rows=8, tile_cols=128)
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    MP = np.asarray(MP, np.float64)
+    d0 = top_discords(MP, np.asarray(MPI), m, k=1)[0]
+    assert 150 <= d0.index <= 210   # spike wins without annotation
+    AV = np.ones_like(MP)
+    AV[max(0, 200 - m):205] = 0.0   # annotate the spike away
+    CMP = apply_annotation_vector(MP, AV, mode="discord")
+    d1 = top_discords(CMP, np.asarray(MPI), m, k=1)[0]
+    assert 750 <= d1.index <= 845, d1
+    # motif mode: the annotated windows can never win a motif search
+    CM = apply_annotation_vector(MP, AV, mode="motif")
+    assert CM[151] > np.nanmax(MP[np.isfinite(MP)]) - 1e-9
+
+    av = complexity_annotation(T, m)
+    assert av.shape == MP.shape and av.min() >= 0 and av.max() <= 1
+
+
+def test_annotation_vector_validation():
+    import numpy as np
+    import pytest
+
+    from mpx.analysis import apply_annotation_vector
+
+    MP = np.ones(10)
+    with pytest.raises(ValueError):
+        apply_annotation_vector(MP, np.ones(9))
+    with pytest.raises(ValueError):
+        apply_annotation_vector(MP, np.full(10, 1.5))
