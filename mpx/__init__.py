@@ -31,12 +31,20 @@ arithmetic that the TPU compiler rejects.
 from __future__ import annotations
 
 from mpx.abjoin import compute_ab_join
+from mpx.analysis import (
+    apply_annotation_vector,
+    complexity_annotation,
+    corrected_arc_curve,
+    regimes,
+    top_discords,
+    top_motifs,
+)
 from mpx.topk import compute_topk_profile
 from mpx.config import MatrixProfileConfig
 from mpx.driver import compute_matrix_profile, matrix_profile
 from mpx.dtypes import AGGREGATE_INIT, INDEX_INIT
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "MatrixProfileConfig",
@@ -44,6 +52,12 @@ __all__ = [
     "compute_topk_profile",
     "compute_matrix_profile",
     "matrix_profile",
+    "top_motifs",
+    "top_discords",
+    "corrected_arc_curve",
+    "regimes",
+    "apply_annotation_vector",
+    "complexity_annotation",
     "AGGREGATE_INIT",
     "INDEX_INIT",
     "__version__",
