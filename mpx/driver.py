@@ -224,8 +224,13 @@ def compute_matrix_profile(
             from mpx.config import pad_job_grid
             from mpx.ops.aggregates import merge_aggregates
 
-            # pad to a group multiple so every dispatch shares one
-            # compiled shape (dummy jobs merge as no-ops)
+            # Balance group sizes: padding straight to a multiple of the
+            # cap can waste up to a whole group of dummy compute (each
+            # dummy still runs its masked matmul).  ceil-split instead,
+            # then pad by at most ngroups-1 jobs.
+            ngroups = -(-njobs // group)
+            group = -(-njobs // ngroups)
+            group = ((group + 63) // 64) * 64  # shape-bucket the size
             grid = pad_job_grid(grid, group, dummy_r0=w)
             njobs = grid.r0.shape[0]
             rows = cols = None

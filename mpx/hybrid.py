@@ -211,9 +211,13 @@ def _job_groups(r0s, k0s, S, W, w):
     group = max(64, int(_PASS_RATE * 60) // (S * W))
     if njobs <= group:
         return [(r0s, k0s)]
-    # pad to a group multiple with dummy jobs whose rows start at w:
-    # every pair fails the bounds mask, so their merges are init no-ops
-    # (same trick as mpx.config.pad_job_grid)
+    # Balance group sizes (padding straight to a group multiple can
+    # waste most of a group of dummy compute), then pad the ceil-split
+    # remainder with dummy jobs whose rows start at w: every pair fails
+    # the bounds mask, so their merges are init no-ops.
+    ngroups = -(-njobs // group)
+    group = -(-njobs // ngroups)
+    group = ((group + 63) // 64) * 64  # shape-bucket the size
     pad = (-njobs) % group
     if pad:
         r0s = np.concatenate([r0s, np.full(pad, w, np.int32)])
