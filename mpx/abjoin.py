@@ -124,8 +124,8 @@ def compute_ab_join(
 
     A = np.asarray(A) if not isinstance(A, jax.Array) else A
     B = np.asarray(B) if not isinstance(B, jax.Array) else B
-    config.validate_series(A.shape[0])
-    config.validate_series(B.shape[0])
+    config.validate_series(A.shape[0], A)
+    config.validate_series(B.shape[0], B)
     wa = A.shape[0] - m + 1
     wb = B.shape[0] - m + 1
     config = config.shrink_to(max(wa, wb))

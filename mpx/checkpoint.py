@@ -108,7 +108,7 @@ def compute_with_checkpoint(
     """
     T = np.asarray(T)
     n = T.shape[0]
-    cfg.validate_series(n)
+    cfg.validate_series(n, T)
     m = cfg.m
     w = n - m + 1
     cfg = cfg.shrink_to(w)

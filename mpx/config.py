@@ -75,11 +75,22 @@ class MatrixProfileConfig:
         if self.chunk % self.tile_cols != 0:
             raise ValueError("chunk must be a multiple of tile_cols")
 
-    def validate_series(self, n: int):
+    def validate_series(self, n: int, T=None):
         if n < self.m:
             raise ValueError(f"series length n={n} must be >= m={self.m}")
         if n - self.m + 1 < 2:
             raise ValueError("need at least 2 subsequences for a self-join")
+        if T is not None:
+            import numpy as np
+
+            Tn = np.asarray(T)
+            if not np.isfinite(Tn).all():
+                bad = int(np.nonzero(~np.isfinite(Tn))[0][0])
+                raise ValueError(
+                    f"series contains a non-finite value at index {bad}; "
+                    f"NaN/inf would silently poison every correlation "
+                    f"(the reference computes garbage on such input)"
+                )
 
     def shrink_to(self, w: int) -> "MatrixProfileConfig":
         """Clamp band/chunk (and tiles) to the actual profile width so tiny

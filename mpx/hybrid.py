@@ -536,7 +536,7 @@ def compute_matrix_profile_f64_hybrid(
     m = config.m
     T64 = np.asarray(T, np.float64)
     n = T64.shape[0]
-    config.validate_series(n)
+    config.validate_series(n, T64)
     w = n - m + 1
     config = config.shrink_to(w)
     S, W = config.band, config.chunk
@@ -720,8 +720,8 @@ def compute_ab_join_f64_hybrid(
     m = config.m
     A64 = np.asarray(A, np.float64)
     B64 = np.asarray(B, np.float64)
-    config.validate_series(A64.shape[0])
-    config.validate_series(B64.shape[0])
+    config.validate_series(A64.shape[0], A64)
+    config.validate_series(B64.shape[0], B64)
     wa = A64.shape[0] - m + 1
     wb = B64.shape[0] - m + 1
     config = config.shrink_to(max(wa, wb))
@@ -857,7 +857,7 @@ def compute_left_right_f64_hybrid(
     m = config.m
     T64 = np.asarray(T, np.float64)
     n = T64.shape[0]
-    config.validate_series(n)
+    config.validate_series(n, T64)
     w = n - m + 1
     config = config.shrink_to(w)
     S, W = config.band, config.chunk

@@ -149,7 +149,7 @@ def compute_topk_profile(
 
     T = np.asarray(T) if not isinstance(T, jax.Array) else T
     n = T.shape[0]
-    config.validate_series(n)
+    config.validate_series(n, T)
     w = n - m + 1
     config = config.shrink_to(w)
     S, W = config.band, config.chunk

@@ -50,3 +50,20 @@ def test_shrink_to():
     cfg = MatrixProfileConfig(band=4096, chunk=16384, tile_rows=8, tile_cols=8)
     small = cfg.shrink_to(100)
     assert small.band <= 104 and small.chunk <= 104
+
+
+def test_non_finite_input_rejected():
+    """NaN/inf input would silently poison every correlation; the
+    validator names the offending index (failure-detection subsystem)."""
+    import numpy as np
+    import pytest
+
+    from mpx import MatrixProfileConfig, compute_matrix_profile
+
+    T = np.ones(100)
+    T[37] = np.nan
+    with pytest.raises(ValueError, match="index 37"):
+        compute_matrix_profile(T, config=MatrixProfileConfig(m=8))
+    T[37] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        compute_matrix_profile(T, config=MatrixProfileConfig(m=8))
