@@ -154,8 +154,33 @@ def run_suite(names=None, verbose: bool = False) -> list:
         res = run_benchmark(verbose=verbose, **kwargs)
         res["name"] = cfg["name"]
         res["vs_baseline"] = res["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC
+        res["provenance"] = _provenance()
         results.append(res)
     return results
+
+
+def _provenance() -> dict:
+    """Measurement provenance, the analog of the reference's generated
+    build-info.txt (CMakeLists.txt:145-149)."""
+    import jax
+
+    import mpx
+    from mpx import native
+
+    try:
+        dev = jax.devices()[0]
+        backend = f"{dev.platform} x{len(jax.devices())}"
+        kind = getattr(dev, "device_kind", "?")
+    except Exception:
+        backend, kind = "unavailable", "?"
+    return {
+        "mpx": mpx.__version__,
+        "jax": jax.__version__,
+        "backend": backend,
+        "device_kind": str(kind),
+        "native": native.is_available(),
+        "mxu_precision": os.environ.get("MPX_MXU_PRECISION", "HIGHEST"),
+    }
 
 
 def suite_table(results: list) -> str:

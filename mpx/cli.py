@@ -350,23 +350,42 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
     if args.version:
+        # version banner with build/runtime configuration, the analog of
+        # the reference's versionInfo() (include/host/MatrixProfileHost.hpp:12-20)
+        import jax
+
         import mpx
+        from mpx import native
 
         print(f"mpx {mpx.__version__}")
+        print(f"  jax {jax.__version__}")
+        try:
+            dev = jax.devices()[0]
+            print(f"  backend: {dev.platform} ({len(jax.devices())} device(s))")
+        except Exception as e:
+            print(f"  backend: unavailable ({e})")
+        print(f"  native host library: "
+              f"{'built' if native.is_available() else 'unavailable (numpy fallbacks)'}")
         return 0
     if args.command is None:
         parser.print_help()
         return 2
-    return {
-        "compute": _cmd_compute,
-        "tsbin": _cmd_tsbin,
-        "golden": _cmd_golden,
-        "abjoin": _cmd_abjoin,
-        "topk": _cmd_topk,
-        "analyze": _cmd_analyze,
-        "datasets": _cmd_datasets,
-        "bench": _cmd_bench,
-    }[args.command](args)
+    try:
+        return {
+            "compute": _cmd_compute,
+            "tsbin": _cmd_tsbin,
+            "golden": _cmd_golden,
+            "abjoin": _cmd_abjoin,
+            "topk": _cmd_topk,
+            "analyze": _cmd_analyze,
+            "datasets": _cmd_datasets,
+            "bench": _cmd_bench,
+        }[args.command](args)
+    except ValueError as e:
+        # configuration/input errors surface as one clean line (the
+        # reference exits with help text on bad options)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
