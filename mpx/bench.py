@@ -134,7 +134,55 @@ SUITE = [
         "name": "scale-f32-2097152",
         "n": 1 << 21, "m": 256, "dtype": "float32", "band": 4096, "chunk": 4096,
     },
+    {
+        # streaming tier (BASELINE item 5's single-chip analog; the
+        # n=16M pod config is compile-validated in dryrun_multichip):
+        # bootstrap then timed incremental appends
+        "name": "streaming-f32-262144",
+        "streaming": True, "n": 1 << 18, "m": 256,
+        "append": 64, "rounds": 50,
+    },
 ]
+
+
+def run_streaming_benchmark(n: int, m: int, append: int, rounds: int,
+                            seed: int = 0, verbose: bool = False):
+    """Measure incremental-append throughput: bootstrap an n-point
+    profile, then time ``rounds`` appends of ``append`` points each.
+    Metric = appended-pairs/s (each append sweeps ~append * n pairs)."""
+    import time
+
+    from mpx.runtime import enable_compilation_cache
+    from mpx.streaming import StreamingMatrixProfile
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(seed)
+    T = np.cumsum(rng.standard_normal(n + append * rounds))
+    smp = StreamingMatrixProfile(T[:n], m=m, dtype="float32")
+    # warmup append compiles the bucket executable
+    smp.append(T[n : n + append])
+    t0 = time.time()
+    pos = n + append
+    for _ in range(rounds - 1):
+        smp.append(T[pos : pos + append])
+        pos += append
+    MP, _ = smp.profile()  # materialization syncs the device
+    wall = time.time() - t0
+    done = rounds - 1
+    pairs = sum(
+        (append + m - 1) * (n + append * (i + 1)) for i in range(1, rounds)
+    )
+    return {
+        "n": n,
+        "m": m,
+        "dtype": "float32",
+        "pairs": float(pairs),
+        "wall_s": wall,
+        "appends": done,
+        "append_ms": wall / done * 1e3,
+        "pairs_per_sec": pairs / wall,
+        "mp_head": np.asarray(MP[:4]).tolist(),
+    }
 
 
 def run_suite(names=None, verbose: bool = False) -> list:
@@ -144,14 +192,18 @@ def run_suite(names=None, verbose: bool = False) -> list:
     for cfg in SUITE:
         if names and cfg["name"] not in names:
             continue
-        kwargs = {k: v for k, v in cfg.items() if k not in ("name", "input")}
+        kwargs = {k: v for k, v in cfg.items()
+                  if k not in ("name", "input", "streaming")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 
             kwargs["input_path"] = dataset_path(cfg["input"], category="real")
         if verbose:
             print(f"# running {cfg['name']} ...", file=sys.stderr)
-        res = run_benchmark(verbose=verbose, **kwargs)
+        if cfg.get("streaming"):
+            res = run_streaming_benchmark(verbose=verbose, **kwargs)
+        else:
+            res = run_benchmark(verbose=verbose, **kwargs)
         res["name"] = cfg["name"]
         res["vs_baseline"] = res["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC
         res["provenance"] = _provenance()
