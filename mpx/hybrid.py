@@ -35,6 +35,7 @@ defaults to >= 4x the worst per-pair error measured over the
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -55,11 +56,33 @@ from mpx.utils.logging import Logger
 from mpx.utils.profile import phase as _phase
 
 
-def default_margin(m: int) -> float:
+# Matmul precision for the hybrid's f32 sweeps (passes A/B/C).  HIGH
+# (3-pass bf16) is ~1.4x faster than HIGHEST (6-pass) on the MXU and its
+# extra truncation error is a tight, m-independent ~2^-16: measured
+# max |P(HIGH) - P(HIGHEST)| = 1.597e-5 over EVERY valid pair of an
+# n=2^18 self-join (scripts/probe_high_diff_1m.py), matching the
+# 2e-5-ish bound from sampled-row probes at m in {64,256,512}
+# (scripts/probe_precision_error.py).  The margin absorbs it (below);
+# the rescoring stage is exact f64 either way, so results are identical.
+HYBRID_PRECISION = os.environ.get("MPX_HYBRID_PRECISION", "HIGH")
+_HIGH_TRUNC_BOUND = 2e-5
+
+
+def default_margin(m: int, precision: Optional[str] = None) -> float:
     """f32 sweep error budget: observed worst-case 2.4e-5 at m=256 over
-    5.5e11 pairs; linear-in-m scaling with a 4x safety factor and a
-    floor for small m."""
-    return max(1e-4, 4e-7 * m)
+    5.5e11 pairs at HIGHEST precision; linear-in-m scaling with a 4x
+    safety factor and a floor for small m.  Non-HIGHEST sweeps add 4x
+    the measured 3-pass truncation bound (see HYBRID_PRECISION)."""
+    precision = HYBRID_PRECISION if precision is None else precision
+    base = max(1e-4, 4e-7 * m)
+    if precision != "HIGHEST":
+        base += 4 * _HIGH_TRUNC_BOUND
+    return base
+
+
+def _prec(precision: Optional[str]):
+    """Static precision string -> jax enum (None = module default)."""
+    return None if precision is None else getattr(jax.lax.Precision, precision)
 
 
 def _merge_suspects_at(g: SuspectWindow, win: SuspectWindow, offset) -> SuspectWindow:
@@ -109,10 +132,11 @@ def _init_suspects(L: int) -> SuspectWindow:
     )
 
 
-@partial(jax.jit, static_argnames=("S", "W", "m", "w", "tr", "tc", "wc", "excl"))
+@partial(jax.jit, static_argnames=("S", "W", "m", "w", "tr", "tc", "wc",
+                                   "excl", "prec"))
 def _suspect_jobs_group(stats, thr, r0s, k0s, rows_g, cols_g, *, S, W, m, w,
                         tr, tc, wc=None, excl=None, stats_c=None,
-                        thr_col=None):
+                        thr_col=None, prec=None):
     """One dispatch group of the pass-B suspect sweep (all merges are
     associative: sum counts, min/max index capture)."""
     geom = band_geometry(S, W, m, w, tr, tc, wc=wc, excl=excl)
@@ -121,7 +145,8 @@ def _suspect_jobs_group(stats, thr, r0s, k0s, rows_g, cols_g, *, S, W, m, w,
         rows_g, cols_g = carry
         r0, k0 = job
         out = sweep_band_suspects(
-            stats, r0, k0, geom, jnp.float32, thr, stats_c, thr_col
+            stats, r0, k0, geom, jnp.float32, thr, stats_c, thr_col,
+            precision=_prec(prec),
         )
         rows_g = _merge_suspects_at(rows_g, out.row, r0)
         cols_g = _merge_suspects_at(cols_g, out.col, r0 + k0)
@@ -154,18 +179,134 @@ def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc,
         rows_g, cols_g = _suspect_jobs_group(
             stats, thr, jnp.asarray(gr), jnp.asarray(gk), rows_g, cols_g,
             S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
-            stats_c=stats_c, thr_col=thr_col,
+            stats_c=stats_c, thr_col=thr_col, prec=HYBRID_PRECISION,
         )
     if combine:
         return _fold_suspects(rows_g, cols_g, w=w)
     return rows_g, cols_g
 
 
-@partial(jax.jit, static_argnames=("S", "W", "m", "w", "tr", "tc", "wc", "excl"))
+@partial(jax.jit,
+         static_argnames=("S", "W", "m", "w", "tr", "tc", "wc", "excl", "F",
+                          "prec"))
+def _sparse_suspect_group(stats, thr, r0s, k0s, jrow_g, jcol_g, rows_g,
+                          cols_g, *, S, W, m, w, tr, tc, F,
+                          wc=None, excl=None, stats_c=None, thr_col=None,
+                          prec=None):
+    """One dispatch group of the SPARSE pass-B sweep: each job re-examines
+    only the rows/columns whose pass-A job maxima reach the threshold
+    (see mpx.kernels.mxu.sweep_band_suspects_sparse).  Jobs whose flagged
+    count exceeds F contribute nothing here and are reported in the
+    returned overflow mask for a dense re-sweep."""
+    from mpx.kernels.mxu import sweep_band_suspects_sparse
+
+    geom = band_geometry(S, W, m, w, tr, tc, wc=wc, excl=excl)
+
+    def body(carry, job):
+        rows_g, cols_g = carry
+        r0, k0, jrow, jcol = job
+        win_r, win_c, over = sweep_band_suspects_sparse(
+            stats, r0, k0, jrow, jcol, geom, thr, F, stats_c, thr_col,
+            precision=_prec(prec),
+        )
+        # Overflowed jobs are re-swept densely by the caller: drop their
+        # partial captures entirely so nothing double-counts.
+        keep_r = _init_suspects(S)
+        keep_c = _init_suspects(W)
+        win_r = jax.tree.map(
+            lambda a, b: jnp.where(over, b, a), win_r, keep_r
+        )
+        win_c = jax.tree.map(
+            lambda a, b: jnp.where(over, b, a), win_c, keep_c
+        )
+        rows_g = _merge_suspects_at(rows_g, win_r, r0)
+        cols_g = _merge_suspects_at(cols_g, win_c, r0 + k0)
+        return (rows_g, cols_g), over
+
+    (rows_g, cols_g), overs = jax.lax.scan(
+        body, (rows_g, cols_g), (r0s, k0s, jrow_g, jcol_g)
+    )
+    return rows_g, cols_g, overs
+
+
+def _sparse_ok(stats, width: int) -> bool:
+    """Sparse pass B needs the normalized-windows matrix (gathered row
+    panels) and f32-exact index encoding in its one-hot merges."""
+    return (
+        stats.windows is not None
+        and width < 2**23
+        and os.environ.get("MPX_HYBRID_SPARSE", "1") != "0"
+    )
+
+
+def _sparse_budget(S: int, W: int) -> int:
+    """Flagged-slot budget per job.  Expected flags per job are
+    ~(suspects-per-subsequence x S / jobs-per-row-axis) — tens at the
+    showcase geometry — but correlation plateaus (smooth data) inflate
+    them, so budget generously: the skinny matmuls are cheap and
+    overflow costs a dense job re-sweep."""
+    env = os.environ.get("MPX_SPARSE_BUDGET")
+    if env:
+        return min(S, W, int(env))
+    return min(S, W, max(256, (S + W) // 16))
+
+
+def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
+                            wc=None, excl=None, stats_c=None, thr_col=None,
+                            combine=True, profile=None):
+    """Sparse pass B: consume pass A's per-job maxima to skip all
+    unflagged rows/columns; densely re-sweep any job whose flag count
+    overflows the budget.  Same output contract as run_suspect_jobs."""
+    F = _sparse_budget(S, W)
+    Lr = w + S
+    Lc = (w if wc is None else wc) + W
+    rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
+    over_jobs = []
+    for gr, gk, jrow, jcol in cap_groups:
+        rows_g, cols_g, overs = _sparse_suspect_group(
+            stats, thr, gr, gk, jrow, jcol, rows_g, cols_g,
+            S=S, W=W, m=m, w=w, tr=tr, tc=tc, F=F,
+            wc=wc, excl=excl, stats_c=stats_c, thr_col=thr_col,
+            prec=HYBRID_PRECISION,
+        )
+        overs = np.asarray(overs)
+        if overs.any():
+            gr_h, gk_h = np.asarray(gr), np.asarray(gk)
+            over_jobs.append((gr_h[overs], gk_h[overs]))
+
+    if over_jobs:
+        ro = np.concatenate([r for r, _ in over_jobs])
+        ko = np.concatenate([k for _, k in over_jobs])
+        Logger.verbose_log(
+            f"hybrid sparse pass B: {ro.shape[0]} job(s) overflowed the "
+            f"flag budget F={F}; re-sweeping densely"
+        )
+        with _phase(profile, "2. Compute [mxu f32 pass B dense overflow]"):
+            for gr, gk in _job_groups(ro, ko, S, W, w):
+                rows_g, cols_g = _suspect_jobs_group(
+                    stats, thr, jnp.asarray(gr), jnp.asarray(gk),
+                    rows_g, cols_g,
+                    S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
+                    stats_c=stats_c, thr_col=thr_col, prec=HYBRID_PRECISION,
+                )
+
+    if combine:
+        return _fold_suspects(rows_g, cols_g, w=w)
+    return rows_g, cols_g
+
+
+@partial(jax.jit,
+         static_argnames=("S", "W", "m", "w", "tr", "tc", "wc", "excl",
+                          "capture", "prec"))
 def _max_jobs_group(stats, r0s, k0s, rmax, cmax, *, S, W, m, w, tr, tc,
-                    wc=None, excl=None, stats_c=None):
+                    wc=None, excl=None, stats_c=None, capture=False,
+                    prec=None):
     """One dispatch group of the pass-A value-only max sweep, merging
-    into carried (rmax, cmax) arrays (associative: groups in any order)."""
+    into carried (rmax, cmax) arrays (associative: groups in any order).
+
+    ``capture=True`` additionally stacks each job's raw per-row / per-col
+    maxima — the sparse pass B's skip oracle (a row whose job maximum
+    misses the threshold provably holds no suspect in that job)."""
     from mpx.kernels.mxu import sweep_band_max
 
     geom = band_geometry(S, W, m, w, tr, tc, wc=wc, excl=excl)
@@ -173,7 +314,8 @@ def _max_jobs_group(stats, r0s, k0s, rmax, cmax, *, S, W, m, w, tr, tc,
     def body(carry, job):
         rmax, cmax = carry
         r0, k0 = job
-        rv, cv = sweep_band_max(stats, r0, k0, geom, jnp.float32, stats_c)
+        rv, cv = sweep_band_max(stats, r0, k0, geom, jnp.float32, stats_c,
+                                precision=_prec(prec))
         rmax = jax.lax.dynamic_update_slice(
             rmax, jnp.maximum(jax.lax.dynamic_slice(rmax, (r0,), (S,)), rv), (r0,)
         )
@@ -181,9 +323,12 @@ def _max_jobs_group(stats, r0s, k0s, rmax, cmax, *, S, W, m, w, tr, tc,
         cmax = jax.lax.dynamic_update_slice(
             cmax, jnp.maximum(jax.lax.dynamic_slice(cmax, (c0,), (W,)), cv), (c0,)
         )
-        return (rmax, cmax), None
+        return (rmax, cmax), ((rv, cv) if capture else None)
 
-    return jax.lax.scan(body, (rmax, cmax), (r0s, k0s))[0]
+    carry, ys = jax.lax.scan(body, (rmax, cmax), (r0s, k0s))
+    if capture:
+        return carry, ys
+    return carry
 
 
 @partial(jax.jit, static_argnames=("w", "pw", "wc", "pwc", "combine"))
@@ -229,14 +374,18 @@ def _job_groups(r0s, k0s, S, W, w):
 
 
 def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
-                 wc=None, excl=None, pwc=None, stats_c=None, combine=True):
+                 wc=None, excl=None, pwc=None, stats_c=None, combine=True,
+                 capture=False):
     """Pass A: value-only max sweep over all jobs in watchdog-safe
     dispatch groups, folded into the suspect threshold(s).
 
     combine=True (self-join): one thr array over the shared subsequence
     axis.  combine=False (AB-join): separate (thr_rows, thr_cols) over
     the query/target axes, with stats_c/wc/excl carrying the AB geometry.
-    """
+
+    capture=True additionally returns the per-job maxima groups
+    [(r0s, k0s, jobrow (G,S), jobcol (G,W)), ...] (device-resident) for
+    the sparse pass B."""
     r0s = np.asarray(r0s, np.int32)
     k0s = np.asarray(k0s, np.int32)
     Lr = w + S
@@ -244,16 +393,26 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
     neg = jnp.float32(AGGREGATE_INIT)
     rmax = jnp.full((Lr,), neg, jnp.float32)
     cmax = jnp.full((Lc,), neg, jnp.float32)
+    cap_groups = []
     for gr, gk in _job_groups(r0s, k0s, S, W, w):
-        rmax, cmax = _max_jobs_group(
-            stats, jnp.asarray(gr), jnp.asarray(gk), rmax, cmax,
+        gr_d, gk_d = jnp.asarray(gr), jnp.asarray(gk)
+        out = _max_jobs_group(
+            stats, gr_d, gk_d, rmax, cmax,
             S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
-            stats_c=stats_c,
+            stats_c=stats_c, capture=capture, prec=HYBRID_PRECISION,
         )
-    return _build_thr(
+        if capture:
+            (rmax, cmax), (jrow, jcol) = out
+            cap_groups.append((gr_d, gk_d, jrow, jcol))
+        else:
+            rmax, cmax = out
+    thr = _build_thr(
         rmax, cmax, margin, w=w, pw=pw,
         wc=wc, pwc=pwc, combine=combine,
     )
+    if capture:
+        return thr, cap_groups
+    return thr
 
 
 @partial(jax.jit, static_argnames=("m", "w", "excl", "K", "CW", "side"))
@@ -307,7 +466,7 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
         P = jax.lax.dot_general(
             Uf, Uc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=getattr(jax.lax.Precision, HYBRID_PRECISION),
         )
         cols = c0 + jnp.arange(CW, dtype=jnp.int32)[None, :]
         delta = cols - flag_idx[:, None]
@@ -391,7 +550,8 @@ def run_max_jobs_sharded(stats, grid, margin, *, num_shards, S, W, m, w,
         rmax = jnp.full((Lr,), neg, jnp.float32)
         cmax = jnp.full((w + W,), neg, jnp.float32)
         rmax, cmax = _max_jobs_group(
-            st, r[0], k[0], rmax, cmax, S=S, W=W, m=m, w=w, tr=tr, tc=tc
+            st, r[0], k[0], rmax, cmax, S=S, W=W, m=m, w=w, tr=tr, tc=tc,
+            prec=HYBRID_PRECISION,
         )
         return rmax[None], cmax[None]
 
@@ -430,7 +590,7 @@ def run_suspect_jobs_sharded(stats, thr, grid, *, num_shards, S, W, m, w,
     def local(st, t, r, k):
         rows_g, cols_g = _suspect_jobs_group(
             st, t, r[0], k[0], _init_suspects(Lr), _init_suspects(Lc),
-            S=S, W=W, m=m, w=w, tr=tr, tc=tc,
+            S=S, W=W, m=m, w=w, tr=tr, tc=tc, prec=HYBRID_PRECISION,
         )
         expand = lambda sw: jax.tree.map(lambda a: a[None], sw)
         return expand(rows_g), expand(cols_g)
@@ -566,13 +726,26 @@ def compute_matrix_profile_f64_hybrid(
     pw = stats.mu.shape[0]
     shard_tag = f", sharded x{num_shards}" if num_shards > 1 else ""
 
-    # 3. Pass A: f32 value-only max sweep -> suspect threshold.
+    sparse = num_shards == 1 and _sparse_ok(stats, w)
+
+    # 3. Pass A: f32 value-only max sweep -> suspect threshold (the
+    #    sparse variant also captures each job's row/col maxima — the
+    #    pass-B skip oracle).
     with _phase(profile, f"2. Compute [mxu f32 pass A{shard_tag}]"):
+        cap = None
         if num_shards > 1:
             thr = run_max_jobs_sharded(
                 stats, grid, margin, num_shards=num_shards,
                 S=S, W=W, m=m, w=w,
                 tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+            )
+        elif sparse:
+            thr, cap = run_max_jobs(
+                stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                jnp.float32(margin),
+                S=S, W=W, m=m, w=w,
+                tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+                capture=True,
             )
         else:
             thr = run_max_jobs(
@@ -584,13 +757,21 @@ def compute_matrix_profile_f64_hybrid(
         jax.block_until_ready(thr)
 
     # 4. Pass B: suspect sweep against thr = gmax - 2*margin.
-    with _phase(profile, f"2. Compute [mxu f32 pass B suspects{shard_tag}]"):
+    pass_b_tag = "sparse" if sparse else "suspects"
+    with _phase(profile, f"2. Compute [mxu f32 pass B {pass_b_tag}{shard_tag}]"):
         if num_shards > 1:
             sus = run_suspect_jobs_sharded(
                 stats, thr, grid, num_shards=num_shards,
                 S=S, W=W, m=m, w=w,
                 tr=config.tile_rows, tc=config.tile_cols,
             )
+        elif sparse:
+            sus = run_suspect_jobs_sparse(
+                stats, thr, cap,
+                S=S, W=W, m=m, w=w,
+                tr=config.tile_rows, tc=config.tile_cols, profile=profile,
+            )
+            cap = None  # free the captured job maxima
         else:
             sus = run_suspect_jobs(
                 stats, thr, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
@@ -627,6 +808,12 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
         )
         # Sentinels (no suspect in that slot) -> -1: rescore returns init.
         cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
+        # Drop duplicate slots (cnt <= 2 rows repeat the same index in
+        # several capture slots): the host is single-core here, so the
+        # exact rescore is O(slots x m) — dedup cuts it ~2-4x.
+        for j in range(1, cand.shape[1]):
+            dup = (cand[:, :j] == cand[:, j : j + 1]).any(axis=1)
+            cand[dup & (cand[:, j] >= 0), j] = -1
         rows_idx = np.repeat(np.arange(wq, dtype=np.int32), cand.shape[1])
         P = rescore(rows_idx, cand.reshape(-1).astype(np.int32)).reshape(
             wq, cand.shape[1]
@@ -641,8 +828,50 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
             (bestP > AGGREGATE_INIT) & (bestI < 2**30), bestI, INDEX_INIT
         ).astype(np.int32)
 
-    # Escalation: > 4 suspects means the capture slots overflowed.
-    flagged = np.nonzero(cnt > 4)[0].astype(np.int32)
+    # Narrow-spread escalation: > 4 suspects, but every suspect lies in
+    # the captured index interval [mn1, mx1] by construction — when that
+    # interval is small (correlation plateaus: smooth data puts the
+    # near-maximal neighbors at consecutive offsets), rescoring the
+    # WHOLE interval exactly covers all suspects at O(spread) host work,
+    # no device pass C needed.
+    RUNCAP = 64
+    over4 = cnt > 4
+    mn1w = sus.mn1[:wq]
+    mx1w = sus.mx1[:wq]
+    spread = mx1w.astype(np.int64) - mn1w.astype(np.int64) + 1
+    narrow = over4 & (mn1w != int(SUSPECT_MIN_INIT)) & (spread <= RUNCAP)
+    nrows = np.nonzero(narrow)[0].astype(np.int32)
+    if nrows.size:
+        with _phase(profile, "3. Rescore [host f64 plateau runs]"):
+            base = mn1w[nrows]
+            runs = base[:, None] + np.arange(RUNCAP, dtype=np.int32)[None, :]
+            runs = np.where(runs <= mx1w[nrows][:, None], runs, -1)
+            # The interval endpoints are genuine suspects (valid side),
+            # but the interior may cross the trivial-match zone / side
+            # boundary — mask those entries before rescoring.
+            if excl > 0:
+                delta = runs - nrows[:, None]
+                if side > 0:
+                    ok_zone = delta >= excl
+                elif side < 0:
+                    ok_zone = -delta >= excl
+                else:
+                    ok_zone = np.abs(delta) >= excl
+                runs = np.where(ok_zone, runs, -1)
+            rP = rescore(
+                np.repeat(nrows, RUNCAP), runs.reshape(-1).astype(np.int32)
+            ).reshape(nrows.size, RUNCAP)
+            rbest = rP.max(axis=1)
+            rtie = rP >= rbest[:, None]
+            rcand = np.where(rtie & (runs >= 0), runs, np.int32(2**30))
+            ridx = rcand.min(axis=1)
+            bestP[nrows] = rbest
+            bestI[nrows] = np.where(
+                (rbest > AGGREGATE_INIT) & (ridx < 2**30), ridx, INDEX_INIT
+            ).astype(np.int32)
+
+    # Escalation: > 4 suspects spread too wide for interval rescoring.
+    flagged = np.nonzero(over4 & ~narrow)[0].astype(np.int32)
     if flagged.size:
         K, CW = 64, 16384
         pw = stats_q.mu.shape[0]
@@ -760,22 +989,47 @@ def compute_ab_join_f64_hybrid(
     pwa = stats_a.mu.shape[0]
     pwb = stats_b.mu.shape[0]
 
+    sparse = _sparse_ok(stats_a, max(wa, wb)) and stats_b.windows is not None
+
     with _phase(profile, "2. Compute [mxu f32 pass A]"):
-        thr_a, thr_b = run_max_jobs(
-            stats_a, r0s, k0s, jnp.float32(margin),
-            S=S, W=W, m=m, w=wa, tr=config.tile_rows, tc=config.tile_cols,
-            pw=pwa, wc=wb, excl=NO_EXCL, pwc=pwb, stats_c=stats_b,
-            combine=False,
-        )
+        cap = None
+        if sparse:
+            (thr_a, thr_b), cap = run_max_jobs(
+                stats_a, r0s, k0s, jnp.float32(margin),
+                S=S, W=W, m=m, w=wa, tr=config.tile_rows,
+                tc=config.tile_cols,
+                pw=pwa, wc=wb, excl=NO_EXCL, pwc=pwb, stats_c=stats_b,
+                combine=False, capture=True,
+            )
+        else:
+            thr_a, thr_b = run_max_jobs(
+                stats_a, r0s, k0s, jnp.float32(margin),
+                S=S, W=W, m=m, w=wa, tr=config.tile_rows,
+                tc=config.tile_cols,
+                pw=pwa, wc=wb, excl=NO_EXCL, pwc=pwb, stats_c=stats_b,
+                combine=False,
+            )
         jax.block_until_ready(thr_b)
 
-    with _phase(profile, "2. Compute [mxu f32 pass B suspects]"):
-        sus_a, sus_b = run_suspect_jobs(
-            stats_a, thr_a, r0s, k0s,
-            S=S, W=W, m=m, w=wa, tr=config.tile_rows, tc=config.tile_cols,
-            wc=wb, excl=NO_EXCL, stats_c=stats_b, thr_col=thr_b,
-            combine=False,
-        )
+    pass_b_tag = "sparse" if sparse else "suspects"
+    with _phase(profile, f"2. Compute [mxu f32 pass B {pass_b_tag}]"):
+        if sparse:
+            sus_a, sus_b = run_suspect_jobs_sparse(
+                stats_a, thr_a, cap,
+                S=S, W=W, m=m, w=wa, tr=config.tile_rows,
+                tc=config.tile_cols,
+                wc=wb, excl=NO_EXCL, stats_c=stats_b, thr_col=thr_b,
+                combine=False, profile=profile,
+            )
+            cap = None
+        else:
+            sus_a, sus_b = run_suspect_jobs(
+                stats_a, thr_a, r0s, k0s,
+                S=S, W=W, m=m, w=wa, tr=config.tile_rows,
+                tc=config.tile_cols,
+                wc=wb, excl=NO_EXCL, stats_c=stats_b, thr_col=thr_b,
+                combine=False,
+            )
         sus_a, sus_b = jax.device_get((sus_a, sus_b))
 
     mp_a, mpi_a = _resolve_side(
@@ -884,20 +1138,43 @@ def compute_left_right_f64_hybrid(
     r0s, k0s = jnp.asarray(grid.r0), jnp.asarray(grid.k0)
     pw = stats.mu.shape[0]
 
+    sparse = _sparse_ok(stats, w)
+
     with _phase(profile, "2. Compute [mxu f32 pass A]"):
-        thr_r, thr_c = run_max_jobs(
-            stats, r0s, k0s, jnp.float32(margin),
-            S=S, W=W, m=m, w=w, tr=config.tile_rows, tc=config.tile_cols,
-            pw=pw, pwc=pw, combine=False,
-        )
+        cap = None
+        if sparse:
+            (thr_r, thr_c), cap = run_max_jobs(
+                stats, r0s, k0s, jnp.float32(margin),
+                S=S, W=W, m=m, w=w, tr=config.tile_rows,
+                tc=config.tile_cols,
+                pw=pw, pwc=pw, combine=False, capture=True,
+            )
+        else:
+            thr_r, thr_c = run_max_jobs(
+                stats, r0s, k0s, jnp.float32(margin),
+                S=S, W=W, m=m, w=w, tr=config.tile_rows,
+                tc=config.tile_cols,
+                pw=pw, pwc=pw, combine=False,
+            )
         jax.block_until_ready(thr_c)
 
-    with _phase(profile, "2. Compute [mxu f32 pass B suspects]"):
-        sus_r, sus_c = run_suspect_jobs(
-            stats, thr_r, r0s, k0s,
-            S=S, W=W, m=m, w=w, tr=config.tile_rows, tc=config.tile_cols,
-            thr_col=thr_c, combine=False,
-        )
+    pass_b_tag = "sparse" if sparse else "suspects"
+    with _phase(profile, f"2. Compute [mxu f32 pass B {pass_b_tag}]"):
+        if sparse:
+            sus_r, sus_c = run_suspect_jobs_sparse(
+                stats, thr_r, cap,
+                S=S, W=W, m=m, w=w, tr=config.tile_rows,
+                tc=config.tile_cols,
+                thr_col=thr_c, combine=False, profile=profile,
+            )
+            cap = None
+        else:
+            sus_r, sus_c = run_suspect_jobs(
+                stats, thr_r, r0s, k0s,
+                S=S, W=W, m=m, w=w, tr=config.tile_rows,
+                tc=config.tile_cols,
+                thr_col=thr_c, combine=False,
+            )
         sus_r, sus_c = jax.device_get((sus_r, sus_c))
 
     rescore = lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c)

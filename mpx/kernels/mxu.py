@@ -68,13 +68,15 @@ def _panel(stats: Stats, o, count: int, m: int):
 
 
 def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt,
-                      stats_c: Stats | None = None):
+                      stats_c: Stats | None = None, precision=None):
     """The shared (S x W) correlation tile: unit-window panels -> MXU
     matmul -> validity mask.  Returns (P, valid, rows, cols).
 
     ``stats_c`` selects a different statistics set for the column axis
     (AB-joins: rows from A, columns from B; geom.excl < 0 and geom.wc
-    carry the AB semantics).  Default: self-join."""
+    carry the AB semantics).  Default: self-join.  ``precision``
+    overrides the module default (the hybrid tier sweeps at HIGH with a
+    correspondingly inflated margin; its rescoring is exact either way)."""
     S, W, m, w, excl = geom.S, geom.W, geom.m, geom.w, geom.excl
     Ur, fin_r = _panel(stats, r0, S, m)
     Uc, fin_c = _panel(stats if stats_c is None else stats_c, c0, W, m)
@@ -86,7 +88,7 @@ def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt,
         Uc,
         (((1,), (1,)), ((), ())),
         preferred_element_type=dt,
-        precision=_PRECISION,
+        precision=_PRECISION if precision is None else precision,
     )
 
     rows = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]
@@ -113,7 +115,10 @@ def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
     # XLA fuses the mask/eq/where into the reduction reads; this measures
     # ~40% faster end-to-end than jnp.argmax + gather on TPU (argmax
     # lowers poorly along the minor axis).  Tie-break = smallest index =
-    # argmax's first-occurrence semantics.
+    # argmax's first-occurrence semantics.  (A hand-tiled scan epilogue
+    # that folds every reduction into one read of P was measured NOT
+    # faster — XLA's multi-output fusion already shares the reads — and
+    # compiles far slower, so it was dropped.)
     big = np.int32(2**30)
     row_v = jnp.max(Pm, axis=1)
     ri = jnp.min(jnp.where(Pm == row_v[:, None], cols, big), axis=1)
@@ -128,7 +133,7 @@ def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
 
 
 def sweep_band_max(stats: Stats, r0, k0, geom: BandGeometry, dtype,
-                   stats_c: Stats | None = None):
+                   stats_c: Stats | None = None, precision=None):
     """Value-only band sweep: per-row and per-column max correlation,
     no argmax.  Pass A of the hybrid tier needs only the maxima (to set
     the suspect threshold); dropping the two tie-index reductions saves
@@ -136,7 +141,8 @@ def sweep_band_max(stats: Stats, r0, k0, geom: BandGeometry, dtype,
     dt = jnp.dtype(dtype)
     init_v = jnp.asarray(AGGREGATE_INIT, dt)
     c0 = r0 + k0
-    P, valid, _, _ = _job_correlations(stats, r0, c0, geom, dt, stats_c)
+    P, valid, _, _ = _job_correlations(stats, r0, c0, geom, dt, stats_c,
+                                       precision)
     Pm = jnp.where(valid, P, init_v)
     return jnp.max(Pm, axis=1), jnp.max(Pm, axis=0)
 
@@ -178,9 +184,143 @@ def _suspect_reduce(mask, idx, axis) -> SuspectWindow:
     return SuspectWindow(cnt, mn1, mn2, mx1, mx2)
 
 
+def _dense_merge_cols(idx, win: SuspectWindow, F: int, L: int) -> SuspectWindow:
+    """Scatter a gathered (F,) suspect summary back to a dense (L,)
+    window (init elsewhere) via a one-hot matmul — MXU-friendly, exact
+    because slot indices are unique and every encoded integer is < 2^24.
+
+    Index fields are shifted by +1 so 0 means "missing": the max-merged
+    fields' init is already -1 (-> 0), the min-merged fields' init
+    (2^30, not f32-exact) is mapped to 0 explicitly."""
+    enc_mn = lambda v: jnp.where(v == SUSPECT_MIN_INIT, 0, v + 1)
+    enc_mx = lambda v: v + 1  # SUSPECT_MAX_INIT == -1 -> 0
+    M = jnp.stack(
+        [
+            win.cnt,
+            enc_mn(win.mn1),
+            enc_mn(win.mn2),
+            enc_mx(win.mx1),
+            enc_mx(win.mx2),
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # (F, 5)
+    onehot = (idx[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :])
+    D = jax.lax.dot_general(
+        onehot.astype(jnp.float32), M, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (L, 5)
+    dec_mn = lambda v: jnp.where(v > 0, v - 1, SUSPECT_MIN_INIT)
+    dec_mx = lambda v: v - 1
+    return SuspectWindow(
+        cnt=D[:, 0],
+        mn1=dec_mn(D[:, 1]),
+        mn2=dec_mn(D[:, 2]),
+        mx1=dec_mx(D[:, 3]),
+        mx2=dec_mx(D[:, 4]),
+    )
+
+
+def sweep_band_suspects_sparse(
+    stats: Stats, r0, k0, jrow: jax.Array, jcol: jax.Array,
+    geom: BandGeometry, thr: jax.Array, F: int,
+    stats_c: Stats | None = None, thr_col: jax.Array | None = None,
+    precision=None,
+):
+    """Sparse pass-B job: re-examine ONLY the rows/columns whose pass-A
+    per-job maxima (``jrow`` (S,), ``jcol`` (W,)) reach the suspect
+    threshold.  A row below its threshold provably contains no suspect
+    in this job (its job maximum already falls short), so the dense
+    (S x W) re-sweep collapses to two skinny gathered matmuls of at most
+    ``F`` flagged rows / columns.
+
+    Returns (dense (S,) row window, dense (W,) col window, overflow) —
+    init values everywhere unflagged; ``overflow`` is True when more
+    than F rows or columns were flagged (the caller must then re-sweep
+    the whole job densely; the sparse windows are still returned but
+    carry only the first F slots' captures)."""
+    dt = jnp.float32
+    S, W, m, w, excl, wc = geom.S, geom.W, geom.m, geom.w, geom.excl, geom.wc
+    st_c = stats if stats_c is None else stats_c
+    thr_c_arr = thr if thr_col is None else thr_col
+    c0 = r0 + k0
+    pw_r = stats.inv.shape[0]
+    pw_c = st_c.inv.shape[0]
+
+    thr_r = jax.lax.dynamic_slice(thr, (r0,), (S,))
+    thr_cw = jax.lax.dynamic_slice(thr_c_arr, (c0,), (W,))
+    flags_r = jrow >= thr_r
+    flags_c = jcol >= thr_cw
+    over = (jnp.sum(flags_r, dtype=jnp.int32) > F) | (
+        jnp.sum(flags_c, dtype=jnp.int32) > F
+    )
+
+    (idx_r,) = jnp.nonzero(flags_r, size=F, fill_value=S)
+    (idx_c,) = jnp.nonzero(flags_c, size=F, fill_value=W)
+    pad_r = idx_r < S
+    pad_c = idx_c < W
+    rows_f = r0 + jnp.where(pad_r, idx_r, 0)
+    cols_f = c0 + jnp.where(pad_c, idx_c, 0)
+
+    # Gathered operand panels (F, m) + thresholds for the flagged slots.
+    gather = lambda st, ix, cap: jnp.take(
+        st.windows, jnp.minimum(ix, cap - 1), axis=0
+    )
+    Uf_r = gather(stats, rows_f, pw_r)
+    Uf_c = gather(st_c, cols_f, pw_c)
+    fin_fr = jnp.isfinite(stats.inv[jnp.minimum(rows_f, pw_r - 1)]) & pad_r
+    fin_fc = jnp.isfinite(st_c.inv[jnp.minimum(cols_f, pw_c - 1)]) & pad_c
+    thr_fr = jnp.where(pad_r, thr_r[jnp.minimum(idx_r, S - 1)], jnp.inf)
+    thr_fc = jnp.where(pad_c, thr_cw[jnp.minimum(idx_c, W - 1)], jnp.inf)
+
+    # Dense opposite-side panels (same operands the dense sweep reads).
+    Uc, fin_c = _panel(st_c, c0, W, m)
+    Ur, fin_r = _panel(stats, r0, S, m)
+
+    dot = lambda A, B: jax.lax.dot_general(
+        A, B, (((1,), (1,)), ((), ())),
+        preferred_element_type=dt,
+        precision=_PRECISION if precision is None else precision,
+    )
+
+    # Row side: flagged rows x all W columns.
+    P_r = dot(Uf_r, Uc)  # (F, W)
+    cols_w = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
+    delta_r = cols_w - rows_f[:, None]
+    valid_r = (
+        (delta_r >= excl)
+        & (rows_f[:, None] <= w - 1)
+        & (cols_w <= wc - 1)
+        & fin_fr[:, None]
+        & fin_c[None, :]
+    )
+    hit_r = valid_r & (P_r >= thr_fr[:, None])
+    win_r = _suspect_reduce(hit_r, jnp.broadcast_to(cols_w, (F, W)), axis=1)
+
+    # Column side: flagged columns x all S rows.
+    P_c = dot(Uf_c, Ur)  # (F, S)
+    rows_w = r0 + jnp.arange(S, dtype=jnp.int32)[None, :]
+    delta_c = cols_f[:, None] - rows_w
+    valid_c = (
+        (delta_c >= excl)
+        & (rows_w <= w - 1)
+        & (cols_f[:, None] <= wc - 1)
+        & fin_fc[:, None]
+        & fin_r[None, :]
+    )
+    hit_c = valid_c & (P_c >= thr_fc[:, None])
+    win_c = _suspect_reduce(hit_c, jnp.broadcast_to(rows_w, (F, S)), axis=1)
+
+    return (
+        _dense_merge_cols(idx_r, win_r, F, S),
+        _dense_merge_cols(idx_c, win_c, F, W),
+        over,
+    )
+
+
 def sweep_band_suspects(
     stats: Stats, r0, k0, geom: BandGeometry, dtype, thr: jax.Array,
     stats_c: Stats | None = None, thr_col: jax.Array | None = None,
+    precision=None,
 ) -> SuspectOut:
     """Stage-2 sweep of the hybrid double tier: recompute the f32
     correlation tile and summarize, per subsequence, every pair whose
@@ -193,7 +333,8 @@ def sweep_band_suspects(
     dt = jnp.dtype(dtype)
     c0 = r0 + k0
     S, W = geom.S, geom.W
-    P, valid, rows, cols = _job_correlations(stats, r0, c0, geom, dt, stats_c)
+    P, valid, rows, cols = _job_correlations(stats, r0, c0, geom, dt, stats_c,
+                                             precision)
     thr_r = jax.lax.dynamic_slice(thr, (r0,), (S,))
     thr_c = jax.lax.dynamic_slice(
         thr if thr_col is None else thr_col, (c0,), (W,)

@@ -255,6 +255,13 @@ def test_hybrid_grouped_passes(monkeypatch):
 
 
 def test_default_margin_scales_with_m():
-    assert default_margin(16) == pytest.approx(1e-4)
-    assert default_margin(256) == pytest.approx(1.024e-4)
-    assert default_margin(4096) == pytest.approx(4096 * 4e-7)
+    # HIGHEST-precision base margin
+    assert default_margin(16, "HIGHEST") == pytest.approx(1e-4)
+    assert default_margin(256, "HIGHEST") == pytest.approx(1.024e-4)
+    assert default_margin(4096, "HIGHEST") == pytest.approx(4096 * 4e-7)
+    # non-HIGHEST sweeps add 4x the measured 3-pass truncation bound
+    assert default_margin(256, "HIGH") == pytest.approx(1.024e-4 + 8e-5)
+    # the module default matches the configured hybrid precision
+    from mpx.hybrid import HYBRID_PRECISION
+
+    assert default_margin(256) == default_margin(256, HYBRID_PRECISION)
