@@ -8,20 +8,26 @@ work in fast f32 on the MXU:
 
 1. **Pass A** — the standard f32 max/argmax sweep (mpx.driver.run_jobs)
    yields each subsequence's maximum f32 correlation ``gmax32``.
-2. **Pass B** — a second f32 sweep (sweep_band_suspects) counts, per
-   subsequence, every valid pair whose correlation reaches
-   ``thr = gmax32 - margin`` and captures the two smallest and two
-   largest such neighbor indices (associative sum/min/max merges; the
-   job grid covers each pair exactly once).
-3. **Rescore** — the captured suspects (<= 4 per subsequence) are
-   rescored exactly in f64 on the host (native C++ or numpy; device
-   gathers in emulated f64 are pathologically slow).
-4. **Escalate** — subsequences with more than 4 suspects (correlation
-   plateaus, repeated motifs) get a device pass C: their full profile
-   row is recomputed blockwise on the MXU and the top-K=64 entries are
-   rescored, with an on-device coverage count proving all suspects were
-   captured.  Only a count > K (pathologically tied data) falls back to
-   an exact f64 host scan of the whole row.
+2. **Pass B** — a SPARSE second sweep: pass A also records each job's
+   per-row/per-column maxima, so only the rows/columns whose job
+   maximum reaches ``thr = gmax32 - margin`` are re-examined (skinny
+   gathered matmuls; sweep_band_suspects_sparse), counting every valid
+   pair at the threshold and capturing the SUSPECT_K smallest and
+   largest such neighbor indices (associative merges; the job grid
+   covers each pair exactly once).  Jobs overflowing the flag budget
+   fall back to the dense sweep (sweep_band_suspects), which is also
+   used by the multi-chip sharded path.
+3. **Rescore** — the captured suspects (<= 2*SUSPECT_K per
+   subsequence) are rescored exactly in f64 on the host (native C++ or
+   numpy; device gathers in emulated f64 are pathologically slow).
+4. **Escalate** — subsequences whose count overflows the capture slots
+   resolve by exact interval rescoring when the captured index bracket
+   is narrow (correlation plateaus); the rest get a device pass C:
+   their full profile row is recomputed blockwise on the MXU and the
+   top-K=64 entries are rescored, with an on-device coverage count
+   proving all suspects were captured.  Only a count > K
+   (pathologically tied data) falls back to an exact f64 host scan of
+   the whole row.
 
 Correctness is deterministic given the f32 error bound ``margin``: with
 ``|P32 - P64| <= margin`` for every pair, the true f64 argmax c* has
@@ -47,6 +53,7 @@ from mpx.config import MatrixProfileConfig, make_job_grid
 from mpx.dtypes import AGGREGATE_INIT, INDEX_INIT
 from mpx.kernels import band_geometry
 from mpx.kernels.mxu import (
+    SUSPECT_K,
     SUSPECT_MAX_INIT,
     SUSPECT_MIN_INIT,
     SuspectWindow,
@@ -85,50 +92,42 @@ def _prec(precision: Optional[str]):
     return None if precision is None else getattr(jax.lax.Precision, precision)
 
 
-def _merge_suspects_at(g: SuspectWindow, win: SuspectWindow, offset) -> SuspectWindow:
-    """Merge a job's suspect window into the global arrays at ``offset``.
-
-    cnt adds; (mn1, mn2) keep the two smallest of the union; (mx1, mx2)
-    the two largest — all associative, so job order never matters."""
-    size = win.cnt.shape[0]
-    sl = lambda a: jax.lax.dynamic_slice(a, (offset,), (size,))
-    upd = lambda a, v: jax.lax.dynamic_update_slice(a, v, (offset,))
-
-    cnt = sl(g.cnt) + win.cnt
-    g1, g2 = sl(g.mn1), sl(g.mn2)
-    mn1 = jnp.minimum(g1, win.mn1)
-    mn2 = jnp.minimum(jnp.maximum(g1, win.mn1), jnp.minimum(g2, win.mn2))
-    h1, h2 = sl(g.mx1), sl(g.mx2)
-    mx1 = jnp.maximum(h1, win.mx1)
-    mx2 = jnp.maximum(jnp.minimum(h1, win.mx1), jnp.maximum(h2, win.mx2))
+def _combine_suspects(a: SuspectWindow, b: SuspectWindow) -> SuspectWindow:
+    """Elementwise merge of two suspect summaries over the same axis:
+    cnt adds; the k-smallest (k-largest) of the union come out of a
+    sort over the 2k concatenated candidates — associative, so job /
+    side order never matters."""
+    K = SUSPECT_K
+    mn = jnp.sort(jnp.concatenate([a.mn, b.mn], axis=-1), axis=-1)[..., :K]
+    mx = jnp.sort(jnp.concatenate([a.mx, b.mx], axis=-1), axis=-1)[..., -K:]
     return SuspectWindow(
-        cnt=upd(g.cnt, cnt),
-        mn1=upd(g.mn1, mn1),
-        mn2=upd(g.mn2, mn2),
-        mx1=upd(g.mx1, mx1),
-        mx2=upd(g.mx2, mx2),
+        cnt=a.cnt + b.cnt,
+        mn=mn,
+        mx=mx[..., ::-1],  # keep descending order (largest first)
     )
 
 
-def _combine_suspects(a: SuspectWindow, b: SuspectWindow) -> SuspectWindow:
-    """Elementwise merge of two suspect summaries over the same axis
-    (used to fold a self-join's row- and column-side summaries)."""
+def _merge_suspects_at(g: SuspectWindow, win: SuspectWindow, offset) -> SuspectWindow:
+    """Merge a job's suspect window into the global arrays at ``offset``."""
+    size = win.cnt.shape[0]
+    zero = np.int32(0)
+    sl1 = lambda a: jax.lax.dynamic_slice(a, (offset,), (size,))
+    sl2 = lambda a: jax.lax.dynamic_slice(a, (offset, zero), (size, SUSPECT_K))
+    merged = _combine_suspects(
+        SuspectWindow(cnt=sl1(g.cnt), mn=sl2(g.mn), mx=sl2(g.mx)), win
+    )
     return SuspectWindow(
-        cnt=a.cnt + b.cnt,
-        mn1=jnp.minimum(a.mn1, b.mn1),
-        mn2=jnp.minimum(jnp.maximum(a.mn1, b.mn1), jnp.minimum(a.mn2, b.mn2)),
-        mx1=jnp.maximum(a.mx1, b.mx1),
-        mx2=jnp.maximum(jnp.minimum(a.mx1, b.mx1), jnp.maximum(a.mx2, b.mx2)),
+        cnt=jax.lax.dynamic_update_slice(g.cnt, merged.cnt, (offset,)),
+        mn=jax.lax.dynamic_update_slice(g.mn, merged.mn, (offset, zero)),
+        mx=jax.lax.dynamic_update_slice(g.mx, merged.mx, (offset, zero)),
     )
 
 
 def _init_suspects(L: int) -> SuspectWindow:
     return SuspectWindow(
         cnt=jnp.zeros((L,), jnp.int32),
-        mn1=jnp.full((L,), SUSPECT_MIN_INIT, jnp.int32),
-        mn2=jnp.full((L,), SUSPECT_MIN_INIT, jnp.int32),
-        mx1=jnp.full((L,), SUSPECT_MAX_INIT, jnp.int32),
-        mx2=jnp.full((L,), SUSPECT_MAX_INIT, jnp.int32),
+        mn=jnp.full((L, SUSPECT_K), SUSPECT_MIN_INIT, jnp.int32),
+        mx=jnp.full((L, SUSPECT_K), SUSPECT_MAX_INIT, jnp.int32),
     )
 
 
@@ -244,11 +243,13 @@ def _sparse_budget(S: int, W: int) -> int:
     ~(suspects-per-subsequence x S / jobs-per-row-axis) — tens at the
     showcase geometry — but correlation plateaus (smooth data) inflate
     them, so budget generously: the skinny matmuls are cheap and
-    overflow costs a dense job re-sweep."""
+    overflow costs a dense job re-sweep.  Measured at the 1M showcase
+    geometry (S=4096, W=16384): flags/job mean 67, p99 225, max 437 —
+    budget 640 leaves ~1.5x headroom over the observed max."""
     env = os.environ.get("MPX_SPARSE_BUDGET")
     if env:
         return min(S, W, int(env))
-    return min(S, W, max(256, (S + W) // 16))
+    return min(S, W, max(256, (S + W) // 32))
 
 
 def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
@@ -803,8 +804,10 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
     SuspectWindow over the query axis (length >= wq)."""
     with _phase(profile, "3. Rescore [host f64]"):
         cnt = sus.cnt[:wq]
-        cand = np.stack(
-            [sus.mn1[:wq], sus.mn2[:wq], sus.mx2[:wq], sus.mx1[:wq]], axis=1
+        # All 2*SUSPECT_K capture slots, ascending: k smallest then the
+        # k largest (descending storage reversed).
+        cand = np.concatenate(
+            [sus.mn[:wq], sus.mx[:wq][:, ::-1]], axis=1
         )
         # Sentinels (no suspect in that slot) -> -1: rescore returns init.
         cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
@@ -828,16 +831,16 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
             (bestP > AGGREGATE_INIT) & (bestI < 2**30), bestI, INDEX_INIT
         ).astype(np.int32)
 
-    # Narrow-spread escalation: > 4 suspects, but every suspect lies in
-    # the captured index interval [mn1, mx1] by construction — when that
-    # interval is small (correlation plateaus: smooth data puts the
-    # near-maximal neighbors at consecutive offsets), rescoring the
-    # WHOLE interval exactly covers all suspects at O(spread) host work,
-    # no device pass C needed.
+    # Narrow-spread escalation: capture-slot overflow (cnt > 2K), but
+    # every suspect lies in the captured index interval [mn1, mx1] by
+    # construction — when that interval is small (correlation plateaus:
+    # smooth data puts the near-maximal neighbors at consecutive
+    # offsets), rescoring the WHOLE interval exactly covers all suspects
+    # at O(spread) host work, no device pass C needed.
     RUNCAP = 64
-    over4 = cnt > 4
-    mn1w = sus.mn1[:wq]
-    mx1w = sus.mx1[:wq]
+    over4 = cnt > cand.shape[1]
+    mn1w = sus.mn[:wq, 0]
+    mx1w = sus.mx[:wq, 0]
     spread = mx1w.astype(np.int64) - mn1w.astype(np.int64) + 1
     narrow = over4 & (mn1w != int(SUSPECT_MIN_INIT)) & (spread <= RUNCAP)
     nrows = np.nonzero(narrow)[0].astype(np.int32)
@@ -870,7 +873,7 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
                 (rbest > AGGREGATE_INIT) & (ridx < 2**30), ridx, INDEX_INIT
             ).astype(np.int32)
 
-    # Escalation: > 4 suspects spread too wide for interval rescoring.
+    # Escalation: capture overflow spread too wide for interval rescoring.
     flagged = np.nonzero(over4 & ~narrow)[0].astype(np.int32)
     if flagged.size:
         K, CW = 64, 16384

@@ -152,18 +152,24 @@ SUSPECT_MIN_INIT = np.int32(2**30)
 SUSPECT_MAX_INIT = np.int32(-1)
 
 
+# Suspect capture width per side: the K smallest and K largest suspect
+# indices are kept per subsequence, so any count <= 2K is captured
+# completely (measured at the 1M showcase: cnt <= 8 covers 99.96% of
+# the >4-suspect rows, cutting the device pass C to a few hundred rows).
+SUSPECT_K = 4
+
+
 class SuspectWindow(NamedTuple):
     """Per-subsequence suspect summary over one job's rows or columns:
     how many valid pairs reach the caller-provided correlation threshold,
-    plus the two smallest and two largest neighbor indices among them.
-    All five fields merge associatively across jobs (sum / min / max),
-    so the captured set is exact whenever the global count is <= 4."""
+    plus the SUSPECT_K smallest (mn, ascending) and SUSPECT_K largest
+    (mx, descending) neighbor indices among them.  All fields merge
+    associatively across jobs (sum / k-smallest / k-largest), so the
+    captured set is exact whenever the global count is <= 2*SUSPECT_K."""
 
     cnt: jax.Array  # (k,) int32 number of suspects
-    mn1: jax.Array  # (k,) int32 smallest suspect index (SUSPECT_MIN_INIT if none)
-    mn2: jax.Array  # (k,) int32 second smallest
-    mx1: jax.Array  # (k,) int32 largest (SUSPECT_MAX_INIT if none)
-    mx2: jax.Array  # (k,) int32 second largest
+    mn: jax.Array   # (k, SUSPECT_K) int32 ascending (SUSPECT_MIN_INIT pad)
+    mx: jax.Array   # (k, SUSPECT_K) int32 descending (SUSPECT_MAX_INIT pad)
 
 
 class SuspectOut(NamedTuple):
@@ -175,13 +181,15 @@ def _suspect_reduce(mask, idx, axis) -> SuspectWindow:
     cnt = jnp.sum(mask, axis=axis, dtype=jnp.int32)
     lo = jnp.where(mask, idx, SUSPECT_MIN_INIT)
     hi = jnp.where(mask, idx, SUSPECT_MAX_INIT)
-    mn1 = jnp.min(lo, axis=axis)
-    mx1 = jnp.max(hi, axis=axis)
-    mn1k = jnp.expand_dims(mn1, axis)
-    mx1k = jnp.expand_dims(mx1, axis)
-    mn2 = jnp.min(jnp.where(idx == mn1k, SUSPECT_MIN_INIT, lo), axis=axis)
-    mx2 = jnp.max(jnp.where(idx == mx1k, SUSPECT_MAX_INIT, hi), axis=axis)
-    return SuspectWindow(cnt, mn1, mn2, mx1, mx2)
+    mns, mxs = [], []
+    for _ in range(SUSPECT_K):
+        mn_k = jnp.min(lo, axis=axis)
+        mx_k = jnp.max(hi, axis=axis)
+        mns.append(mn_k)
+        mxs.append(mx_k)
+        lo = jnp.where(idx == jnp.expand_dims(mn_k, axis), SUSPECT_MIN_INIT, lo)
+        hi = jnp.where(idx == jnp.expand_dims(mx_k, axis), SUSPECT_MAX_INIT, hi)
+    return SuspectWindow(cnt, jnp.stack(mns, -1), jnp.stack(mxs, -1))
 
 
 def _dense_merge_cols(idx, win: SuspectWindow, F: int, L: int) -> SuspectWindow:
@@ -192,31 +200,22 @@ def _dense_merge_cols(idx, win: SuspectWindow, F: int, L: int) -> SuspectWindow:
     Index fields are shifted by +1 so 0 means "missing": the max-merged
     fields' init is already -1 (-> 0), the min-merged fields' init
     (2^30, not f32-exact) is mapped to 0 explicitly."""
-    enc_mn = lambda v: jnp.where(v == SUSPECT_MIN_INIT, 0, v + 1)
-    enc_mx = lambda v: v + 1  # SUSPECT_MAX_INIT == -1 -> 0
-    M = jnp.stack(
-        [
-            win.cnt,
-            enc_mn(win.mn1),
-            enc_mn(win.mn2),
-            enc_mx(win.mx1),
-            enc_mx(win.mx2),
-        ],
-        axis=1,
-    ).astype(jnp.float32)  # (F, 5)
+    K = SUSPECT_K
+    enc_mn = jnp.where(win.mn == SUSPECT_MIN_INIT, 0, win.mn + 1)
+    enc_mx = win.mx + 1  # SUSPECT_MAX_INIT == -1 -> 0
+    M = jnp.concatenate(
+        [win.cnt[:, None], enc_mn, enc_mx], axis=1
+    ).astype(jnp.float32)  # (F, 1 + 2K)
     onehot = (idx[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :])
     D = jax.lax.dot_general(
         onehot.astype(jnp.float32), M, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)  # (L, 5)
-    dec_mn = lambda v: jnp.where(v > 0, v - 1, SUSPECT_MIN_INIT)
-    dec_mx = lambda v: v - 1
+    ).astype(jnp.int32)  # (L, 1 + 2K)
+    mn = D[:, 1 : 1 + K]
     return SuspectWindow(
         cnt=D[:, 0],
-        mn1=dec_mn(D[:, 1]),
-        mn2=dec_mn(D[:, 2]),
-        mx1=dec_mx(D[:, 3]),
-        mx2=dec_mx(D[:, 4]),
+        mn=jnp.where(mn > 0, mn - 1, SUSPECT_MIN_INIT),
+        mx=D[:, 1 + K :] - 1,
     )
 
 

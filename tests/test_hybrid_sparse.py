@@ -63,7 +63,7 @@ def test_sparse_suspects_match_dense(n, m, band, chunk):
     T = random_walk(n, seed=5)
     dense = _suspect_sets(T, m, band, chunk, sparse=False)
     sparse = _suspect_sets(T, m, band, chunk, sparse=True)
-    for field in ("cnt", "mn1", "mn2", "mx1", "mx2"):
+    for field in ("cnt", "mn", "mx"):
         np.testing.assert_array_equal(
             np.asarray(getattr(sparse, field)),
             np.asarray(getattr(dense, field)),
@@ -78,7 +78,7 @@ def test_sparse_budget_overflow_falls_back_dense(monkeypatch):
     T = random_walk(512, seed=9)
     dense = _suspect_sets(T, 16, 64, 128, sparse=False)
     sparse = _suspect_sets(T, 16, 64, 128, sparse=True)
-    for field in ("cnt", "mn1", "mn2", "mx1", "mx2"):
+    for field in ("cnt", "mn", "mx"):
         np.testing.assert_array_equal(
             np.asarray(getattr(sparse, field)),
             np.asarray(getattr(dense, field)),
