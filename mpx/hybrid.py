@@ -92,18 +92,35 @@ def _prec(precision: Optional[str]):
     return None if precision is None else getattr(jax.lax.Precision, precision)
 
 
+def _merge_sorted_k(a, b, ascending: bool):
+    """First-K merge of two sorted (..., K) vectors via the merge-path
+    identity ``merged[i] = max_{j+k=i} min(a[j], b[k])`` (min/max swap
+    for descending) — pure elementwise column ops, no lane shuffles.
+    Measured ~2x cheaper than a concat + minor-axis sort on TPU (the
+    VPU sorts the minor axis pathologically; scripts/probe_carry.py)."""
+    K = a.shape[-1]
+    inner, outer = (
+        (jnp.minimum, jnp.maximum) if ascending else (jnp.maximum, jnp.minimum)
+    )
+    cols = []
+    for i in range(K):
+        terms = [inner(a[..., j], b[..., i - j]) for j in range(i + 1)]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = outer(acc, t)
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
+
+
 def _combine_suspects(a: SuspectWindow, b: SuspectWindow) -> SuspectWindow:
     """Elementwise merge of two suspect summaries over the same axis:
-    cnt adds; the k-smallest (k-largest) of the union come out of a
-    sort over the 2k concatenated candidates — associative, so job /
+    cnt adds; the k-smallest (k-largest) of the union come from a
+    merge network over the two sorted K-vectors — associative, so job /
     side order never matters."""
-    K = SUSPECT_K
-    mn = jnp.sort(jnp.concatenate([a.mn, b.mn], axis=-1), axis=-1)[..., :K]
-    mx = jnp.sort(jnp.concatenate([a.mx, b.mx], axis=-1), axis=-1)[..., -K:]
     return SuspectWindow(
         cnt=a.cnt + b.cnt,
-        mn=mn,
-        mx=mx[..., ::-1],  # keep descending order (largest first)
+        mn=_merge_sorted_k(a.mn, b.mn, ascending=True),
+        mx=_merge_sorted_k(a.mx, b.mx, ascending=False),
     )
 
 
@@ -252,28 +269,105 @@ def _sparse_budget(S: int, W: int) -> int:
     return min(S, W, max(256, (S + W) // 32))
 
 
+@partial(jax.jit, static_argnames=("S", "W"))
+def _flag_counts(thr, thr_col, r0s, k0s, jrow_g, jcol_g, *, S, W):
+    """Exact per-job flagged row/column counts from pass A's captured
+    maxima — the same comparisons the sparse kernel performs, so the
+    tier routing below can never overflow a tier's panel budget."""
+
+    def per_job(r0, k0, jrow, jcol):
+        tr_ = jax.lax.dynamic_slice(thr, (r0,), (S,))
+        tc_ = jax.lax.dynamic_slice(thr_col, (r0 + k0,), (W,))
+        nr = jnp.sum(jrow >= tr_, dtype=jnp.int32)
+        nc = jnp.sum(jcol >= tc_, dtype=jnp.int32)
+        return jnp.maximum(nr, nc)
+
+    return jax.vmap(per_job)(r0s, k0s, jrow_g, jcol_g)
+
+
+def _sparse_tiers(F2: int) -> list:
+    """Panel-width tiers (ascending).  Per-job sparse work is
+    proportional to F, and at the showcase geometry the per-job flag
+    counts are heavily skewed (mean 67, p99 225 with F2=640), so
+    running each job at the smallest sufficient F cuts pass B ~2-3x
+    versus one maximal panel."""
+    return sorted({min(64, F2), min(256, F2), F2})
+
+
 def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
                             wc=None, excl=None, stats_c=None, thr_col=None,
                             combine=True, profile=None):
     """Sparse pass B: consume pass A's per-job maxima to skip all
-    unflagged rows/columns; densely re-sweep any job whose flag count
-    overflows the budget.  Same output contract as run_suspect_jobs."""
-    F = _sparse_budget(S, W)
+    unflagged rows/columns.  Jobs are routed to the smallest panel tier
+    that fits their exact flag count (computed on device from the same
+    comparisons the kernel performs); jobs exceeding the largest tier
+    go straight to the dense re-sweep.  Same output contract as
+    run_suspect_jobs."""
+    F2 = _sparse_budget(S, W)
+    tiers = _sparse_tiers(F2)
+    thr_c_arr = thr if thr_col is None else thr_col
     Lr = w + S
     Lc = (w if wc is None else wc) + W
     rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
+
+    # Exact per-job flag counts -> host tier assignment.
+    counts = [
+        np.asarray(_flag_counts(thr, thr_c_arr, gr, gk, jrow, jcol, S=S, W=W))
+        for gr, gk, jrow, jcol in cap_groups
+    ]
     over_jobs = []
-    for gr, gk, jrow, jcol in cap_groups:
-        rows_g, cols_g, overs = _sparse_suspect_group(
-            stats, thr, gr, gk, jrow, jcol, rows_g, cols_g,
-            S=S, W=W, m=m, w=w, tr=tr, tc=tc, F=F,
-            wc=wc, excl=excl, stats_c=stats_c, thr_col=thr_col,
-            prec=HYBRID_PRECISION,
+    tier_sel = {F: [] for F in tiers}  # F -> [(group_idx, job_idx array)]
+    for gi, cnts in enumerate(counts):
+        assigned = np.zeros(cnts.shape[0], bool)
+        for F in tiers:
+            sel = ~assigned & (cnts <= F)
+            if sel.any():
+                tier_sel[F].append((gi, np.nonzero(sel)[0].astype(np.int32)))
+                assigned |= sel
+        rest = np.nonzero(~assigned)[0]
+        if rest.size:
+            gr_h, gk_h = np.asarray(cap_groups[gi][0]), np.asarray(cap_groups[gi][1])
+            over_jobs.append((gr_h[rest], gk_h[rest]))
+
+    pops = {F: sum(idx.size for _, idx in tier_sel[F]) for F in tiers}
+    Logger.verbose_log(
+        "hybrid sparse pass B tiers: "
+        + ", ".join(f"F={F}: {pops[F]} jobs" for F in tiers)
+        + f", dense: {sum(r.size for r, _ in over_jobs)} jobs"
+    )
+    for F in tiers:
+        if not tier_sel[F]:
+            continue
+        take = lambda field, gi, idx: jnp.take(
+            cap_groups[gi][field], jnp.asarray(idx), axis=0
         )
-        overs = np.asarray(overs)
-        if overs.any():
-            gr_h, gk_h = np.asarray(gr), np.asarray(gk)
-            over_jobs.append((gr_h[overs], gk_h[overs]))
+        cat = lambda field: jnp.concatenate(
+            [take(field, gi, idx) for gi, idx in tier_sel[F]]
+        )
+        gr_t, gk_t, jrow_t, jcol_t = cat(0), cat(1), cat(2), cat(3)
+        for sl, pad in _tier_chunks(int(gr_t.shape[0]), F, S, W):
+            args = (gr_t[sl], gk_t[sl], jrow_t[sl], jcol_t[sl])
+            if pad:
+                # Dummy jobs: rows start at w (every pair fails the
+                # bounds mask) and -inf maxima (no flags) — init no-ops.
+                args = (
+                    jnp.concatenate([args[0], jnp.full((pad,), w, jnp.int32)]),
+                    jnp.concatenate([args[1], jnp.zeros((pad,), jnp.int32)]),
+                    jnp.concatenate(
+                        [args[2],
+                         jnp.full((pad, S), AGGREGATE_INIT, jnp.float32)]
+                    ),
+                    jnp.concatenate(
+                        [args[3],
+                         jnp.full((pad, W), AGGREGATE_INIT, jnp.float32)]
+                    ),
+                )
+            rows_g, cols_g, _ = _sparse_suspect_group(
+                stats, thr, *args, rows_g, cols_g,
+                S=S, W=W, m=m, w=w, tr=tr, tc=tc, F=F,
+                wc=wc, excl=excl, stats_c=stats_c, thr_col=thr_col,
+                prec=HYBRID_PRECISION,
+            )
 
     if over_jobs:
         ro = np.concatenate([r for r, _ in over_jobs])
@@ -372,6 +466,25 @@ def _job_groups(r0s, k0s, S, W, w):
         (r0s[o : o + group], k0s[o : o + group])
         for o in range(0, njobs + pad, group)
     ]
+
+
+def _tier_chunks(njobs: int, F: int, S: int, W: int) -> list:
+    """Split a sparse tier's job list into watchdog-safe scan chunks as
+    (slice, pad) pairs, each padded to a power-of-two length (>= 64) so
+    the number of compiled (length, F) scan variants stays logarithmic
+    in the job count instead of one per distinct tier population."""
+    cap = max(64, int(_PASS_RATE * 60) // max(1, F * (S + W)))
+    cap = 1 << (cap.bit_length() - 1)  # power-of-two: full chunks pad-free
+    chunks = []
+    o = 0
+    while o < njobs:
+        size = min(njobs - o, cap)
+        nb = 64
+        while nb < size:
+            nb *= 2
+        chunks.append((slice(o, o + size), nb - size))
+        o += size
+    return chunks
 
 
 def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
@@ -783,12 +896,17 @@ def compute_matrix_profile_f64_hybrid(
         # of dispatch through the TPU relay
         sus = jax.device_get(sus)
 
+    from mpx import native as _native
+
+    sym = None
+    if _native.is_available():
+        sym = lambda r, c: _native.resolve_sym(T64, mu64, inv64, m, r, c, w)
     bestP, bestI = _resolve_side(
         sus, w, m,
         rescore=lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c),
         stats_q=stats, stats_t=stats, thr_q=thr, excl=excl, wt=w,
         escalate=lambda rows: _row_scan(T64, mu64, inv64, m, w, excl, rows),
-        profile=profile,
+        profile=profile, sym_resolve=sym,
     )
 
     with _phase(profile, "4. Post-Computation [host]"):
@@ -797,11 +915,16 @@ def compute_matrix_profile_f64_hybrid(
 
 
 def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
-                  escalate, profile, side=0):
+                  escalate, profile, side=0, sym_resolve=None):
     """Shared suspect-resolution stage: rescore the captured candidates
     exactly, run the device pass C for capture-overflow rows, and hand
     pathological rows to the exact host scan.  ``sus`` is a host
-    SuspectWindow over the query axis (length >= wq)."""
+    SuspectWindow over the query axis (length >= wq).
+
+    ``sym_resolve(rows, cols) -> (bestP, bestI)`` (self-joins only):
+    rescores each unordered pair once and merges both endpoints —
+    suspect pairs are captured on both sides, so deduplicating halves
+    the O(m) host rescoring (mpx/native/scamp_host.cpp:mpx_resolve_sym)."""
     with _phase(profile, "3. Rescore [host f64]"):
         cnt = sus.cnt[:wq]
         # All 2*SUSPECT_K capture slots, ascending: k smallest then the
@@ -812,24 +935,45 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
         # Sentinels (no suspect in that slot) -> -1: rescore returns init.
         cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
         # Drop duplicate slots (cnt <= 2 rows repeat the same index in
-        # several capture slots): the host is single-core here, so the
+        # several capture slots): the host has ONE core here, so the
         # exact rescore is O(slots x m) — dedup cuts it ~2-4x.
         for j in range(1, cand.shape[1]):
             dup = (cand[:, :j] == cand[:, j : j + 1]).any(axis=1)
             cand[dup & (cand[:, j] >= 0), j] = -1
-        rows_idx = np.repeat(np.arange(wq, dtype=np.int32), cand.shape[1])
-        P = rescore(rows_idx, cand.reshape(-1).astype(np.int32)).reshape(
-            wq, cand.shape[1]
-        )
-        # Exclude duplicate slots from the tie-break by index: keep the
-        # best P; ties resolve to the smallest neighbor index.
-        bestP = P.max(axis=1)
-        tie = P >= bestP[:, None]
-        cand_for_tie = np.where(tie & (cand >= 0), cand, np.int32(2**30))
-        bestI = cand_for_tie.min(axis=1)
-        bestI = np.where(
-            (bestP > AGGREGATE_INIT) & (bestI < 2**30), bestI, INDEX_INIT
-        ).astype(np.int32)
+        nslots = cand.shape[1]
+        if sym_resolve is not None:
+            # Suspect-ness is per-row (each row has its own threshold
+            # gmax32[i] - 2*margin), so pair (i, c) may be captured on
+            # one side only.  Keep it from row i's slots iff c > i, or
+            # c < i and i is NOT in c's slots (then only i's side has
+            # it).  When both sides captured it, the c < i copy is
+            # dropped and the c-side copy survives via its own c > i
+            # rule — each pair is rescored exactly once, and
+            # sym_resolve merges the value into both endpoints (sound
+            # for any valid pair: non-suspects of a row strictly lose
+            # there, so extra merges never change that row's answer).
+            ii = np.arange(wq, dtype=np.int32)
+            present = np.zeros_like(cand, dtype=bool)
+            for j in range(nslots):
+                pj = cand[np.clip(cand[:, j], 0, wq - 1)]  # (wq, nslots)
+                present[:, j] = (pj == ii[:, None]).any(axis=1)
+            keep = (cand >= 0) & ((cand > ii[:, None]) | ~present)
+            a = np.broadcast_to(ii[:, None], cand.shape)[keep]
+            bestP, bestI = sym_resolve(a, cand[keep])
+        else:
+            rows_idx = np.repeat(np.arange(wq, dtype=np.int32), nslots)
+            P = rescore(rows_idx, cand.reshape(-1).astype(np.int32)).reshape(
+                wq, nslots
+            )
+            # Exclude duplicate slots from the tie-break by index: keep
+            # the best P; ties resolve to the smallest neighbor index.
+            bestP = P.max(axis=1)
+            tie = P >= bestP[:, None]
+            cand_for_tie = np.where(tie & (cand >= 0), cand, np.int32(2**30))
+            bestI = cand_for_tie.min(axis=1)
+            bestI = np.where(
+                (bestP > AGGREGATE_INIT) & (bestI < 2**30), bestI, INDEX_INIT
+            ).astype(np.int32)
 
     # Narrow-spread escalation: capture-slot overflow (cnt > 2K), but
     # every suspect lies in the captured index interval [mn1, mx1] by

@@ -219,6 +219,27 @@ def _dense_merge_cols(idx, win: SuspectWindow, F: int, L: int) -> SuspectWindow:
     )
 
 
+def _flagged_indices(flags, F: int, L: int):
+    """Indices of the first F set flags, ascending, padded with L —
+    the contract of ``jnp.nonzero(size=F, fill_value=L)``, which lowers
+    to a minor-axis sort on TPU (~0.2 ms at L=16K, the dominant cost of
+    a sparse pass-B job).  This cumsum + one-hot matmul formulation is
+    ~10x cheaper: each flagged element knows its output slot (prefix
+    count), so a (L, F) slot one-hot contracted with the index iota
+    yields the compacted indices exactly (values < 2^24 are f32-exact)."""
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    pos = jnp.where(flags, pos, -1)
+    onehot = pos[:, None] == jnp.arange(F, dtype=jnp.int32)[None, :]
+    idx = jax.lax.dot_general(
+        jnp.arange(L, dtype=jnp.float32)[None, :],
+        onehot.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0].astype(jnp.int32)
+    valid = jnp.arange(F, dtype=jnp.int32) < jnp.sum(flags, dtype=jnp.int32)
+    return jnp.where(valid, idx, L)
+
+
 def sweep_band_suspects_sparse(
     stats: Stats, r0, k0, jrow: jax.Array, jcol: jax.Array,
     geom: BandGeometry, thr: jax.Array, F: int,
@@ -253,8 +274,8 @@ def sweep_band_suspects_sparse(
         jnp.sum(flags_c, dtype=jnp.int32) > F
     )
 
-    (idx_r,) = jnp.nonzero(flags_r, size=F, fill_value=S)
-    (idx_c,) = jnp.nonzero(flags_c, size=F, fill_value=W)
+    idx_r = _flagged_indices(flags_r, F, S)
+    idx_c = _flagged_indices(flags_c, F, W)
     pad_r = idx_r < S
     pad_c = idx_c < W
     rows_f = r0 + jnp.where(pad_r, idx_r, 0)

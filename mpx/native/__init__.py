@@ -52,6 +52,10 @@ def _bind(lib):
     lib.mpx_merge_aggregates.restype = None
     lib.mpx_rescore.argtypes = [f64p, f64p, f64p, i64, i32p, i32p, i64, f64p]
     lib.mpx_rescore.restype = None
+    lib.mpx_resolve_sym.argtypes = [
+        f64p, f64p, f64p, i64, i32p, i32p, i64, f64p, i32p,
+    ]
+    lib.mpx_resolve_sym.restype = None
     lib.mpx_row_scan.argtypes = [
         f64p, f64p, f64p, i64, i64, i64, i32p, i64, f64p, i32p,
     ]
@@ -131,6 +135,23 @@ def rescore(T, mu, inv, m: int, rows, cols):
     P = np.empty(rows.shape[0], np.float64)
     lib.mpx_rescore(T, mu, inv, m, rows, cols, rows.shape[0], P)
     return P
+
+
+def resolve_sym(T, mu, inv, m: int, rows, cols, w: int):
+    """Self-join pair resolution: exact f64 P for each unordered
+    (rows[i], cols[i]) pair, merged into BOTH endpoints' per-row best
+    under the strict-greater / smallest-index-tie rule.  Returns
+    (bestP (w,), bestI (w,)) initialized to the aggregate inits."""
+    lib = load()
+    T = np.ascontiguousarray(T, np.float64)
+    mu = np.ascontiguousarray(mu, np.float64)
+    inv = np.ascontiguousarray(inv, np.float64)
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    bestP = np.full(w, -1e12, np.float64)
+    bestI = np.full(w, -1, np.int32)
+    lib.mpx_resolve_sym(T, mu, inv, m, rows, cols, rows.shape[0], bestP, bestI)
+    return bestP, bestI
 
 
 def row_scan(T, mu, inv, m: int, w: int, excl: int, rows):

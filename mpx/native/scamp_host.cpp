@@ -27,6 +27,27 @@
 namespace {
 constexpr double kAggregateInit = -1e12;
 constexpr int32_t kIndexInit = -1;
+
+// Centered dot product sum_j (x[j]-mux)(y[j]-muy) with 8 independent
+// accumulators: the explicit reassociation lets the compiler emit one
+// AVX-512 FMA per 8 doubles (a single accumulator chain cannot be
+// vectorized without -ffast-math).  Error is <= the sequential sum's
+// (~sqrt(m) ulps of the result), and deterministic for a given m.
+inline double dot_centered(const double* x, const double* y, double mux,
+                           double muy, int64_t m) {
+  double acc[8] = {0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0};
+  int64_t j = 0;
+  for (; j + 8 <= m; j += 8) {
+    for (int k = 0; k < 8; ++k) {
+      acc[k] += (x[j + k] - mux) * (y[j + k] - muy);
+    }
+  }
+  for (; j < m; ++j) {
+    acc[j & 7] += (x[j] - mux) * (y[j] - muy);
+  }
+  return ((acc[0] + acc[1]) + (acc[2] + acc[3])) +
+         ((acc[4] + acc[5]) + (acc[6] + acc[7]));
+}
 }  // namespace
 
 extern "C" {
@@ -103,12 +124,35 @@ void mpx_rescore(const double* T, const double* mu, const double* inv,
       P[i] = kAggregateInit;
       continue;
     }
-    const double mua = mu[a], mub = mu[b];
-    double qt = 0.0;
-    for (int64_t j = 0; j < m; ++j) {
-      qt += (T[a + j] - mua) * (T[b + j] - mub);
+    P[i] = dot_centered(T + a, T + b, mu[a], mu[b], m) * inv[a] * inv[b];
+  }
+}
+
+// Self-join pair resolution: rescore each suspect pair ONCE and merge
+// the exact value into BOTH endpoints' (bestP, bestI) under the
+// strict-greater / smallest-index-tie rule.  Callers pass each
+// unordered pair a single time (the capture stage records every pair
+// on both sides; deduplicating halves the O(m) rescoring).  bestP /
+// bestI must be pre-initialized to the aggregate inits.
+void mpx_resolve_sym(const double* T, const double* mu, const double* inv,
+                     int64_t m, const int32_t* rows, const int32_t* cols,
+                     int64_t count, double* bestP, int32_t* bestI) {
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t a = rows[i];
+    const int64_t b = cols[i];
+    if (a < 0 || b < 0 || !std::isfinite(inv[a]) || !std::isfinite(inv[b])) {
+      continue;
     }
-    P[i] = qt * inv[a] * inv[b];
+    const double p = dot_centered(T + a, T + b, mu[a], mu[b], m) *
+                     inv[a] * inv[b];
+    if (p > bestP[a] || (p == bestP[a] && b < bestI[a])) {
+      bestP[a] = p;
+      bestI[a] = static_cast<int32_t>(b);
+    }
+    if (p > bestP[b] || (p == bestP[b] && a < bestI[b])) {
+      bestP[b] = p;
+      bestI[b] = static_cast<int32_t>(a);
+    }
   }
 }
 
@@ -126,12 +170,8 @@ void mpx_rescore_ab(const double* Tq, const double* muq, const double* invq,
       P[i] = kAggregateInit;
       continue;
     }
-    const double mua = muq[a], mub = mut[b];
-    double qt = 0.0;
-    for (int64_t j = 0; j < m; ++j) {
-      qt += (Tq[a + j] - mua) * (Tt[b + j] - mub);
-    }
-    P[i] = qt * invq[a] * invt[b];
+    P[i] = dot_centered(Tq + a, Tt + b, muq[a], mut[b], m) *
+           invq[a] * invt[b];
   }
 }
 
@@ -156,12 +196,8 @@ void mpx_row_scan_ab(const double* Tq, const double* muq, const double* invq,
         if (k < excl) continue;
       }
       if (!std::isfinite(invt[c])) continue;
-      const double muc = mut[c];
-      double qt = 0.0;
-      for (int64_t j = 0; j < m; ++j) {
-        qt += (Tq[r + j] - mur) * (Tt[c + j] - muc);
-      }
-      const double p = qt * invq[r] * invt[c];
+      const double p =
+          dot_centered(Tq + r, Tt + c, mur, mut[c], m) * invq[r] * invt[c];
       if (p > bv) {
         bv = p;
         bi = static_cast<int32_t>(c);
@@ -191,12 +227,8 @@ void mpx_row_scan(const double* T, const double* mu, const double* inv,
     for (int64_t c = 0; c < w; ++c) {
       const int64_t k = (c > r) ? (c - r) : (r - c);
       if (k < excl || !std::isfinite(inv[c])) continue;
-      const double muc = mu[c];
-      double qt = 0.0;
-      for (int64_t j = 0; j < m; ++j) {
-        qt += (T[r + j] - mur) * (T[c + j] - muc);
-      }
-      const double p = qt * inv[r] * inv[c];
+      const double p = dot_centered(T + r, T + c, mur, mu[c], m) *
+                       inv[r] * inv[c];
       if (p > bv) {
         bv = p;
         bi = static_cast<int32_t>(c);
