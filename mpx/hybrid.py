@@ -269,17 +269,35 @@ def _sparse_budget(S: int, W: int) -> int:
     return min(S, W, max(256, (S + W) // 32))
 
 
+def _encode_max_u16(v):
+    """Round-up u16 quantization of a correlation in [-1, 1] (quantum
+    2/65535 ~ 3e-5): decoded values are >= the f32 truth, so pass-B
+    flags from encoded maxima are a conservative superset (the margin
+    is >= 1.8e-4, so the over-flagging is <= ~8% of the suspect band).
+    Halves the captured per-job maxima (the biggest pass-A HBM write).
+    Out-of-range values clamp: AGGREGATE_INIT -> -1 (caught by the
+    degenerate-row +inf threshold), >1 f32 rounding -> 1.0 (safe: any
+    threshold is at least margin below 1)."""
+    q = jnp.ceil((v + 1.0) * jnp.float32(65535.0 / 2.0))
+    return jnp.clip(q, 0.0, 65535.0).astype(jnp.uint16)
+
+
+def _decode_max_u16(q):
+    return q.astype(jnp.float32) * jnp.float32(2.0 / 65535.0) - 1.0
+
+
 @partial(jax.jit, static_argnames=("S", "W"))
 def _flag_counts(thr, thr_col, r0s, k0s, jrow_g, jcol_g, *, S, W):
     """Exact per-job flagged row/column counts from pass A's captured
-    maxima — the same comparisons the sparse kernel performs, so the
-    tier routing below can never overflow a tier's panel budget."""
+    (u16-encoded) maxima — the same comparisons the sparse kernel
+    performs, so the tier routing below can never overflow a tier's
+    panel budget."""
 
     def per_job(r0, k0, jrow, jcol):
         tr_ = jax.lax.dynamic_slice(thr, (r0,), (S,))
         tc_ = jax.lax.dynamic_slice(thr_col, (r0 + k0,), (W,))
-        nr = jnp.sum(jrow >= tr_, dtype=jnp.int32)
-        nc = jnp.sum(jcol >= tc_, dtype=jnp.int32)
+        nr = jnp.sum(_decode_max_u16(jrow) >= tr_, dtype=jnp.int32)
+        nc = jnp.sum(_decode_max_u16(jcol) >= tc_, dtype=jnp.int32)
         return jnp.maximum(nr, nc)
 
     return jax.vmap(per_job)(r0s, k0s, jrow_g, jcol_g)
@@ -348,18 +366,17 @@ def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
         for sl, pad in _tier_chunks(int(gr_t.shape[0]), F, S, W):
             args = (gr_t[sl], gk_t[sl], jrow_t[sl], jcol_t[sl])
             if pad:
-                # Dummy jobs: rows start at w (every pair fails the
-                # bounds mask) and -inf maxima (no flags) — init no-ops.
+                # Dummy jobs: rows start at w, so the threshold slice is
+                # the +inf pad tail — no flags, and every pair fails the
+                # bounds mask — init no-ops.
                 args = (
                     jnp.concatenate([args[0], jnp.full((pad,), w, jnp.int32)]),
                     jnp.concatenate([args[1], jnp.zeros((pad,), jnp.int32)]),
                     jnp.concatenate(
-                        [args[2],
-                         jnp.full((pad, S), AGGREGATE_INIT, jnp.float32)]
+                        [args[2], jnp.zeros((pad, S), jnp.uint16)]
                     ),
                     jnp.concatenate(
-                        [args[3],
-                         jnp.full((pad, W), AGGREGATE_INIT, jnp.float32)]
+                        [args[3], jnp.zeros((pad, W), jnp.uint16)]
                     ),
                 )
             rows_g, cols_g, _ = _sparse_suspect_group(
@@ -418,7 +435,8 @@ def _max_jobs_group(stats, r0s, k0s, rmax, cmax, *, S, W, m, w, tr, tc,
         cmax = jax.lax.dynamic_update_slice(
             cmax, jnp.maximum(jax.lax.dynamic_slice(cmax, (c0,), (W,)), cv), (c0,)
         )
-        return (rmax, cmax), ((rv, cv) if capture else None)
+        ys = (_encode_max_u16(rv), _encode_max_u16(cv)) if capture else None
+        return (rmax, cmax), ys
 
     carry, ys = jax.lax.scan(body, (rmax, cmax), (r0s, k0s))
     if capture:
@@ -428,17 +446,23 @@ def _max_jobs_group(stats, r0s, k0s, rmax, cmax, *, S, W, m, w, tr, tc,
 
 @partial(jax.jit, static_argnames=("w", "pw", "wc", "pwc", "combine"))
 def _build_thr(rmax, cmax, margin, *, w, pw, wc=None, pwc=None, combine=True):
-    """Fold pass-A maxima into suspect thresholds (pad tail = +inf)."""
+    """Fold pass-A maxima into suspect thresholds (pad tail = +inf).
+
+    Rows with no valid pair at all (degenerate windows, or empty AB
+    sides) keep the aggregate init as their max; their threshold is
+    +inf so they never flag (init - 2*margin would flag them in every
+    job — pure wasted panel slots)."""
     two_eps = jnp.float32(2.0) * margin.astype(jnp.float32)
+    init = jnp.float32(AGGREGATE_INIT)
+
+    def fold(gmax, width, padded):
+        thr = jnp.where(gmax[:width] > init, gmax[:width] - two_eps, jnp.inf)
+        full = jnp.full((padded,), jnp.inf, jnp.float32)
+        return jax.lax.dynamic_update_slice(full, thr, (0,))
+
     if combine:
-        gmax = jnp.maximum(rmax[:w], cmax[:w])
-        thr = jnp.full((pw,), jnp.inf, jnp.float32)
-        return jax.lax.dynamic_update_slice(thr, gmax - two_eps, (0,))
-    thr_r = jnp.full((pw,), jnp.inf, jnp.float32)
-    thr_r = jax.lax.dynamic_update_slice(thr_r, rmax[:w] - two_eps, (0,))
-    thr_c = jnp.full((pwc,), jnp.inf, jnp.float32)
-    thr_c = jax.lax.dynamic_update_slice(thr_c, cmax[:wc] - two_eps, (0,))
-    return thr_r, thr_c
+        return fold(jnp.maximum(rmax[:w], cmax[:w]), w, pw)
+    return fold(rmax, w, pw), fold(cmax, wc, pwc)
 
 
 # Dispatch-group sizing for the hybrid's f32 passes: ~60s at the

@@ -268,8 +268,12 @@ def sweep_band_suspects_sparse(
 
     thr_r = jax.lax.dynamic_slice(thr, (r0,), (S,))
     thr_cw = jax.lax.dynamic_slice(thr_c_arr, (c0,), (W,))
-    flags_r = jrow >= thr_r
-    flags_c = jcol >= thr_cw
+    # jrow/jcol are the u16-encoded (round-up) pass-A job maxima; the
+    # decoded values upper-bound the f32 truth, so the flag sets are a
+    # conservative superset (see mpx.hybrid._encode_max_u16).
+    dec = lambda q: q.astype(jnp.float32) * jnp.float32(2.0 / 65535.0) - 1.0
+    flags_r = dec(jrow) >= thr_r
+    flags_c = dec(jcol) >= thr_cw
     over = (jnp.sum(flags_r, dtype=jnp.int32) > F) | (
         jnp.sum(flags_c, dtype=jnp.int32) > F
     )
