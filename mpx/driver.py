@@ -145,14 +145,17 @@ def compute_matrix_profile(
             and not (left_right and num_shards_ > 1)
             and config.shard_mode == "jobs"
         ),
+        w=w,
     )
 
     from mpx.dtypes import needs_x64, x64_scope
     from mpx.utils.profile import phase as _phase
 
     if kernel == "hybrid":
-        if canonical_dtype(config.dtype) != np.dtype(np.float64):
-            raise ValueError("kernel='hybrid' requires dtype float64/double")
+        if canonical_dtype(config.dtype) not in (
+            np.dtype(np.float64), np.dtype(np.float32),
+        ):
+            raise ValueError("kernel='hybrid' requires dtype float32/float64")
         if config.interpret or stats is not None:
             raise ValueError(
                 "kernel='hybrid' does not support interpret mode or "
@@ -163,15 +166,33 @@ def compute_matrix_profile(
                 "hybrid left/right profiles are single-device; drop "
                 "--shards or use --kernel mxu"
             )
+        # The hybrid tier computes the exact f64 profile either way; a
+        # float32 request just casts the (exact) distances down — both
+        # faster and more accurate than the one-pass f32 kernel at the
+        # widths routed here (see mpx.kernels.resolve_kernel).
+        f32_out = canonical_dtype(config.dtype) == np.dtype(np.float32)
+        if f32_out:
+            import dataclasses
+
+            config = dataclasses.replace(config, dtype="float64")
         # numpy outputs: staying off-device avoids the f32 canonicalization
         # trap for f64 results outside an x64 scope.
         if left_right:
             from mpx.hybrid import compute_left_right_f64_hybrid
 
-            return compute_left_right_f64_hybrid(T, config, profile=profile)
+            out = compute_left_right_f64_hybrid(T, config, profile=profile)
+            if f32_out:
+                out = tuple(
+                    o.astype(np.float32) if o.dtype == np.float64 else o
+                    for o in out
+                )
+            return out
         from mpx.hybrid import compute_matrix_profile_f64_hybrid
 
-        return compute_matrix_profile_f64_hybrid(T, config, profile=profile)
+        MP, MPI = compute_matrix_profile_f64_hybrid(T, config, profile=profile)
+        if f32_out:
+            MP = MP.astype(np.float32)
+        return MP, MPI
 
     x64 = needs_x64(dt)
 

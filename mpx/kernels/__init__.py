@@ -43,12 +43,24 @@ MXU_MAX_M = 4096
 # scan-bound).  There is no f32 crossover: auto is always 'mxu'.
 
 
+# Minimum profile width for routing float32 'auto' through the hybrid
+# tier: the hybrid's two-pass sweeps beat the one-pass materialize-and-
+# argmax kernel by ~1.2-1.7x asymptotically (pass A writes no P tile,
+# pass B touches ~1 row per job), but carry ~1-2s of fixed host work
+# (f64 stats + rescore) — a wash at w ~ 2^19, a clear win beyond.
+# Overridable for tests / other hardware.
+import os as _os
+
+HYBRID32_MIN_W = int(_os.environ.get("MPX_HYBRID32_MIN_W", 1 << 19))
+
+
 def resolve_kernel(
     kernel: str,
     dtype,
     m: int = 0,
     interpret: bool = False,
     allow_hybrid: bool = False,
+    w: int = 0,
 ) -> str:
     if kernel != "auto":
         return kernel
@@ -64,6 +76,16 @@ def resolve_kernel(
             # recurrence wins for the strict tier
             return "xla"
         return "mxu"
+    if (
+        np.dtype(dtype) == np.dtype(np.float32)
+        and allow_hybrid
+        and (not m or m <= MXU_MAX_M)
+        and w >= HYBRID32_MIN_W
+    ):
+        # Large float32 self-joins: the hybrid tier is both faster than
+        # the one-pass argmax kernel AND exact (f64-true values cast to
+        # f32) — measured 9.8s vs 11.8s at the n=2^20 showcase.
+        return "hybrid"
     return "mxu"
 
 

@@ -110,10 +110,20 @@ def test_hybrid_rejects_unsupported_modes():
     T = random_walk(128, seed=1)
     cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="hybrid",
                               band=32, chunk=32, tile_rows=8, tile_cols=32)
+    # float32 + explicit hybrid is supported (exact f64 values cast
+    # down); the result must match the f64 golden at f32-cast tolerance.
     f32_cfg = MatrixProfileConfig(m=16, dtype="float32", kernel="hybrid",
                                   band=32, chunk=32, tile_rows=8, tile_cols=32)
-    with pytest.raises(ValueError):
-        compute_matrix_profile(T, config=f32_cfg)
+    MP32, MPI32 = compute_matrix_profile(T, config=f32_cfg)
+    assert np.asarray(MP32).dtype == np.float32
+    from mpx.reference import compute_matrix_profile_reference
+    from tests.helpers import assert_profile_close
+
+    MPr, MPIr = compute_matrix_profile_reference(np.asarray(T, np.float64), 16)
+    assert_profile_close(
+        np.asarray(T, np.float64), 16, np.asarray(MP32), np.asarray(MPI32),
+        MPr, MPIr, 1e-5,
+    )
     shard_lr_cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="hybrid",
                                        band=32, chunk=32, tile_rows=8,
                                        tile_cols=32, num_shards=2)

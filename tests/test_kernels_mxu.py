@@ -42,11 +42,44 @@ def test_mxu_constant_window():
 
 
 def test_auto_resolves_mxu():
-    from mpx.kernels import resolve_kernel
+    from mpx.kernels import HYBRID32_MIN_W, resolve_kernel
 
     assert resolve_kernel("auto", np.float32, 256) == "mxu"
     assert resolve_kernel("auto", np.float64, 256) == "mxu"
     assert resolve_kernel("auto", np.float64, 8192) == "xla"
+    # Large f32 self-joins route through the hybrid tier (exact values,
+    # faster than the one-pass argmax kernel); small ones do not (the
+    # hybrid's fixed host work would dominate).
+    assert resolve_kernel(
+        "auto", np.float32, 256, allow_hybrid=True, w=HYBRID32_MIN_W
+    ) == "hybrid"
+    assert resolve_kernel(
+        "auto", np.float32, 256, allow_hybrid=True, w=HYBRID32_MIN_W - 1
+    ) == "mxu"
+    assert resolve_kernel("auto", np.float32, 256, w=HYBRID32_MIN_W) == "mxu"
+
+
+def test_f32_hybrid_route_matches_golden(monkeypatch):
+    """Driver-level: float32 'auto' at large w routes through the hybrid
+    tier and returns float32 distances matching the f64 golden."""
+    import mpx.kernels as K
+    from mpx.driver import compute_matrix_profile
+    from mpx.config import MatrixProfileConfig
+    from mpx.reference import compute_matrix_profile_reference
+    from tests.conftest import random_walk
+    from tests.helpers import assert_profile_close
+
+    monkeypatch.setattr(K, "HYBRID32_MIN_W", 64)
+    n, m = 1024, 32
+    T = random_walk(n, seed=11)
+    cfg = MatrixProfileConfig(m=m, dtype="float32", band=128, chunk=256)
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    assert np.asarray(MP).dtype == np.float32
+    MPr, MPIr = compute_matrix_profile_reference(np.asarray(T, np.float64), m)
+    assert_profile_close(
+        np.asarray(T, np.float64), m, np.asarray(MP), np.asarray(MPI),
+        MPr, MPIr, 1e-5,
+    )
 
 
 def test_mxu_fused_interpret_matches_mxu():
