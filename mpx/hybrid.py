@@ -312,29 +312,17 @@ def _sparse_tiers(F2: int) -> list:
     return sorted({min(64, F2), min(256, F2), F2})
 
 
-def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
-                            wc=None, excl=None, stats_c=None, thr_col=None,
-                            combine=True, profile=None):
-    """Sparse pass B: consume pass A's per-job maxima to skip all
-    unflagged rows/columns.  Jobs are routed to the smallest panel tier
-    that fits their exact flag count (computed on device from the same
-    comparisons the kernel performs); jobs exceeding the largest tier
-    go straight to the dense re-sweep.  Same output contract as
-    run_suspect_jobs."""
-    F2 = _sparse_budget(S, W)
-    tiers = _sparse_tiers(F2)
-    thr_c_arr = thr if thr_col is None else thr_col
-    Lr = w + S
-    Lc = (w if wc is None else wc) + W
-    rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
-
-    # Exact per-job flag counts -> host tier assignment.
+def _route_tiers(cap_groups, thr, thr_col, tiers, *, S, W, tag):
+    """Host tier assignment from exact per-job flag counts (computed on
+    device with the same comparisons the sparse kernels perform, so a
+    tier's panel budget can never overflow).  Returns
+    (tier_sel: F -> [(group_idx, job_idx)], over_jobs: [(r0s, k0s)])."""
     counts = [
-        np.asarray(_flag_counts(thr, thr_c_arr, gr, gk, jrow, jcol, S=S, W=W))
+        np.asarray(_flag_counts(thr, thr_col, gr, gk, jrow, jcol, S=S, W=W))
         for gr, gk, jrow, jcol in cap_groups
     ]
     over_jobs = []
-    tier_sel = {F: [] for F in tiers}  # F -> [(group_idx, job_idx array)]
+    tier_sel = {F: [] for F in tiers}
     for gi, cnts in enumerate(counts):
         assigned = np.zeros(cnts.shape[0], bool)
         for F in tiers:
@@ -346,39 +334,61 @@ def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
         if rest.size:
             gr_h, gk_h = np.asarray(cap_groups[gi][0]), np.asarray(cap_groups[gi][1])
             over_jobs.append((gr_h[rest], gk_h[rest]))
-
     pops = {F: sum(idx.size for _, idx in tier_sel[F]) for F in tiers}
     Logger.verbose_log(
-        "hybrid sparse pass B tiers: "
+        f"hybrid {tag} tiers: "
         + ", ".join(f"F={F}: {pops[F]} jobs" for F in tiers)
         + f", dense: {sum(r.size for r, _ in over_jobs)} jobs"
+    )
+    return tier_sel, over_jobs
+
+
+def _tier_batches(cap_groups, tier_sel_f, F, *, S, W, w):
+    """Yield padded, watchdog-safe (r0s, k0s, jrow, jcol) scan batches
+    for one tier's job selection.  Dummy pad jobs start at row w (their
+    threshold slice is the +inf pad tail: no flags, every pair fails
+    the bounds mask — init no-ops)."""
+    take = lambda field, gi, idx: jnp.take(
+        cap_groups[gi][field], jnp.asarray(idx), axis=0
+    )
+    cat = lambda field: jnp.concatenate(
+        [take(field, gi, idx) for gi, idx in tier_sel_f]
+    )
+    gr_t, gk_t, jrow_t, jcol_t = cat(0), cat(1), cat(2), cat(3)
+    for sl, pad in _tier_chunks(int(gr_t.shape[0]), F, S, W):
+        args = (gr_t[sl], gk_t[sl], jrow_t[sl], jcol_t[sl])
+        if pad:
+            args = (
+                jnp.concatenate([args[0], jnp.full((pad,), w, jnp.int32)]),
+                jnp.concatenate([args[1], jnp.zeros((pad,), jnp.int32)]),
+                jnp.concatenate([args[2], jnp.zeros((pad, S), jnp.uint16)]),
+                jnp.concatenate([args[3], jnp.zeros((pad, W), jnp.uint16)]),
+            )
+        yield args
+
+
+def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
+                            wc=None, excl=None, stats_c=None, thr_col=None,
+                            combine=True, profile=None):
+    """Sparse pass B: consume pass A's per-job maxima to skip all
+    unflagged rows/columns.  Jobs are routed to the smallest panel tier
+    that fits their exact flag count; jobs exceeding the largest tier
+    go straight to the dense re-sweep.  Same output contract as
+    run_suspect_jobs."""
+    F2 = _sparse_budget(S, W)
+    tiers = _sparse_tiers(F2)
+    thr_c_arr = thr if thr_col is None else thr_col
+    Lr = w + S
+    Lc = (w if wc is None else wc) + W
+    rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
+
+    tier_sel, over_jobs = _route_tiers(
+        cap_groups, thr, thr_c_arr, tiers, S=S, W=W, tag="sparse pass B"
     )
     for F in tiers:
         if not tier_sel[F]:
             continue
-        take = lambda field, gi, idx: jnp.take(
-            cap_groups[gi][field], jnp.asarray(idx), axis=0
-        )
-        cat = lambda field: jnp.concatenate(
-            [take(field, gi, idx) for gi, idx in tier_sel[F]]
-        )
-        gr_t, gk_t, jrow_t, jcol_t = cat(0), cat(1), cat(2), cat(3)
-        for sl, pad in _tier_chunks(int(gr_t.shape[0]), F, S, W):
-            args = (gr_t[sl], gk_t[sl], jrow_t[sl], jcol_t[sl])
-            if pad:
-                # Dummy jobs: rows start at w, so the threshold slice is
-                # the +inf pad tail — no flags, and every pair fails the
-                # bounds mask — init no-ops.
-                args = (
-                    jnp.concatenate([args[0], jnp.full((pad,), w, jnp.int32)]),
-                    jnp.concatenate([args[1], jnp.zeros((pad,), jnp.int32)]),
-                    jnp.concatenate(
-                        [args[2], jnp.zeros((pad, S), jnp.uint16)]
-                    ),
-                    jnp.concatenate(
-                        [args[3], jnp.zeros((pad, W), jnp.uint16)]
-                    ),
-                )
+        for args in _tier_batches(cap_groups, tier_sel[F], F, S=S, W=W, w=w):
             rows_g, cols_g, _ = _sparse_suspect_group(
                 stats, thr, *args, rows_g, cols_g,
                 S=S, W=W, m=m, w=w, tr=tr, tc=tc, F=F,
@@ -465,6 +475,69 @@ def _build_thr(rmax, cmax, margin, *, w, pw, wc=None, pwc=None, combine=True):
     return fold(rmax, w, pw), fold(cmax, wc, pwc)
 
 
+# Upper bound on |P(bf16 1-pass) - P(HYBRID_PRECISION)| for unit-
+# normalized window dots: operand bf16 rounding gives ~2*2^-8 worst
+# case; the default carries ~4x headroom over the measured maximum.
+# Overridable for experiments (the cascade stays CORRECT for any true
+# bound <= this value — a too-small value is unsound, a larger one
+# only widens the refine band).
+BF16_SWEEP_BOUND = float(os.environ.get("MPX_BF16_SWEEP_BOUND", 0.02))
+
+
+def _cascade_enabled(stats) -> bool:
+    """The bf16 cascade (A1 approx sweep + A2 sparse exact refine) wins
+    only where low-precision matmul is faster than HIGH — i.e. on the
+    MXU.  CPU f32 dots run at one speed, so the extra pass just costs."""
+    env = os.environ.get("MPX_HYBRID_CASCADE", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return stats.windows is not None
+    return stats.windows is not None and jax.default_backend() != "cpu"
+
+
+@partial(jax.jit,
+         static_argnames=("S", "W", "m", "w", "tr", "tc", "wc", "excl", "F",
+                          "prec"))
+def _refine_group(stats, gthr, r0s, k0s, jrow_g, jcol_g, rmax, cmax, *,
+                  S, W, m, w, tr, tc, F, wc=None, excl=None, stats_c=None,
+                  gthr_col=None, prec=None):
+    """One dispatch group of the cascade refine stage (A2): each job
+    recomputes, at full precision, the per-job maxima of ONLY the
+    rows/columns whose bf16 (A1) maxima reach the refine threshold,
+    merges them into the exact global (rmax, cmax) carries, and emits
+    the refined per-job maxima (u16) — the sparse pass-B skip oracle.
+    Jobs whose flag count exceeds F contribute nothing and are reported
+    in the overflow mask for a dense re-sweep."""
+    from mpx.kernels.mxu import sweep_band_refine_sparse
+
+    geom = band_geometry(S, W, m, w, tr, tc, wc=wc, excl=excl)
+    init = jnp.float32(AGGREGATE_INIT)
+
+    def body(carry, job):
+        rmax, cmax = carry
+        r0, k0, jrow, jcol = job
+        rv, cv, over = sweep_band_refine_sparse(
+            stats, r0, k0, jrow, jcol, geom, gthr, F, stats_c, gthr_col,
+            precision=_prec(prec),
+        )
+        rv = jnp.where(over, init, rv)
+        cv = jnp.where(over, init, cv)
+        rmax = jax.lax.dynamic_update_slice(
+            rmax, jnp.maximum(jax.lax.dynamic_slice(rmax, (r0,), (S,)), rv), (r0,)
+        )
+        c0 = r0 + k0
+        cmax = jax.lax.dynamic_update_slice(
+            cmax, jnp.maximum(jax.lax.dynamic_slice(cmax, (c0,), (W,)), cv), (c0,)
+        )
+        return (rmax, cmax), (_encode_max_u16(rv), _encode_max_u16(cv), over)
+
+    (rmax, cmax), (jr2, jc2, overs) = jax.lax.scan(
+        body, (rmax, cmax), (r0s, k0s, jrow_g, jcol_g)
+    )
+    return rmax, cmax, jr2, jc2, overs
+
+
 # Dispatch-group sizing for the hybrid's f32 passes: ~60s at the
 # measured sweep rate so long jobs never trip device watchdogs.
 _PASS_RATE = 3.5e10
@@ -511,6 +584,92 @@ def _tier_chunks(njobs: int, F: int, S: int, W: int) -> list:
     return chunks
 
 
+def _run_max_jobs_cascade(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
+                          wc=None, excl=None, pwc=None, stats_c=None,
+                          combine=True):
+    """Cascade pass A: (A1) one bf16 (DEFAULT-precision) sweep captures
+    approximate per-job maxima ~3x faster than HIGH on the MXU; (A2)
+    only the (row, job) pairs whose approximate maximum lands within
+    2*BF16_SWEEP_BOUND + 2*margin of the row's approximate global max
+    are re-swept at HYBRID_PRECISION (tiered skinny panels) — any other
+    pair provably holds neither the true max nor any suspect:
+    M <= M~ + B < g~ - B - 2*margin <= g - 2*margin = thr.  Returns the
+    plain capture path's (thr, cap_groups) contract with exact
+    thresholds and refined captures (unrefined slots decode to -1 and
+    never flag in pass B)."""
+    B = jnp.float32(BF16_SWEEP_BOUND)
+    r0s = np.asarray(r0s, np.int32)
+    k0s = np.asarray(k0s, np.int32)
+    Lr = w + S
+    Lc = (w if wc is None else wc) + W
+    neg = jnp.float32(AGGREGATE_INIT)
+
+    # A1: bf16 approximate sweep with capture.
+    rmax_a = jnp.full((Lr,), neg, jnp.float32)
+    cmax_a = jnp.full((Lc,), neg, jnp.float32)
+    cap1 = []
+    for gr, gk in _job_groups(r0s, k0s, S, W, w):
+        gr_d, gk_d = jnp.asarray(gr), jnp.asarray(gk)
+        (rmax_a, cmax_a), (jrow, jcol) = _max_jobs_group(
+            stats, gr_d, gk_d, rmax_a, cmax_a,
+            S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
+            stats_c=stats_c, capture=True, prec="DEFAULT",
+        )
+        cap1.append((gr_d, gk_d, jrow, jcol))
+
+    # Refine thresholds: approximate global max minus (2B + 2*margin).
+    gthr = _build_thr(rmax_a, cmax_a, margin + B, w=w, pw=pw,
+                      wc=wc, pwc=pwc, combine=combine)
+    gthr_r, gthr_c = (gthr, None) if combine else gthr
+
+    # A2: tiered sparse exact refine.
+    F2 = _sparse_budget(S, W)
+    tiers = _sparse_tiers(F2)
+    tier_sel, over_jobs = _route_tiers(
+        cap1, gthr_r, gthr_r if gthr_c is None else gthr_c, tiers,
+        S=S, W=W, tag="cascade refine A2",
+    )
+    rmax = jnp.full((Lr,), neg, jnp.float32)
+    cmax = jnp.full((Lc,), neg, jnp.float32)
+    cap2 = []
+    for F in tiers:
+        if not tier_sel[F]:
+            continue
+        for args in _tier_batches(cap1, tier_sel[F], F, S=S, W=W, w=w):
+            rmax, cmax, jr2, jc2, overs = _refine_group(
+                stats, gthr_r, *args, rmax, cmax,
+                S=S, W=W, m=m, w=w, tr=tr, tc=tc, F=F,
+                wc=wc, excl=excl, stats_c=stats_c, gthr_col=gthr_c,
+                prec=HYBRID_PRECISION,
+            )
+            # Overflowed jobs' contributions were zeroed in-kernel; the
+            # zeroed capture rows stay in cap2 (they flag nothing) and
+            # the jobs re-run densely below.
+            cap2.append((args[0], args[1], jr2, jc2))
+            overs = np.asarray(overs)
+            if overs.any():
+                over_jobs.append(
+                    (np.asarray(args[0])[overs], np.asarray(args[1])[overs])
+                )
+    if over_jobs:
+        ro = np.concatenate([r for r, _ in over_jobs])
+        ko = np.concatenate([k for _, k in over_jobs])
+        Logger.verbose_log(
+            f"cascade refine A2: {ro.shape[0]} job(s) to the dense sweep"
+        )
+        for gr, gk in _job_groups(ro, ko, S, W, w):
+            gr_d, gk_d = jnp.asarray(gr), jnp.asarray(gk)
+            (rmax, cmax), (jrow, jcol) = _max_jobs_group(
+                stats, gr_d, gk_d, rmax, cmax,
+                S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
+                stats_c=stats_c, capture=True, prec=HYBRID_PRECISION,
+            )
+            cap2.append((gr_d, gk_d, jrow, jcol))
+    thr = _build_thr(rmax, cmax, margin, w=w, pw=pw, wc=wc, pwc=pwc,
+                     combine=combine)
+    return thr, cap2
+
+
 def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
                  wc=None, excl=None, pwc=None, stats_c=None, combine=True,
                  capture=False):
@@ -523,7 +682,14 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
 
     capture=True additionally returns the per-job maxima groups
     [(r0s, k0s, jobrow (G,S), jobcol (G,W)), ...] (device-resident) for
-    the sparse pass B."""
+    the sparse pass B.  On MXU backends this runs the bf16 cascade (see
+    _run_max_jobs_cascade); the captured maxima are exact either way."""
+    if capture and _cascade_enabled(stats):
+        return _run_max_jobs_cascade(
+            stats, r0s, k0s, margin, S=S, W=W, m=m, w=w, tr=tr, tc=tc,
+            pw=pw, wc=wc, excl=excl, pwc=pwc, stats_c=stats_c,
+            combine=combine,
+        )
     r0s = np.asarray(r0s, np.int32)
     k0s = np.asarray(k0s, np.int32)
     Lr = w + S

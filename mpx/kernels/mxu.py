@@ -341,6 +341,110 @@ def sweep_band_suspects_sparse(
     )
 
 
+def _scatter_dense_max(idx, vals, F: int, L: int):
+    """Scatter a gathered (F,) f32 max vector back to a dense (L,) array
+    (AGGREGATE_INIT elsewhere) via a one-hot matmul: slot indices are
+    unique, so each output sums at most one value (exact).  A ones
+    column rides along as the touched-slot indicator."""
+    onehot = (idx[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    VI = jnp.stack([vals, jnp.ones((F,), jnp.float32)], axis=1)  # (F, 2)
+    D = jax.lax.dot_general(
+        onehot, VI, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (L, 2)
+    return jnp.where(D[:, 1] > 0, D[:, 0], jnp.float32(AGGREGATE_INIT))
+
+
+def sweep_band_refine_sparse(
+    stats: Stats, r0, k0, jrow: jax.Array, jcol: jax.Array,
+    geom: BandGeometry, gthr: jax.Array, F: int,
+    stats_c: Stats | None = None, gthr_col: jax.Array | None = None,
+    precision=None,
+):
+    """Cascade refine stage (A2): re-examine at full precision ONLY the
+    rows/columns whose low-precision (bf16 pass A1) job maxima ``jrow``
+    / ``jcol`` (u16-encoded) reach the refine threshold ``gthr`` (the
+    approximate global max minus twice the bf16 error bound plus the
+    suspect margin — see mpx.hybrid.run_max_jobs).  For each flagged
+    row/column the exact per-job maximum is recomputed with skinny
+    gathered matmuls and scattered to dense (S,) / (W,) f32 arrays
+    (AGGREGATE_INIT elsewhere: unflagged rows provably hold neither the
+    global max nor any suspect in this job).
+
+    Returns (dense row maxima (S,), dense col maxima (W,), overflow)."""
+    dt = jnp.float32
+    S, W, m, w, excl, wc = geom.S, geom.W, geom.m, geom.w, geom.excl, geom.wc
+    st_c = stats if stats_c is None else stats_c
+    gthr_c_arr = gthr if gthr_col is None else gthr_col
+    c0 = r0 + k0
+    pw_r = stats.inv.shape[0]
+    pw_c = st_c.inv.shape[0]
+
+    thr_r = jax.lax.dynamic_slice(gthr, (r0,), (S,))
+    thr_cw = jax.lax.dynamic_slice(gthr_c_arr, (c0,), (W,))
+    dec = lambda q: q.astype(jnp.float32) * jnp.float32(2.0 / 65535.0) - 1.0
+    flags_r = dec(jrow) >= thr_r
+    flags_c = dec(jcol) >= thr_cw
+    over = (jnp.sum(flags_r, dtype=jnp.int32) > F) | (
+        jnp.sum(flags_c, dtype=jnp.int32) > F
+    )
+
+    idx_r = _flagged_indices(flags_r, F, S)
+    idx_c = _flagged_indices(flags_c, F, W)
+    pad_r = idx_r < S
+    pad_c = idx_c < W
+    rows_f = r0 + jnp.where(pad_r, idx_r, 0)
+    cols_f = c0 + jnp.where(pad_c, idx_c, 0)
+
+    gather = lambda st, ix, cap: jnp.take(
+        st.windows, jnp.minimum(ix, cap - 1), axis=0
+    )
+    Uf_r = gather(stats, rows_f, pw_r)
+    Uf_c = gather(st_c, cols_f, pw_c)
+    fin_fr = jnp.isfinite(stats.inv[jnp.minimum(rows_f, pw_r - 1)]) & pad_r
+    fin_fc = jnp.isfinite(st_c.inv[jnp.minimum(cols_f, pw_c - 1)]) & pad_c
+
+    Uc, fin_c = _panel(st_c, c0, W, m)
+    Ur, fin_r = _panel(stats, r0, S, m)
+
+    dot = lambda A, B: jax.lax.dot_general(
+        A, B, (((1,), (1,)), ((), ())),
+        preferred_element_type=dt,
+        precision=_PRECISION if precision is None else precision,
+    )
+    init = jnp.float32(AGGREGATE_INIT)
+
+    P_r = dot(Uf_r, Uc)  # (F, W)
+    cols_w = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid_r = (
+        (cols_w - rows_f[:, None] >= excl)
+        & (rows_f[:, None] <= w - 1)
+        & (cols_w <= wc - 1)
+        & fin_fr[:, None]
+        & fin_c[None, :]
+    )
+    max_r = jnp.max(jnp.where(valid_r, P_r, init), axis=1)  # (F,)
+
+    P_c = dot(Uf_c, Ur)  # (F, S)
+    rows_w = r0 + jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid_c = (
+        (cols_f[:, None] - rows_w >= excl)
+        & (rows_w <= w - 1)
+        & (cols_f[:, None] <= wc - 1)
+        & fin_fc[:, None]
+        & fin_r[None, :]
+    )
+    max_c = jnp.max(jnp.where(valid_c, P_c, init), axis=1)  # (F,)
+
+    return (
+        _scatter_dense_max(idx_r, max_r, F, S),
+        _scatter_dense_max(idx_c, max_c, F, W),
+        over,
+    )
+
+
 def sweep_band_suspects(
     stats: Stats, r0, k0, geom: BandGeometry, dtype, thr: jax.Array,
     stats_c: Stats | None = None, thr_col: jax.Array | None = None,

@@ -17,6 +17,16 @@ from tests.conftest import random_walk
 from tests.helpers import assert_profile_close
 
 
+@pytest.fixture(autouse=True, params=["plain", "cascade"])
+def _cascade_mode(request, monkeypatch):
+    """Run every hybrid test with the bf16 cascade both off and forced
+    on (it is backend-gated off on CPU by default)."""
+    monkeypatch.setenv(
+        "MPX_HYBRID_CASCADE", "1" if request.param == "cascade" else "0"
+    )
+    return request.param
+
+
 @pytest.mark.parametrize(
     "n,m,band,chunk",
     [(256, 16, 32, 64), (1024, 16, 128, 256), (1024, 128, 256, 256)],

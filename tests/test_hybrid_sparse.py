@@ -30,6 +30,16 @@ from tests.conftest import random_walk
 from tests.helpers import assert_profile_close
 
 
+@pytest.fixture(autouse=True, params=["plain", "cascade"])
+def _cascade_mode(request, monkeypatch):
+    """Exercise the sparse machinery with pass A's bf16 cascade both
+    off and forced on (backend-gated off on CPU by default)."""
+    monkeypatch.setenv(
+        "MPX_HYBRID_CASCADE", "1" if request.param == "cascade" else "0"
+    )
+    return request.param
+
+
 def _suspect_sets(T, m, band, chunk, sparse: bool):
     """Run pass A + pass B on ``T`` and return the combined SuspectWindow."""
     T64 = np.asarray(T, np.float64)
