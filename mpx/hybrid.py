@@ -485,15 +485,16 @@ BF16_SWEEP_BOUND = float(os.environ.get("MPX_BF16_SWEEP_BOUND", 0.02))
 
 
 def _cascade_enabled(stats) -> bool:
-    """The bf16 cascade (A1 approx sweep + A2 sparse exact refine) wins
-    only where low-precision matmul is faster than HIGH — i.e. on the
-    MXU.  CPU f32 dots run at one speed, so the extra pass just costs."""
-    env = os.environ.get("MPX_HYBRID_CASCADE", "auto")
-    if env == "0":
-        return False
-    if env == "1":
-        return stats.windows is not None
-    return stats.windows is not None and jax.default_backend() != "cpu"
+    """Opt-in (MPX_HYBRID_CASCADE=1).  Measured on a v5e at the 1M
+    showcase: the bf16 A1 sweep is 2.8x faster than HIGH (1.85s vs
+    5.18s), but the refine-flag density near each row's max is so high
+    on smooth data (mean 930 flags/job at a sound B=0.008, vs pass B's
+    91) that A2 costs ~4.5s — a net LOSS vs the plain one-pass HIGH
+    sweep.  Kept as an option: on data whose near-max density is low
+    (sharp, noisy series) or hardware with a wider fast:slow matmul
+    ratio the cascade wins; the machinery is exact either way."""
+    env = os.environ.get("MPX_HYBRID_CASCADE", "0")
+    return env == "1" and stats.windows is not None
 
 
 @partial(jax.jit,
@@ -1115,22 +1116,55 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
     rescores each unordered pair once and merges both endpoints —
     suspect pairs are captured on both sides, so deduplicating halves
     the O(m) host rescoring (mpx/native/scamp_host.cpp:mpx_resolve_sym)."""
+    cnt = sus.cnt[:wq]
+    # All 2*SUSPECT_K capture slots, ascending: k smallest then the
+    # k largest (descending storage reversed).
+    cand = np.concatenate(
+        [sus.mn[:wq], sus.mx[:wq][:, ::-1]], axis=1
+    )
+    # Sentinels (no suspect in that slot) -> -1: rescore returns init.
+    cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
+    # Drop duplicate slots (cnt <= 2 rows repeat the same index in
+    # several capture slots): the host has ONE core here, so the
+    # exact rescore is O(slots x m) — dedup cuts it ~2-4x.
+    for j in range(1, cand.shape[1]):
+        dup = (cand[:, :j] == cand[:, j : j + 1]).any(axis=1)
+        cand[dup & (cand[:, j] >= 0), j] = -1
+    nslots = cand.shape[1]
+
+    # Escalation masks up front, so the device pass C can be DISPATCHED
+    # before the host rescore runs — jax dispatch is async, so the MXU
+    # row scans overlap the single-core host rescoring below.
+    RUNCAP, K = 64, 64
+    over4 = cnt > nslots
+    mn1w = sus.mn[:wq, 0]
+    mx1w = sus.mx[:wq, 0]
+    spread = mx1w.astype(np.int64) - mn1w.astype(np.int64) + 1
+    narrow = over4 & (mn1w != int(SUSPECT_MIN_INIT)) & (spread <= RUNCAP)
+    nrows = np.nonzero(narrow)[0].astype(np.int32)
+    flagged = np.nonzero(over4 & ~narrow)[0].astype(np.int32)
+    passc = None
+    if flagged.size:
+        CW = 16384
+        pw = stats_q.mu.shape[0]
+        pwt = stats_t.mu.shape[0]
+        with _phase(profile, "2. Compute [mxu f32 pass C flagged rows]"):
+            # pad F to a 512-row bucket (bounded recompiles; pass C cost
+            # is linear in F, so fine-grained buckets beat powers of two)
+            F = max(256, ((flagged.size + 511) // 512) * 512)
+            pad = np.full(F - flagged.size, pw - 1, np.int32)
+            fidx = jnp.asarray(np.concatenate([flagged, pad]))
+            # CW must divide the padded target width (a multiple of 8192;
+            # smaller only for tiny inputs)
+            CW_ = CW
+            while pwt % CW_:
+                CW_ //= 2
+            passc = scan_flagged_rows(
+                stats_q, thr_q, fidx, m=m, w=wt, excl=excl, K=K, CW=CW_,
+                stats_t=None if stats_t is stats_q else stats_t, side=side,
+            )
+
     with _phase(profile, "3. Rescore [host f64]"):
-        cnt = sus.cnt[:wq]
-        # All 2*SUSPECT_K capture slots, ascending: k smallest then the
-        # k largest (descending storage reversed).
-        cand = np.concatenate(
-            [sus.mn[:wq], sus.mx[:wq][:, ::-1]], axis=1
-        )
-        # Sentinels (no suspect in that slot) -> -1: rescore returns init.
-        cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
-        # Drop duplicate slots (cnt <= 2 rows repeat the same index in
-        # several capture slots): the host has ONE core here, so the
-        # exact rescore is O(slots x m) — dedup cuts it ~2-4x.
-        for j in range(1, cand.shape[1]):
-            dup = (cand[:, :j] == cand[:, j : j + 1]).any(axis=1)
-            cand[dup & (cand[:, j] >= 0), j] = -1
-        nslots = cand.shape[1]
         if sym_resolve is not None:
             # Suspect-ness is per-row (each row has its own threshold
             # gmax32[i] - 2*margin), so pair (i, c) may be captured on
@@ -1171,13 +1205,6 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
     # smooth data puts the near-maximal neighbors at consecutive
     # offsets), rescoring the WHOLE interval exactly covers all suspects
     # at O(spread) host work, no device pass C needed.
-    RUNCAP = 64
-    over4 = cnt > cand.shape[1]
-    mn1w = sus.mn[:wq, 0]
-    mx1w = sus.mx[:wq, 0]
-    spread = mx1w.astype(np.int64) - mn1w.astype(np.int64) + 1
-    narrow = over4 & (mn1w != int(SUSPECT_MIN_INIT)) & (spread <= RUNCAP)
-    nrows = np.nonzero(narrow)[0].astype(np.int32)
     if nrows.size:
         with _phase(profile, "3. Rescore [host f64 plateau runs]"):
             base = mn1w[nrows]
@@ -1207,31 +1234,15 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
                 (rbest > AGGREGATE_INIT) & (ridx < 2**30), ridx, INDEX_INIT
             ).astype(np.int32)
 
-    # Escalation: capture overflow spread too wide for interval rescoring.
-    flagged = np.nonzero(over4 & ~narrow)[0].astype(np.int32)
+    # Escalation: capture overflow spread too wide for interval
+    # rescoring.  The device pass C was dispatched before the host
+    # rescore above; collect its (already overlapped) results here.
     if flagged.size:
-        K, CW = 64, 16384
-        pw = stats_q.mu.shape[0]
-        pwt = stats_t.mu.shape[0]
-        with _phase(profile, "2. Compute [mxu f32 pass C flagged rows]"):
-            # pad F to a 512-row bucket (bounded recompiles; pass C cost
-            # is linear in F, so fine-grained buckets beat powers of two)
-            F = max(256, ((flagged.size + 511) // 512) * 512)
-            pad = np.full(F - flagged.size, pw - 1, np.int32)
-            fidx = jnp.asarray(np.concatenate([flagged, pad]))
-            # CW must divide the padded target width (a multiple of 8192;
-            # smaller only for tiny inputs)
-            CW_ = CW
-            while pwt % CW_:
-                CW_ //= 2
-            bv, bi, ccnt = scan_flagged_rows(
-                stats_q, thr_q, fidx, m=m, w=wt, excl=excl, K=K, CW=CW_,
-                stats_t=None if stats_t is stats_q else stats_t, side=side,
-            )
-            bv, bi, ccnt = jax.device_get((bv, bi, ccnt))
-            bv, bi, ccnt = bv[: flagged.size], bi[: flagged.size], ccnt[: flagged.size]
-
         with _phase(profile, "3. Rescore [host f64 flagged]"):
+            bv, bi, ccnt = jax.device_get(passc)
+            bv, bi, ccnt = (
+                bv[: flagged.size], bi[: flagged.size], ccnt[: flagged.size]
+            )
             frows = np.repeat(flagged, K)
             eP = rescore(frows, bi.reshape(-1).astype(np.int32)).reshape(
                 flagged.size, K
