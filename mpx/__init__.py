@@ -32,12 +32,15 @@ from __future__ import annotations
 
 from mpx.abjoin import compute_ab_join
 from mpx.analysis import (
+    all_chains,
     apply_annotation_vector,
     complexity_annotation,
     corrected_arc_curve,
+    mpdist,
     regimes,
     top_discords,
     top_motifs,
+    unanchored_chain,
 )
 from mpx.topk import compute_topk_profile
 from mpx.config import MatrixProfileConfig
@@ -58,6 +61,9 @@ __all__ = [
     "regimes",
     "apply_annotation_vector",
     "complexity_annotation",
+    "all_chains",
+    "unanchored_chain",
+    "mpdist",
     "AGGREGATE_INIT",
     "INDEX_INIT",
     "__version__",

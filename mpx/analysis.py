@@ -145,6 +145,59 @@ def complexity_annotation(T, m: int) -> np.ndarray:
     return (ce - lo) / (hi - lo)
 
 
+def all_chains(MPI_left, MPI_right) -> List[List[int]]:
+    """All-chain set (TSC17): a link i -> j exists iff j's nearest
+    EARLIER neighbor is i and i's nearest LATER neighbor is j (mutual
+    left/right pointers).  Chains are maximal link paths; every index
+    belongs to exactly one chain (singletons included).  Inputs are the
+    left/right profile index arrays from
+    ``compute_matrix_profile(..., left_right=True)``."""
+    IL = np.asarray(MPI_left)
+    IR = np.asarray(MPI_right)
+    w = IR.shape[0]
+    # Mutual links, vectorized: IR[i] = j > i with IL[j] = i.
+    j = IR.astype(np.int64)
+    ok = (j >= 0) & (j < w)
+    mutual = ok & (IL[np.clip(j, 0, w - 1)] == np.arange(w))
+    backlink = np.full(w, -1, np.int64)
+    backlink[j[mutual]] = np.nonzero(mutual)[0]
+    heads = np.nonzero((backlink < 0))[0]
+    link = np.where(mutual, j, -1)
+    chains: List[List[int]] = []
+    for h in heads:
+        chain = [int(h)]
+        while link[chain[-1]] >= 0:
+            chain.append(int(link[chain[-1]]))
+        chains.append(chain)
+    return chains
+
+
+def unanchored_chain(MPI_left, MPI_right) -> np.ndarray:
+    """The longest chain in the all-chain set (ties: earliest start) —
+    the 'unanchored' time-series chain describing directional drift."""
+    chains = all_chains(MPI_left, MPI_right)
+    best = max(chains, key=lambda c: (len(c), -c[0]))
+    return np.asarray(best, dtype=np.int64)
+
+
+def mpdist(A, B, m: int, *, threshold: float = 0.05, config=None) -> float:
+    """MPdist: series-to-series distance from the ABBA-join profiles —
+    the k-th smallest value of concat(P_AB, P_BA) with
+    ``k = ceil(threshold * (len(A) + len(B)))`` (max if fewer values).
+    Small when A and B share ANY subsequence, robust to misalignment.
+    Computed from one mpx AB-join (both directions in the same sweeps)."""
+    from mpx.abjoin import compute_ab_join
+
+    res = compute_ab_join(A, B, m=m, config=config)
+    joined = np.concatenate([np.asarray(res.mp_a), np.asarray(res.mp_b)])
+    joined = joined[np.isfinite(joined)]
+    if joined.size == 0:
+        return float("inf")
+    k = int(np.ceil(threshold * (np.asarray(A).shape[0] + np.asarray(B).shape[0])))
+    k = min(max(k, 1), joined.size)
+    return float(np.partition(joined, k - 1)[k - 1])
+
+
 def top_discords(MP, MPI, m: int, k: int = 3) -> List[Discord]:
     """k highest-distance subsequences (anomalies)."""
     MP = np.asarray(MP, dtype=np.float64)

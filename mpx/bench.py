@@ -114,9 +114,11 @@ SUITE = [
         "n": 131072, "m": 128, "dtype": "float32", "band": 4096, "chunk": 4096,
     },
     {
-        # the showcase job's float tier (the driver headline config)
+        # the showcase job's float tier (the driver headline config);
+        # routed through the hybrid tier (exact values), whose sparse
+        # pass B wants the large-chunk schedule
         "name": "headline-f32-1048576",
-        "n": 1 << 20, "m": 256, "dtype": "float32", "band": 4096, "chunk": 4096,
+        "n": 1 << 20, "m": 256, "dtype": "float32", "band": 4096, "chunk": 16384,
     },
     {
         # the showcase job (README.md:35): double, n=2^20, m=256
@@ -132,7 +134,7 @@ SUITE = [
     {
         # scaling row: 4x the showcase pair count, float tier
         "name": "scale-f32-2097152",
-        "n": 1 << 21, "m": 256, "dtype": "float32", "band": 4096, "chunk": 4096,
+        "n": 1 << 21, "m": 256, "dtype": "float32", "band": 4096, "chunk": 16384,
     },
     {
         # streaming tier (BASELINE item 5's single-chip analog; the

@@ -179,6 +179,9 @@ def _add_abjoin(sub):
     p.add_argument("--dtype", default="float32")
     p.add_argument("--band", type=int, default=4096)
     p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--mpdist", action="store_true",
+                   help="also print MPdist(A, B) (k-th smallest of the "
+                        "ABBA-join profiles, k = 5%% of len(A)+len(B))")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -203,6 +206,15 @@ def _cmd_abjoin(args) -> int:
     else:
         for d, i in zip(np.asarray(res.mp_a)[:10], np.asarray(res.mpi_a)[:10]):
             print(d, i)
+    if args.mpdist:
+        joined = np.concatenate(
+            [np.asarray(res.mp_a), np.asarray(res.mp_b)]
+        )
+        joined = joined[np.isfinite(joined)]
+        k = int(np.ceil(0.05 * (A.shape[0] + B.shape[0])))
+        k = min(max(k, 1), joined.size) if joined.size else 0
+        d = float(np.partition(joined, k - 1)[k - 1]) if k else float("inf")
+        print(f"MPdist: {d:.6f}")
     if args.verbose:
         prof.report(file=sys.stdout)
     return 0
@@ -248,6 +260,9 @@ def _add_analyze(sub):
     p.add_argument("-k", type=int, default=3, help="top-k motifs/discords")
     p.add_argument("--regimes", type=int, default=0,
                    help="also report this many regime changes (FLUSS CAC)")
+    p.add_argument("--chain", action="store_true",
+                   help="also report the unanchored time-series chain "
+                        "(needs the time series input, not saved results)")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--kernel", default="auto")
     return p
@@ -261,6 +276,7 @@ def _cmd_analyze(args) -> int:
     from mpx.driver import compute_matrix_profile
     from mpx.io.tsb import read_binary, read_series
 
+    T = None
     if os.path.exists(args.input + ".mpb"):
         MP = read_binary(args.input + ".mpb", "double")
         MPI = read_binary(args.input + ".mpib", "int")
@@ -269,6 +285,12 @@ def _cmd_analyze(args) -> int:
         cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype, kernel=args.kernel)
         MP, MPI = compute_matrix_profile(T, config=cfg)
         MP, MPI = np.asarray(MP), np.asarray(MPI)
+
+    if args.chain and T is None:
+        raise SystemExit(
+            "--chain needs the raw time series input (left/right profiles "
+            "are recomputed), not a saved .mpb/.mpib base path"
+        )
 
     print("motifs (a, b, distance):")
     for mo in top_motifs(MP, MPI, args.m, k=args.k):
@@ -282,6 +304,19 @@ def _cmd_analyze(args) -> int:
         print("regime changes (index):")
         for r in regimes(MPI, args.m, k=args.regimes):
             print(f"  {r:8d}")
+    if args.chain:
+        from mpx.analysis import unanchored_chain
+        from mpx.config import MatrixProfileConfig
+        from mpx.driver import compute_matrix_profile
+
+        cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype,
+                                  kernel=args.kernel)
+        _, MPIl, _, MPIr = compute_matrix_profile(
+            T, config=cfg, left_right=True
+        )
+        chain = unanchored_chain(np.asarray(MPIl), np.asarray(MPIr))
+        print(f"unanchored chain ({len(chain)} links):")
+        print("  " + " -> ".join(str(int(c)) for c in chain))
     return 0
 
 

@@ -118,3 +118,79 @@ def test_annotation_vector_validation():
         apply_annotation_vector(MP, np.ones(9))
     with pytest.raises(ValueError):
         apply_annotation_vector(MP, np.full(10, 1.5))
+
+
+def test_all_chains_partition_and_mutual_links():
+    """Chains partition the index set; every link is a mutual
+    left/right nearest-neighbor pair."""
+    import numpy as np
+
+    from mpx.analysis import all_chains, unanchored_chain
+    from mpx.config import MatrixProfileConfig
+    from mpx.driver import compute_matrix_profile
+    from tests.conftest import random_walk
+
+    n, m = 768, 16
+    T = random_walk(n, seed=21)
+    cfg = MatrixProfileConfig(m=m, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=64, kernel="mxu")
+    MPl, MPIl, MPr, MPIr = compute_matrix_profile(
+        T, config=cfg, left_right=True
+    )
+    IL, IR = np.asarray(MPIl), np.asarray(MPIr)
+    chains = all_chains(IL, IR)
+    w = IR.shape[0]
+    flat = np.concatenate([np.asarray(c) for c in chains])
+    assert sorted(flat.tolist()) == list(range(w))  # exact partition
+    for c in chains:
+        for a, b in zip(c, c[1:]):
+            assert IR[a] == b and IL[b] == a  # mutual links only
+            assert b > a                      # chains move forward
+    best = unanchored_chain(IL, IR)
+    assert len(best) == max(len(c) for c in chains)
+
+
+def test_chain_on_drifting_motif():
+    """A motif that drifts forward through the series produces a long
+    unanchored chain visiting each occurrence in order."""
+    import numpy as np
+
+    from mpx.analysis import unanchored_chain
+    from mpx.config import MatrixProfileConfig
+    from mpx.driver import compute_matrix_profile
+
+    rng = np.random.default_rng(3)
+    m = 32
+    reps = []
+    for k in range(6):
+        # same shape, slowly growing amplitude -> chain i -> i+1
+        reps.append((1.0 + 0.08 * k) * np.sin(np.linspace(0, 4 * np.pi, 96)))
+        reps.append(0.02 * rng.standard_normal(64))
+    T = np.concatenate(reps) + 0.005 * rng.standard_normal(
+        sum(len(r) for r in reps)
+    )
+    cfg = MatrixProfileConfig(m=m, dtype="float64", band=128, chunk=256,
+                              tile_rows=8, tile_cols=128, kernel="mxu")
+    _, MPIl, _, MPIr = compute_matrix_profile(T, config=cfg, left_right=True)
+    chain = unanchored_chain(np.asarray(MPIl), np.asarray(MPIr))
+    assert len(chain) >= 4  # visits most motif occurrences
+    assert (np.diff(chain) > 0).all()
+
+
+def test_mpdist_properties():
+    import numpy as np
+
+    from mpx.analysis import mpdist
+    from tests.conftest import random_walk
+
+    m = 16
+    A = random_walk(300, seed=5)
+    # B shares A's subsequences (a shifted copy) -> tiny MPdist
+    B = A[50:250].copy()
+    d_shared = mpdist(A, B, m)
+    C = random_walk(300, seed=99)
+    d_unrelated = mpdist(A, C, m)
+    assert d_shared < 0.5 * d_unrelated
+    assert d_shared >= 0.0
+    # symmetry (ABBA join is symmetric by construction)
+    assert abs(mpdist(A, C, m) - mpdist(C, A, m)) < 1e-9

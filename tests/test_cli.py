@@ -193,3 +193,39 @@ def test_topk_subcommand(tmp_path):
     data = np.load(str(tmp_path / "nn.topk.npz"))
     assert data["distances"].shape == (256 - 16 + 1, 3)
     assert np.all(np.diff(data["distances"], axis=1) >= -1e-9)
+
+
+def test_analyze_chain_flag(tmp_path, capsys):
+    import numpy as np
+
+    T = random_walk(512, seed=41)
+    from mpx.io.tsb import write_binary
+
+    write_binary(str(tmp_path / "c.tsb"), T, "double")
+    assert main([
+        "analyze", "-i", str(tmp_path / "c.tsb"), "-m", "16", "-k", "1",
+        "--chain", "--kernel", "mxu", "--dtype", "float64",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "unanchored chain" in out
+
+
+def test_abjoin_mpdist_flag(tmp_path, capsys):
+    import numpy as np
+
+    from mpx.io.tsb import write_binary
+
+    A = random_walk(256, seed=31)
+    B = A[40:200].copy()
+    write_binary(str(tmp_path / "A.tsb"), A, "double")
+    write_binary(str(tmp_path / "B.tsb"), B, "double")
+    assert main([
+        "abjoin", "-a", str(tmp_path / "A.tsb"), "-b", str(tmp_path / "B.tsb"),
+        "-m", "16", "--dtype", "double", "--band", "64", "--chunk", "64",
+        "--mpdist", "-o", str(tmp_path / "r"),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "MPdist:" in out
+    d = float(out.split("MPdist:")[1].split()[0])
+    # B is a verbatim slice of A: the 5th-percentile ABBA distance ~ 0
+    assert d < 1e-4
