@@ -42,6 +42,7 @@ from mpx.analysis import (
     top_motifs,
     unanchored_chain,
 )
+from mpx.pan import compute_pan_profile, pan_m_range
 from mpx.topk import compute_topk_profile
 from mpx.config import MatrixProfileConfig
 from mpx.driver import compute_matrix_profile, matrix_profile
@@ -53,6 +54,8 @@ __all__ = [
     "MatrixProfileConfig",
     "compute_ab_join",
     "compute_topk_profile",
+    "compute_pan_profile",
+    "pan_m_range",
     "compute_matrix_profile",
     "matrix_profile",
     "top_motifs",

@@ -320,6 +320,50 @@ def _cmd_analyze(args) -> int:
     return 0
 
 
+def _add_pan(sub):
+    p = sub.add_parser(
+        "pan", help="pan matrix profile over a range of window sizes"
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("--m-lo", type=int, required=True, help="smallest m")
+    p.add_argument("--m-hi", type=int, required=True, help="largest m")
+    p.add_argument("--count", type=int, default=16,
+                   help="number of log-spaced window sizes")
+    p.add_argument("-o", "--output",
+                   help="writes <o>.pan.npz (ms, PMP, PMPI)")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--kernel", default="auto")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_pan(args) -> int:
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series
+    from mpx.pan import compute_pan_profile, pan_m_range
+
+    Logger.verbose = args.verbose
+    T = read_series(args.input)
+    ms = pan_m_range(args.m_lo, args.m_hi, args.count)
+    cfg = MatrixProfileConfig(m=int(ms[0]), dtype=args.dtype,
+                              kernel=args.kernel)
+    pan = compute_pan_profile(T, ms, config=cfg)
+    if args.output:
+        np.savez_compressed(
+            args.output + ".pan.npz", ms=pan.ms, PMP=pan.PMP, PMPI=pan.PMPI
+        )
+        Logger.info(f"wrote {args.output}.pan.npz "
+                    f"({pan.ms.size} window sizes x {pan.PMP.shape[1]})")
+    else:
+        norm = pan.normalized
+        print("m, min(normalized distance), argmin:")
+        for r, m in enumerate(pan.ms):
+            row = norm[r]
+            i = int(np.nanargmin(row))
+            print(f"  {int(m):6d} {row[i]:.4f} @ {i}")
+    return 0
+
+
 def _add_golden(sub):
     p = sub.add_parser("golden", help="golden MP/MPI via the numpy oracle")
     p.add_argument("-i", "--input", required=True)
@@ -379,6 +423,7 @@ def main(argv=None) -> int:
     _add_abjoin(sub)
     _add_topk(sub)
     _add_analyze(sub)
+    _add_pan(sub)
     sub.add_parser("datasets", help="list vendored datasets")
     bench_p = sub.add_parser("bench", help="run the benchmark harness")
     bench_p.add_argument("rest", nargs=argparse.REMAINDER)
@@ -413,6 +458,7 @@ def main(argv=None) -> int:
             "abjoin": _cmd_abjoin,
             "topk": _cmd_topk,
             "analyze": _cmd_analyze,
+            "pan": _cmd_pan,
             "datasets": _cmd_datasets,
             "bench": _cmd_bench,
         }[args.command](args)

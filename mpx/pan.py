@@ -1,0 +1,88 @@
+"""Pan matrix profile: the profile surface over a range of window sizes.
+
+The reference fixes one subsequence length per run (its CMake `m`
+knob); real exploratory use rarely knows m in advance.  The pan profile
+(SKIMP, Madrid et al. 2019) computes the profile for a whole range of
+window sizes and normalizes them onto a comparable scale, so motif
+structure at ANY length shows up in one (len(ms) x w) surface.
+
+TPU-first: every row is one full run of the fastest available tier for
+its (n, m) — the hybrid two-pass MXU pipeline for large jobs — so the
+pan surface inherits the single-m performance work.  (SKIMP's
+bisection ORDERING, which exists to make partial CPU runs useful early,
+is deliberately not reproduced: on this stack each row is seconds, and
+all rows are exact.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from mpx.config import MatrixProfileConfig
+
+
+class PanProfile(NamedTuple):
+    ms: np.ndarray    # (R,) int window sizes, ascending
+    PMP: np.ndarray   # (R, w_max) float64 distances; +inf beyond row width
+    PMPI: np.ndarray  # (R, w_max) int32 indices; -1 beyond row width
+
+    @property
+    def normalized(self) -> np.ndarray:
+        """Distances scaled to [0, 1] per row (d / (2*sqrt(m)), the
+        SKIMP normalization) — rows become comparable across m."""
+        scale = 2.0 * np.sqrt(self.ms.astype(np.float64))
+        out = self.PMP / scale[:, None]
+        return np.where(np.isfinite(self.PMP), out, np.nan)
+
+
+def pan_m_range(lo: int, hi: int, count: int = 16) -> np.ndarray:
+    """Log-spaced window sizes in [lo, hi], deduplicated, ascending."""
+    if lo < 4:
+        raise ValueError("m must be >= 4 (exclusion zone is m/4)")
+    if hi < lo:
+        raise ValueError(f"empty range [{lo}, {hi}]")
+    ms = np.unique(
+        np.round(np.geomspace(lo, hi, max(count, 1))).astype(np.int64)
+    )
+    return ms
+
+
+def compute_pan_profile(
+    T,
+    ms: Sequence[int],
+    config: Optional[MatrixProfileConfig] = None,
+) -> PanProfile:
+    """Matrix profile at every window size in ``ms``.
+
+    ``config`` (optional) carries dtype/kernel/schedule knobs; its ``m``
+    is ignored.  Rows are computed largest-m-first so the first result
+    validates the whole range against the series length."""
+    from dataclasses import replace
+
+    from mpx.driver import compute_matrix_profile
+
+    T = np.asarray(T)
+    ms_arr = np.unique(np.asarray(list(ms), dtype=np.int64))
+    if ms_arr.size == 0:
+        raise ValueError("ms is empty")
+    if config is None:
+        config = MatrixProfileConfig(m=int(ms_arr[0]), dtype="float64")
+    n = T.shape[0]
+    if n - int(ms_arr[-1]) + 1 < 2:
+        raise ValueError(
+            f"largest m={int(ms_arr[-1])} leaves no pairs for n={n}"
+        )
+    w_max = n - int(ms_arr[0]) + 1
+    R = ms_arr.size
+    PMP = np.full((R, w_max), np.inf, np.float64)
+    PMPI = np.full((R, w_max), -1, np.int32)
+    for r in range(R - 1, -1, -1):
+        m = int(ms_arr[r])
+        cfg = replace(config, m=m)
+        MP, MPI = compute_matrix_profile(T, config=cfg)
+        wm = n - m + 1
+        PMP[r, :wm] = np.asarray(MP, np.float64)
+        PMPI[r, :wm] = np.asarray(MPI, np.int32)
+    return PanProfile(ms=ms_arr, PMP=PMP, PMPI=PMPI)

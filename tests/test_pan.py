@@ -1,0 +1,82 @@
+"""Pan matrix profile (mpx/pan.py): the profile surface over a range
+of window sizes, each row exact vs the single-m path."""
+
+import numpy as np
+import pytest
+
+from mpx.cli import main
+from mpx.config import MatrixProfileConfig
+from mpx.driver import compute_matrix_profile
+from mpx.pan import compute_pan_profile, pan_m_range
+
+from tests.conftest import random_walk
+
+
+def test_pan_rows_match_single_m():
+    T = random_walk(600, seed=13)
+    ms = [16, 24, 48]
+    cfg = MatrixProfileConfig(m=16, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=64)
+    pan = compute_pan_profile(T, ms, config=cfg)
+    assert pan.PMP.shape == (3, 600 - 16 + 1)
+    for r, m in enumerate(ms):
+        from dataclasses import replace
+
+        MP, MPI = compute_matrix_profile(T, config=replace(cfg, m=m))
+        wm = 600 - m + 1
+        np.testing.assert_array_equal(pan.PMP[r, :wm], np.asarray(MP))
+        np.testing.assert_array_equal(pan.PMPI[r, :wm], np.asarray(MPI))
+        assert np.isinf(pan.PMP[r, wm:]).all()
+        assert (pan.PMPI[r, wm:] == -1).all()
+
+
+def test_pan_normalization_and_motif_scale():
+    """A planted motif at length ~64 makes the normalized surface dip
+    most at the window sizes that straddle it."""
+    rng = np.random.default_rng(2)
+    T = rng.standard_normal(900) * 0.2
+    pat = np.sin(np.linspace(0, 3 * np.pi, 64))
+    T[100:164] += pat
+    T[700:764] += pat
+    cfg = MatrixProfileConfig(m=8, dtype="float64", band=128, chunk=256,
+                              tile_rows=8, tile_cols=128)
+    pan = compute_pan_profile(T, [8, 64], config=cfg)
+    norm = pan.normalized
+    assert np.nanmin(norm) >= 0 and np.nanmax(norm[np.isfinite(pan.PMP)]) <= 1 + 1e-9
+    # the m=64 row's minimum sits AT a planted motif occurrence and
+    # stands far out of that row's background
+    best = int(np.nanargmin(norm[1]))
+    assert abs(best - 100) <= 8 or abs(best - 700) <= 8
+    assert np.nanmin(norm[1]) < 0.4 * np.nanmedian(norm[1])
+
+
+def test_pan_m_range_and_validation():
+    ms = pan_m_range(8, 512, 10)
+    assert ms[0] == 8 and ms[-1] == 512
+    assert (np.diff(ms) > 0).all()
+    with pytest.raises(ValueError):
+        pan_m_range(2, 64)
+    with pytest.raises(ValueError):
+        pan_m_range(64, 8)
+    with pytest.raises(ValueError):
+        compute_pan_profile(random_walk(64), [64])  # no pairs at m=64
+    with pytest.raises(ValueError):
+        compute_pan_profile(random_walk(64), [])
+
+
+def test_pan_cli(tmp_path, capsys):
+    from mpx.io.tsb import write_binary
+
+    T = random_walk(400, seed=7)
+    write_binary(str(tmp_path / "t.tsb"), T, "double")
+    assert main([
+        "pan", "-i", str(tmp_path / "t.tsb"), "--m-lo", "8", "--m-hi", "32",
+        "--count", "3", "-o", str(tmp_path / "out"),
+    ]) == 0
+    z = np.load(str(tmp_path / "out.pan.npz"))
+    assert z["ms"].size == 3 and z["PMP"].shape[0] == 3
+    assert main([
+        "pan", "-i", str(tmp_path / "t.tsb"), "--m-lo", "8", "--m-hi", "16",
+        "--count", "2",
+    ]) == 0
+    assert "min(normalized distance)" in capsys.readouterr().out
