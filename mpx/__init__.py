@@ -43,6 +43,7 @@ from mpx.analysis import (
     unanchored_chain,
 )
 from mpx.pan import compute_pan_profile, pan_m_range
+from mpx.snippets import snippets
 from mpx.topk import compute_topk_profile
 from mpx.config import MatrixProfileConfig
 from mpx.driver import compute_matrix_profile, matrix_profile
@@ -56,6 +57,7 @@ __all__ = [
     "compute_topk_profile",
     "compute_pan_profile",
     "pan_m_range",
+    "snippets",
     "compute_matrix_profile",
     "matrix_profile",
     "top_motifs",

@@ -364,6 +364,35 @@ def _cmd_pan(args) -> int:
     return 0
 
 
+def _add_snippets(sub):
+    p = sub.add_parser(
+        "snippets", help="k most representative L-length segments"
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-L", "--length", type=int, required=True,
+                   help="snippet length")
+    p.add_argument("-k", type=int, default=2)
+    p.add_argument("-m", type=int, default=None,
+                   help="comparison subsequence length (default L/2)")
+    p.add_argument("--dtype", default="float32")
+    return p
+
+
+def _cmd_snippets(args) -> int:
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series
+    from mpx.snippets import snippets
+
+    T = read_series(args.input)
+    cfg = MatrixProfileConfig(
+        m=args.m if args.m else max(4, args.length // 2), dtype=args.dtype
+    )
+    print("snippets (start, length, fraction):")
+    for s in snippets(T, args.length, k=args.k, m=args.m, config=cfg):
+        print(f"  {s.start:8d} {s.length:6d} {s.fraction:.3f}")
+    return 0
+
+
 def _add_golden(sub):
     p = sub.add_parser("golden", help="golden MP/MPI via the numpy oracle")
     p.add_argument("-i", "--input", required=True)
@@ -424,6 +453,7 @@ def main(argv=None) -> int:
     _add_topk(sub)
     _add_analyze(sub)
     _add_pan(sub)
+    _add_snippets(sub)
     sub.add_parser("datasets", help="list vendored datasets")
     bench_p = sub.add_parser("bench", help="run the benchmark harness")
     bench_p.add_argument("rest", nargs=argparse.REMAINDER)
@@ -459,6 +489,7 @@ def main(argv=None) -> int:
             "topk": _cmd_topk,
             "analyze": _cmd_analyze,
             "pan": _cmd_pan,
+            "snippets": _cmd_snippets,
             "datasets": _cmd_datasets,
             "bench": _cmd_bench,
         }[args.command](args)
