@@ -180,22 +180,32 @@ def unanchored_chain(MPI_left, MPI_right) -> np.ndarray:
     return np.asarray(best, dtype=np.int64)
 
 
+def mpdist_from_profiles(mp_a, mp_b, na: int, nb: int,
+                         threshold: float = 0.05) -> float:
+    """MPdist from already-computed ABBA-join profiles: the k-th
+    smallest value of concat(P_AB, P_BA) with
+    ``k = ceil(threshold * (na + nb))`` (max if fewer values)."""
+    joined = np.concatenate([np.asarray(mp_a), np.asarray(mp_b)])
+    joined = joined[np.isfinite(joined)]
+    if joined.size == 0:
+        return float("inf")
+    k = int(np.ceil(threshold * (na + nb)))
+    k = min(max(k, 1), joined.size)
+    return float(np.partition(joined, k - 1)[k - 1])
+
+
 def mpdist(A, B, m: int, *, threshold: float = 0.05, config=None) -> float:
-    """MPdist: series-to-series distance from the ABBA-join profiles —
-    the k-th smallest value of concat(P_AB, P_BA) with
-    ``k = ceil(threshold * (len(A) + len(B)))`` (max if fewer values).
+    """MPdist: series-to-series distance from the ABBA-join profiles.
     Small when A and B share ANY subsequence, robust to misalignment.
     Computed from one mpx AB-join (both directions in the same sweeps)."""
     from mpx.abjoin import compute_ab_join
 
     res = compute_ab_join(A, B, m=m, config=config)
-    joined = np.concatenate([np.asarray(res.mp_a), np.asarray(res.mp_b)])
-    joined = joined[np.isfinite(joined)]
-    if joined.size == 0:
-        return float("inf")
-    k = int(np.ceil(threshold * (np.asarray(A).shape[0] + np.asarray(B).shape[0])))
-    k = min(max(k, 1), joined.size)
-    return float(np.partition(joined, k - 1)[k - 1])
+    return mpdist_from_profiles(
+        res.mp_a, res.mp_b,
+        np.asarray(A).shape[0], np.asarray(B).shape[0],
+        threshold=threshold,
+    )
 
 
 def top_discords(MP, MPI, m: int, k: int = 3) -> List[Discord]:

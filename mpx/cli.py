@@ -207,13 +207,9 @@ def _cmd_abjoin(args) -> int:
         for d, i in zip(np.asarray(res.mp_a)[:10], np.asarray(res.mpi_a)[:10]):
             print(d, i)
     if args.mpdist:
-        joined = np.concatenate(
-            [np.asarray(res.mp_a), np.asarray(res.mp_b)]
-        )
-        joined = joined[np.isfinite(joined)]
-        k = int(np.ceil(0.05 * (A.shape[0] + B.shape[0])))
-        k = min(max(k, 1), joined.size) if joined.size else 0
-        d = float(np.partition(joined, k - 1)[k - 1]) if k else float("inf")
+        from mpx.analysis import mpdist_from_profiles
+
+        d = mpdist_from_profiles(res.mp_a, res.mp_b, A.shape[0], B.shape[0])
         print(f"MPdist: {d:.6f}")
     if args.verbose:
         prof.report(file=sys.stdout)
@@ -277,20 +273,33 @@ def _cmd_analyze(args) -> int:
     from mpx.io.tsb import read_binary, read_series
 
     T = None
+    MPIl = MPIr = None
     if os.path.exists(args.input + ".mpb"):
+        if args.chain:
+            raise SystemExit(
+                "--chain needs the raw time series input (left/right "
+                "profiles are recomputed), not a saved .mpb/.mpib base path"
+            )
         MP = read_binary(args.input + ".mpb", "double")
         MPI = read_binary(args.input + ".mpib", "int")
     else:
         T = read_series(args.input)
         cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype, kernel=args.kernel)
-        MP, MPI = compute_matrix_profile(T, config=cfg)
-        MP, MPI = np.asarray(MP), np.asarray(MPI)
-
-    if args.chain and T is None:
-        raise SystemExit(
-            "--chain needs the raw time series input (left/right profiles "
-            "are recomputed), not a saved .mpb/.mpib base path"
-        )
+        if args.chain:
+            # One left/right run serves both outputs: the combined
+            # profile is the elementwise min-merge of the two sides
+            # (they ARE the pre-merge row/column aggregates).
+            MPl, MPIl, MPr, MPIr = compute_matrix_profile(
+                T, config=cfg, left_right=True
+            )
+            MPl, MPr = np.asarray(MPl), np.asarray(MPr)
+            MPIl, MPIr = np.asarray(MPIl), np.asarray(MPIr)
+            left_wins = MPl <= MPr
+            MP = np.where(left_wins, MPl, MPr)
+            MPI = np.where(left_wins, MPIl, MPIr)
+        else:
+            MP, MPI = compute_matrix_profile(T, config=cfg)
+            MP, MPI = np.asarray(MP), np.asarray(MPI)
 
     print("motifs (a, b, distance):")
     for mo in top_motifs(MP, MPI, args.m, k=args.k):
@@ -306,15 +315,8 @@ def _cmd_analyze(args) -> int:
             print(f"  {r:8d}")
     if args.chain:
         from mpx.analysis import unanchored_chain
-        from mpx.config import MatrixProfileConfig
-        from mpx.driver import compute_matrix_profile
 
-        cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype,
-                                  kernel=args.kernel)
-        _, MPIl, _, MPIr = compute_matrix_profile(
-            T, config=cfg, left_right=True
-        )
-        chain = unanchored_chain(np.asarray(MPIl), np.asarray(MPIr))
+        chain = unanchored_chain(MPIl, MPIr)
         print(f"unanchored chain ({len(chain)} links):")
         print("  " + " -> ".join(str(int(c)) for c in chain))
     return 0

@@ -110,9 +110,13 @@ def compute_matrix_profile(
 ):
     """Compute the self-join matrix profile of ``T``.
 
-    Returns (MP, MPI) as jax arrays: z-normalized Euclidean distances and
-    int32 nearest-neighbor indices, matching the reference semantics
-    (untouched entries: sqrt(2m(1+1e12)) / -1).
+    Returns (MP, MPI): z-normalized Euclidean distances and int32
+    nearest-neighbor indices, matching the reference semantics
+    (untouched entries: sqrt(2m(1+1e12)) / -1).  Runs routed through
+    the hybrid tier (float64, and float32 at w >= HYBRID32_MIN_W)
+    return host numpy arrays — the exact rescoring ends on the host;
+    the one-pass device paths return jax arrays.  Use np.asarray for a
+    backend-agnostic consumer.
 
     With ``left_right=True`` returns (MP_left, MPI_left, MP_right,
     MPI_right) instead — the nearest *earlier* / *later* neighbor

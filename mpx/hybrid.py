@@ -683,8 +683,9 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
 
     capture=True additionally returns the per-job maxima groups
     [(r0s, k0s, jobrow (G,S), jobcol (G,W)), ...] (device-resident) for
-    the sparse pass B.  On MXU backends this runs the bf16 cascade (see
-    _run_max_jobs_cascade); the captured maxima are exact either way."""
+    the sparse pass B.  With MPX_HYBRID_CASCADE=1 this runs the bf16
+    cascade instead (see _run_max_jobs_cascade / _cascade_enabled); the
+    thresholds and captured maxima are exact either way."""
     if capture and _cascade_enabled(stats):
         return _run_max_jobs_cascade(
             stats, r0s, k0s, margin, S=S, W=W, m=m, w=w, tr=tr, tc=tc,

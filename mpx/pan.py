@@ -31,22 +31,26 @@ class PanProfile(NamedTuple):
     @property
     def normalized(self) -> np.ndarray:
         """Distances scaled to [0, 1] per row (d / (2*sqrt(m)), the
-        SKIMP normalization) — rows become comparable across m."""
+        SKIMP normalization) — rows become comparable across m.
+        Unmatched windows (padding tails and degenerate zero-variance
+        subsequences, whose stored distance is the huge aggregate-init
+        sentinel) come out as NaN."""
         scale = 2.0 * np.sqrt(self.ms.astype(np.float64))
         out = self.PMP / scale[:, None]
-        return np.where(np.isfinite(self.PMP), out, np.nan)
+        matched = np.isfinite(self.PMP) & (self.PMPI >= 0)
+        return np.where(matched, out, np.nan)
 
 
 def pan_m_range(lo: int, hi: int, count: int = 16) -> np.ndarray:
-    """Log-spaced window sizes in [lo, hi], deduplicated, ascending."""
+    """Log-spaced window sizes in [lo, hi], deduplicated, ascending.
+    Both endpoints are always included (np.geomspace(lo, hi, 1) would
+    silently drop ``hi``)."""
     if lo < 4:
         raise ValueError("m must be >= 4 (exclusion zone is m/4)")
     if hi < lo:
         raise ValueError(f"empty range [{lo}, {hi}]")
-    ms = np.unique(
-        np.round(np.geomspace(lo, hi, max(count, 1))).astype(np.int64)
-    )
-    return ms
+    ms = np.round(np.geomspace(lo, hi, max(count, 1))).astype(np.int64)
+    return np.unique(np.concatenate([ms, [lo, hi]]))
 
 
 def compute_pan_profile(

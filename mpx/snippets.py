@@ -60,6 +60,8 @@ def snippets(
     ncand = n // L
     if ncand < 1:
         raise ValueError(f"series of length {n} has no L={L} segment")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     k = min(k, ncand)
     if config is None:
         config = MatrixProfileConfig(m=m)

@@ -20,7 +20,7 @@ from tests.helpers import assert_profile_close
 @pytest.fixture(autouse=True, params=["plain", "cascade"])
 def _cascade_mode(request, monkeypatch):
     """Run every hybrid test with the bf16 cascade both off and forced
-    on (it is backend-gated off on CPU by default)."""
+    on (it is opt-in, off by default)."""
     monkeypatch.setenv(
         "MPX_HYBRID_CASCADE", "1" if request.param == "cascade" else "0"
     )

@@ -33,7 +33,7 @@ from tests.helpers import assert_profile_close
 @pytest.fixture(autouse=True, params=["plain", "cascade"])
 def _cascade_mode(request, monkeypatch):
     """Exercise the sparse machinery with pass A's bf16 cascade both
-    off and forced on (backend-gated off on CPU by default)."""
+    off and forced on (opt-in, off by default)."""
     monkeypatch.setenv(
         "MPX_HYBRID_CASCADE", "1" if request.param == "cascade" else "0"
     )
