@@ -14,8 +14,8 @@ from mpx.hybrid import (
 )
 from mpx.kernels import band_geometry
 from mpx.kernels.mxu import (
-    SUSPECT_MAX_INIT, SUSPECT_MIN_INIT, _dense_merge_cols, _panel,
-    _suspect_reduce,
+    SUSPECT_MAX_INIT, SUSPECT_MIN_INIT, _dense_merge_cols, _flagged_indices,
+    _panel, _suspect_reduce,
 )
 from mpx.ops.precompute import precompute_statistics
 from mpx.runtime import enable_compilation_cache
@@ -60,12 +60,13 @@ def kernel_stage(stage, r0, k0, jrowv, jcolv):
     c0 = r0 + k0
     thr_r = jax.lax.dynamic_slice(thr, (r0,), (S,))
     thr_cw = jax.lax.dynamic_slice(thr, (c0,), (W,))
-    flags_r = jrowv >= thr_r
-    flags_c = jcolv >= thr_cw
+    dec = lambda q: q.astype(jnp.float32) * jnp.float32(2.0 / 65535.0) - 1.0
+    flags_r = dec(jrowv) >= thr_r
+    flags_c = dec(jcolv) >= thr_cw
     if stage == "flags":
         return jnp.sum(flags_r) + jnp.sum(flags_c)
-    (idx_r,) = jnp.nonzero(flags_r, size=F, fill_value=S)
-    (idx_c,) = jnp.nonzero(flags_c, size=F, fill_value=W)
+    idx_r = _flagged_indices(flags_r, F, S)
+    idx_c = _flagged_indices(flags_c, F, W)
     if stage == "nonzero":
         return jnp.sum(idx_r) + jnp.sum(idx_c)
     pad_r = idx_r < S
@@ -120,7 +121,7 @@ def run_stage32(a4, *, stage):
     return jax.lax.scan(body, jnp.float32(0.0), (a4[0], a4[1], a4[2], a4[3]))[0]
 
 
-for stage in ("flags", "nonzero", "gather", "matmul", "mask", "reduce", "full"):
+for stage in ("nonzero", "gather", "matmul", "reduce", "full"):
     for _ in range(2):
         t0 = time.perf_counter()
         acc = run_stage32(A4, stage=stage)
