@@ -240,6 +240,19 @@ def _flagged_indices(flags, F: int, L: int):
     return jnp.where(valid, idx, L)
 
 
+def _onehot_rows(idx, U, F: int, L: int):
+    """Compact rows ``U[idx]`` (idx (F,) int32 in [0, L], L = padded)
+    via a one-hot matmul: exact (each output sums one row), and cheaper
+    on TPU than a dynamic row gather.  Out-of-range slots yield zeros."""
+    onehot = (idx[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]).astype(
+        U.dtype
+    )
+    return jax.lax.dot_general(
+        onehot, U, (((1,), (0,)), ((), ())),
+        preferred_element_type=U.dtype,
+    )
+
+
 def sweep_band_suspects_sparse(
     stats: Stats, r0, k0, jrow: jax.Array, jcol: jax.Array,
     geom: BandGeometry, thr: jax.Array, F: int,
@@ -263,8 +276,6 @@ def sweep_band_suspects_sparse(
     st_c = stats if stats_c is None else stats_c
     thr_c_arr = thr if thr_col is None else thr_col
     c0 = r0 + k0
-    pw_r = stats.inv.shape[0]
-    pw_c = st_c.inv.shape[0]
 
     thr_r = jax.lax.dynamic_slice(thr, (r0,), (S,))
     thr_cw = jax.lax.dynamic_slice(thr_c_arr, (c0,), (W,))
@@ -285,20 +296,21 @@ def sweep_band_suspects_sparse(
     rows_f = r0 + jnp.where(pad_r, idx_r, 0)
     cols_f = c0 + jnp.where(pad_c, idx_c, 0)
 
-    # Gathered operand panels (F, m) + thresholds for the flagged slots.
-    gather = lambda st, ix, cap: jnp.take(
-        st.windows, jnp.minimum(ix, cap - 1), axis=0
-    )
-    Uf_r = gather(stats, rows_f, pw_r)
-    Uf_c = gather(st_c, cols_f, pw_c)
-    fin_fr = jnp.isfinite(stats.inv[jnp.minimum(rows_f, pw_r - 1)]) & pad_r
-    fin_fc = jnp.isfinite(st_c.inv[jnp.minimum(cols_f, pw_c - 1)]) & pad_c
-    thr_fr = jnp.where(pad_r, thr_r[jnp.minimum(idx_r, S - 1)], jnp.inf)
-    thr_fc = jnp.where(pad_c, thr_cw[jnp.minimum(idx_c, W - 1)], jnp.inf)
-
-    # Dense opposite-side panels (same operands the dense sweep reads).
+    # Dense panels (same operands the dense sweep reads).
     Uc, fin_c = _panel(st_c, c0, W, m)
     Ur, fin_r = _panel(stats, r0, S, m)
+
+    # Flagged operand panels (F, m), compacted from the LOCAL job
+    # panels by a one-hot matmul — each output row sums exactly one
+    # panel row (f32-exact), and small local matmuls beat row gathers
+    # from the ~1M-row windows table on TPU.  Padded slots (idx = S/W)
+    # compact to zero rows; the fin masks already exclude them.
+    Uf_r = _onehot_rows(idx_r, Ur, F, S)
+    Uf_c = _onehot_rows(idx_c, Uc, F, W)
+    fin_fr = fin_r[jnp.minimum(idx_r, S - 1)] & pad_r
+    fin_fc = fin_c[jnp.minimum(idx_c, W - 1)] & pad_c
+    thr_fr = jnp.where(pad_r, thr_r[jnp.minimum(idx_r, S - 1)], jnp.inf)
+    thr_fc = jnp.where(pad_c, thr_cw[jnp.minimum(idx_c, W - 1)], jnp.inf)
 
     dot = lambda A, B: jax.lax.dot_general(
         A, B, (((1,), (1,)), ((), ())),
@@ -379,8 +391,6 @@ def sweep_band_refine_sparse(
     st_c = stats if stats_c is None else stats_c
     gthr_c_arr = gthr if gthr_col is None else gthr_col
     c0 = r0 + k0
-    pw_r = stats.inv.shape[0]
-    pw_c = st_c.inv.shape[0]
 
     thr_r = jax.lax.dynamic_slice(gthr, (r0,), (S,))
     thr_cw = jax.lax.dynamic_slice(gthr_c_arr, (c0,), (W,))
@@ -398,16 +408,14 @@ def sweep_band_refine_sparse(
     rows_f = r0 + jnp.where(pad_r, idx_r, 0)
     cols_f = c0 + jnp.where(pad_c, idx_c, 0)
 
-    gather = lambda st, ix, cap: jnp.take(
-        st.windows, jnp.minimum(ix, cap - 1), axis=0
-    )
-    Uf_r = gather(stats, rows_f, pw_r)
-    Uf_c = gather(st_c, cols_f, pw_c)
-    fin_fr = jnp.isfinite(stats.inv[jnp.minimum(rows_f, pw_r - 1)]) & pad_r
-    fin_fc = jnp.isfinite(st_c.inv[jnp.minimum(cols_f, pw_c - 1)]) & pad_c
-
     Uc, fin_c = _panel(st_c, c0, W, m)
     Ur, fin_r = _panel(stats, r0, S, m)
+    # Local one-hot compaction instead of windows-table row gathers
+    # (see sweep_band_suspects_sparse).
+    Uf_r = _onehot_rows(idx_r, Ur, F, S)
+    Uf_c = _onehot_rows(idx_c, Uc, F, W)
+    fin_fr = fin_r[jnp.minimum(idx_r, S - 1)] & pad_r
+    fin_fc = fin_c[jnp.minimum(idx_c, W - 1)] & pad_c
 
     dot = lambda A, B: jax.lax.dot_general(
         A, B, (((1,), (1,)), ((), ())),
