@@ -132,6 +132,12 @@ SUITE = [
         "band": 4096, "chunk": 4096,
     },
     {
+        # second real set, double precision end-to-end (hybrid tier)
+        "name": "real-italian-power-f64",
+        "input": "italianpowerdemand.txt", "m": 128, "dtype": "double",
+        "band": 4096, "chunk": 4096,
+    },
+    {
         # scaling row: 4x the showcase pair count, float tier
         "name": "scale-f32-2097152",
         "n": 1 << 21, "m": 256, "dtype": "float32", "band": 4096, "chunk": 16384,
