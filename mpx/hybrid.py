@@ -1092,7 +1092,7 @@ def compute_matrix_profile_f64_hybrid(
 
     sym = None
     if _native.is_available():
-        sym = lambda r, c: _native.resolve_sym(T64, mu64, inv64, m, r, c, w)
+        sym = lambda cand: _native.resolve_slots(T64, mu64, inv64, m, cand, w)
     bestP, bestI = _resolve_side(
         sus, w, m,
         rescore=lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c),
@@ -1113,24 +1113,17 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
     pathological rows to the exact host scan.  ``sus`` is a host
     SuspectWindow over the query axis (length >= wq).
 
-    ``sym_resolve(rows, cols) -> (bestP, bestI)`` (self-joins only):
-    rescores each unordered pair once and merges both endpoints —
-    suspect pairs are captured on both sides, so deduplicating halves
-    the O(m) host rescoring (mpx/native/scamp_host.cpp:mpx_resolve_sym)."""
+    ``sym_resolve(cand) -> (bestP, bestI)`` (self-joins only): one C
+    pass over the raw (wq, nslots) capture-slot matrix — slot dedupe,
+    symmetric-pair filtering (each unordered pair scored once, merged
+    into both endpoints), and exact f64 scoring
+    (mpx/native/scamp_host.cpp:mpx_resolve_slots)."""
     cnt = sus.cnt[:wq]
     # All 2*SUSPECT_K capture slots, ascending: k smallest then the
     # k largest (descending storage reversed).
     cand = np.concatenate(
         [sus.mn[:wq], sus.mx[:wq][:, ::-1]], axis=1
     )
-    # Sentinels (no suspect in that slot) -> -1: rescore returns init.
-    cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
-    # Drop duplicate slots (cnt <= 2 rows repeat the same index in
-    # several capture slots): the host has ONE core here, so the
-    # exact rescore is O(slots x m) — dedup cuts it ~2-4x.
-    for j in range(1, cand.shape[1]):
-        dup = (cand[:, :j] == cand[:, j : j + 1]).any(axis=1)
-        cand[dup & (cand[:, j] >= 0), j] = -1
     nslots = cand.shape[1]
 
     # Escalation masks up front, so the device pass C can be DISPATCHED
@@ -1169,23 +1162,25 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
         if sym_resolve is not None:
             # Suspect-ness is per-row (each row has its own threshold
             # gmax32[i] - 2*margin), so pair (i, c) may be captured on
-            # one side only.  Keep it from row i's slots iff c > i, or
-            # c < i and i is NOT in c's slots (then only i's side has
-            # it).  When both sides captured it, the c < i copy is
-            # dropped and the c-side copy survives via its own c > i
-            # rule — each pair is rescored exactly once, and
-            # sym_resolve merges the value into both endpoints (sound
-            # for any valid pair: non-suspects of a row strictly lose
-            # there, so extra merges never change that row's answer).
-            ii = np.arange(wq, dtype=np.int32)
-            present = np.zeros_like(cand, dtype=bool)
-            for j in range(nslots):
-                pj = cand[np.clip(cand[:, j], 0, wq - 1)]  # (wq, nslots)
-                present[:, j] = (pj == ii[:, None]).any(axis=1)
-            keep = (cand >= 0) & ((cand > ii[:, None]) | ~present)
-            a = np.broadcast_to(ii[:, None], cand.shape)[keep]
-            bestP, bestI = sym_resolve(a, cand[keep])
+            # one side only.  The C resolver keeps (i, c) from row i's
+            # slots iff c > i, or c < i and i is NOT in c's slots (then
+            # only i's side has it); when both sides captured it, the
+            # c-side copy survives via its own c > i rule — each pair
+            # is scored exactly once and merged into both endpoints
+            # (sound for any valid pair: non-suspects of a row strictly
+            # lose there, so extra merges never change that row's
+            # answer).
+            bestP, bestI = sym_resolve(cand)
         else:
+            # Sentinels (no suspect in that slot) -> -1: rescore
+            # returns init.
+            cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
+            # Drop duplicate slots (cnt <= 2 rows repeat the same index
+            # in several capture slots): the host has ONE core, so the
+            # exact rescore is O(slots x m) — dedup cuts it ~2-4x.
+            for j in range(1, nslots):
+                dup = (cand[:, :j] == cand[:, j : j + 1]).any(axis=1)
+                cand[dup & (cand[:, j] >= 0), j] = -1
             rows_idx = np.repeat(np.arange(wq, dtype=np.int32), nslots)
             P = rescore(rows_idx, cand.reshape(-1).astype(np.int32)).reshape(
                 wq, nslots

@@ -56,6 +56,10 @@ def _bind(lib):
         f64p, f64p, f64p, i64, i32p, i32p, i64, f64p, i32p,
     ]
     lib.mpx_resolve_sym.restype = None
+    lib.mpx_resolve_slots.argtypes = [
+        f64p, f64p, f64p, i64, i32p, i64, i64, f64p, i32p,
+    ]
+    lib.mpx_resolve_slots.restype = None
     lib.mpx_row_scan.argtypes = [
         f64p, f64p, f64p, i64, i64, i64, i32p, i64, f64p, i32p,
     ]
@@ -151,6 +155,23 @@ def resolve_sym(T, mu, inv, m: int, rows, cols, w: int):
     bestP = np.full(w, -1e12, np.float64)
     bestI = np.full(w, -1, np.int32)
     lib.mpx_resolve_sym(T, mu, inv, m, rows, cols, rows.shape[0], bestP, bestI)
+    return bestP, bestI
+
+
+def resolve_slots(T, mu, inv, m: int, cand, w: int):
+    """Self-join resolution from the raw (w, nslots) capture matrix:
+    dedupe, symmetric-pair filtering, exact f64 scoring, and both-end
+    merging all happen in one C pass (see mpx_resolve_slots)."""
+    lib = load()
+    T = np.ascontiguousarray(T, np.float64)
+    mu = np.ascontiguousarray(mu, np.float64)
+    inv = np.ascontiguousarray(inv, np.float64)
+    cand = np.ascontiguousarray(cand, np.int32)
+    bestP = np.full(w, -1e12, np.float64)
+    bestI = np.full(w, -1, np.int32)
+    lib.mpx_resolve_slots(
+        T, mu, inv, m, cand, w, cand.shape[1], bestP, bestI
+    )
     return bestP, bestI
 
 

@@ -156,6 +156,54 @@ void mpx_resolve_sym(const double* T, const double* mu, const double* inv,
   }
 }
 
+// Self-join resolution straight from the raw capture-slot matrix
+// (wq x nslots; sentinels are any value outside [0, wq)).  For each
+// row i and candidate c: skip within-row duplicates; for c < i, skip
+// when i also appears in c's slots (that copy is scored from c's
+// side, where the partner i > c) — each unordered pair is scored once
+// and merged into BOTH endpoints under strict-greater /
+// smallest-index-tie.  Replaces the numpy membership-gather glue
+// (O(wq*nslots) fancy indexing on the single host core).
+void mpx_resolve_slots(const double* T, const double* mu, const double* inv,
+                       int64_t m, const int32_t* cand, int64_t wq,
+                       int64_t nslots, double* bestP, int32_t* bestI) {
+  for (int64_t i = 0; i < wq; ++i) {
+    if (!std::isfinite(inv[i])) continue;
+    const int32_t* row = cand + i * nslots;
+    for (int64_t j = 0; j < nslots; ++j) {
+      const int64_t c = row[j];
+      if (c < 0 || c >= wq) continue;
+      bool skip = false;
+      for (int64_t t = 0; t < j; ++t) {
+        if (row[t] == static_cast<int32_t>(c)) {  // duplicate slot
+          skip = true;
+          break;
+        }
+      }
+      if (!skip && c < i) {
+        const int32_t* prow = cand + c * nslots;
+        for (int64_t t = 0; t < nslots; ++t) {
+          if (prow[t] == static_cast<int32_t>(i)) {  // captured on c's side
+            skip = true;
+            break;
+          }
+        }
+      }
+      if (skip || !std::isfinite(inv[c])) continue;
+      const double p = dot_centered(T + i, T + c, mu[i], mu[c], m) *
+                       inv[i] * inv[c];
+      if (p > bestP[i] || (p == bestP[i] && c < bestI[i])) {
+        bestP[i] = p;
+        bestI[i] = static_cast<int32_t>(c);
+      }
+      if (p > bestP[c] || (p == bestP[c] && i < bestI[c])) {
+        bestP[c] = p;
+        bestI[c] = static_cast<int32_t>(i);
+      }
+    }
+  }
+}
+
 // Two-series variant (AB-joins): rows index into (Tq, muq, invq),
 // cols into (Tt, mut, invt).
 void mpx_rescore_ab(const double* Tq, const double* muq, const double* invq,
