@@ -1107,7 +1107,8 @@ def compute_matrix_profile_f64_hybrid(
 
 
 def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
-                  escalate, profile, side=0, sym_resolve=None):
+                  escalate, profile, side=0, sym_resolve=None,
+                  oneside_resolve=None):
     """Shared suspect-resolution stage: rescore the captured candidates
     exactly, run the device pass C for capture-overflow rows, and hand
     pathological rows to the exact host scan.  ``sus`` is a host
@@ -1171,6 +1172,13 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
             # lose there, so extra merges never change that row's
             # answer).
             bestP, bestI = sym_resolve(cand)
+        elif oneside_resolve is not None:
+            # Left/right and AB-joins: the two pair endpoints land in
+            # different output arrays, so there is no symmetric dedupe —
+            # but the C resolver still folds sentinel skipping, slot
+            # dedupe, exact scoring, and the per-row best into one pass
+            # (mpx_resolve_slots_ab).
+            bestP, bestI = oneside_resolve(cand)
         else:
             # Sentinels (no suspect in that slot) -> -1: rescore
             # returns init.
@@ -1376,6 +1384,19 @@ def compute_ab_join_f64_hybrid(
             )
         sus_a, sus_b = jax.device_get((sus_a, sus_b))
 
+    from mpx import native as _native
+
+    os_ab = None
+    os_ba = None
+    if _native.is_available():
+        os_ab = lambda cand: _native.resolve_slots_ab(
+            A64, sa["mu"], sa["inv"], B64, sb["mu"], sb["inv"], m, cand,
+            wa, wb,
+        )
+        os_ba = lambda cand: _native.resolve_slots_ab(
+            B64, sb["mu"], sb["inv"], A64, sa["mu"], sa["inv"], m, cand,
+            wb, wa,
+        )
     mp_a, mpi_a = _resolve_side(
         sus_a, wa, m,
         rescore=lambda r, c: _rescore_pairs_ab(
@@ -1385,7 +1406,7 @@ def compute_ab_join_f64_hybrid(
         escalate=lambda rows: _row_scan_ab(
             A64, sa["mu"], sa["inv"], B64, sb["mu"], sb["inv"], m, wb, rows
         ),
-        profile=profile,
+        profile=profile, oneside_resolve=os_ab,
     )
     mp_b, mpi_b = _resolve_side(
         sus_b, wb, m,
@@ -1396,7 +1417,7 @@ def compute_ab_join_f64_hybrid(
         escalate=lambda rows: _row_scan_ab(
             B64, sb["mu"], sb["inv"], A64, sa["mu"], sa["inv"], m, wa, rows
         ),
-        profile=profile,
+        profile=profile, oneside_resolve=os_ba,
     )
 
     with _phase(profile, "4. Post-Computation [host]"):
@@ -1521,14 +1542,21 @@ def compute_left_right_f64_hybrid(
             )
         sus_r, sus_c = jax.device_get((sus_r, sus_c))
 
+    from mpx import native as _native
+
     rescore = lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c)
+    oneside = None
+    if _native.is_available():
+        oneside = lambda cand: _native.resolve_slots_ab(
+            T64, mu64, inv64, T64, mu64, inv64, m, cand, w, w
+        )
     # row side = RIGHT profile (later neighbors)
     rP, rI = _resolve_side(
         sus_r, w, m, rescore=rescore,
         stats_q=stats, stats_t=stats, thr_q=thr_r, excl=excl, wt=w,
         escalate=lambda rows: _row_scan_sided(T64, mu64, inv64, m, w, excl,
                                               rows, +1),
-        profile=profile, side=+1,
+        profile=profile, side=+1, oneside_resolve=oneside,
     )
     # column side = LEFT profile (earlier neighbors)
     lP, lI = _resolve_side(
@@ -1536,7 +1564,7 @@ def compute_left_right_f64_hybrid(
         stats_q=stats, stats_t=stats, thr_q=thr_c, excl=excl, wt=w,
         escalate=lambda rows: _row_scan_sided(T64, mu64, inv64, m, w, excl,
                                               rows, -1),
-        profile=profile, side=-1,
+        profile=profile, side=-1, oneside_resolve=oneside,
     )
 
     with _phase(profile, "4. Post-Computation [host]"):

@@ -60,6 +60,11 @@ def _bind(lib):
         f64p, f64p, f64p, i64, i32p, i64, i64, f64p, i32p,
     ]
     lib.mpx_resolve_slots.restype = None
+    lib.mpx_resolve_slots_ab.argtypes = [
+        f64p, f64p, f64p, f64p, f64p, f64p, i64, i32p, i64, i64, i64,
+        f64p, i32p,
+    ]
+    lib.mpx_resolve_slots_ab.restype = None
     lib.mpx_row_scan.argtypes = [
         f64p, f64p, f64p, i64, i64, i64, i32p, i64, f64p, i32p,
     ]
@@ -171,6 +176,23 @@ def resolve_slots(T, mu, inv, m: int, cand, w: int):
     bestI = np.full(w, -1, np.int32)
     lib.mpx_resolve_slots(
         T, mu, inv, m, cand, w, cand.shape[1], bestP, bestI
+    )
+    return bestP, bestI
+
+
+def resolve_slots_ab(Tq, muq, invq, Tt, mut, invt, m: int, cand,
+                     wq: int, wt: int):
+    """One-sided slot resolution (left/right and AB-joins): per-query-
+    row best over its raw capture slots, scored exactly against the
+    target series (see mpx_resolve_slots_ab)."""
+    lib = load()
+    args = [np.ascontiguousarray(x, np.float64)
+            for x in (Tq, muq, invq, Tt, mut, invt)]
+    cand = np.ascontiguousarray(cand, np.int32)
+    bestP = np.full(wq, -1e12, np.float64)
+    bestI = np.full(wq, -1, np.int32)
+    lib.mpx_resolve_slots_ab(
+        *args, m, cand, wq, wt, cand.shape[1], bestP, bestI
     )
     return bestP, bestI
 

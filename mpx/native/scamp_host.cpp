@@ -204,6 +204,41 @@ void mpx_resolve_slots(const double* T, const double* mu, const double* inv,
   }
 }
 
+// One-sided slot resolution (left/right profiles and AB-joins, where
+// the two endpoints belong to different output arrays): score every
+// valid slot of each query row against the target series and keep the
+// per-row best under strict-greater / smallest-index-tie.  Slot
+// sentinels are any value outside [0, wt); within-row duplicates are
+// skipped inline.  Self-series callers pass the same pointers for q/t.
+void mpx_resolve_slots_ab(const double* Tq, const double* muq,
+                          const double* invq, const double* Tt,
+                          const double* mut, const double* invt, int64_t m,
+                          const int32_t* cand, int64_t wq, int64_t wt,
+                          int64_t nslots, double* bestP, int32_t* bestI) {
+  for (int64_t i = 0; i < wq; ++i) {
+    if (!std::isfinite(invq[i])) continue;
+    const int32_t* row = cand + i * nslots;
+    for (int64_t j = 0; j < nslots; ++j) {
+      const int64_t c = row[j];
+      if (c < 0 || c >= wt) continue;
+      bool dup = false;
+      for (int64_t t = 0; t < j; ++t) {
+        if (row[t] == static_cast<int32_t>(c)) {
+          dup = true;
+          break;
+        }
+      }
+      if (dup || !std::isfinite(invt[c])) continue;
+      const double p = dot_centered(Tq + i, Tt + c, muq[i], mut[c], m) *
+                       invq[i] * invt[c];
+      if (p > bestP[i] || (p == bestP[i] && c < bestI[i])) {
+        bestP[i] = p;
+        bestI[i] = static_cast<int32_t>(c);
+      }
+    }
+  }
+}
+
 // Two-series variant (AB-joins): rows index into (Tq, muq, invq),
 // cols into (Tt, mut, invt).
 void mpx_rescore_ab(const double* Tq, const double* muq, const double* invq,
