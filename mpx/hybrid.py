@@ -982,6 +982,347 @@ def _row_scan(T64, mu, inv, m, w, excl, rows) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("S", "W", "k"))
+def _job_kth_max_group(r0s, k0s, jrow_g, jcol_g, gv, *, S, W, k):
+    """Fold pass A's captured per-job maxima into per-row top-k job
+    maxima (descending (L, k) carry).  The k-th largest per-job maximum
+    LOWER-bounds the row's true k-th best pair: only the k-1 pairs
+    strictly above v_k can push a job's maximum above v_k, so at most
+    k-1 job maxima exceed it.  That makes thr = kth_jobs - 2*margin a
+    sound k-NN suspect threshold available for free after pass A."""
+
+    def insert(cur, v):
+        # insert one value into each row's desc-sorted (k,) vector
+        out = [jnp.maximum(cur[:, 0], v)]
+        for j in range(1, k):
+            out.append(jnp.maximum(cur[:, j], jnp.minimum(cur[:, j - 1], v)))
+        return jnp.stack(out, axis=1)
+
+    def body(gv, job):
+        r0, k0, jrow, jcol = job
+        zero = np.int32(0)
+        rv = _decode_max_u16(jrow)
+        cv = _decode_max_u16(jcol)
+        cur = jax.lax.dynamic_slice(gv, (r0, zero), (S, k))
+        gv = jax.lax.dynamic_update_slice(gv, insert(cur, rv), (r0, zero))
+        c0 = r0 + k0
+        cur = jax.lax.dynamic_slice(gv, (c0, zero), (W, k))
+        gv = jax.lax.dynamic_update_slice(gv, insert(cur, cv), (c0, zero))
+        return gv, None
+
+    return jax.lax.scan(body, gv, (r0s, k0s, jrow_g, jcol_g))[0]
+
+
+def _row_topk_scan(T64, mu, inv, m, w, excl, rows, k):
+    """Exact f64 top-k over a full profile row (both sides), numpy
+    blockwise GEMV — the last-resort path for rows whose suspect set
+    cannot be bounded (> pass C's 64 near-ties).  O(w*m) per row."""
+    wins = np.lib.stride_tricks.sliding_window_view(T64, m)[:w]
+    out_v = np.full((rows.size, k), AGGREGATE_INIT, np.float64)
+    out_i = np.full((rows.size, k), INDEX_INIT, np.int32)
+    P = np.empty(w, np.float64)
+    for t, r in enumerate(rows):
+        if not np.isfinite(inv[r]):
+            continue
+        q = (wins[r] - mu[r]) * inv[r]
+        for b in range(0, w, 8192):
+            e = min(b + 8192, w)
+            cent = wins[b:e] - mu[b:e, None]
+            P[b:e] = (cent @ q) * inv[b:e]
+        P[~np.isfinite(inv)] = AGGREGATE_INIT
+        lo, hi = max(0, r - excl + 1), min(w, r + excl)
+        P[lo:hi] = AGGREGATE_INIT
+        kk = min(k, w)
+        part = np.argpartition(-P, kk - 1)[:kk]
+        order = part[np.argsort(-P[part], kind="stable")]
+        vals = P[order]
+        real = vals > AGGREGATE_INIT
+        out_v[t, : real.sum()] = vals[real]
+        out_i[t, : real.sum()] = order[real]
+    return out_v, out_i
+
+
+def compute_topk_profile_f64_hybrid(
+    T,
+    k: int = 4,
+    config: Optional[MatrixProfileConfig] = None,
+    *,
+    m: Optional[int] = None,
+    margin: Optional[float] = None,
+    profile=None,
+):
+    """Exact double-precision k-NN profile via the hybrid tier.
+
+    Same evidence structure as the k=1 hybrid, with an iterative
+    per-row threshold descent: pass A's f32 max sweep seeds
+    ``thr = gmax32 - 2*margin``; each round, rows whose k best RESCORED
+    suspects clear ``thr + margin`` are certified (any non-suspect has
+    ``P64 < thr + margin <= v_k``, so it cannot displace them), and the
+    rest lower their thresholds (doubling steps) until their suspect
+    band holds k provable neighbors.  Certified rows set thr = +inf, so
+    later rounds' sparse sweeps skip them entirely.  Overflowing rows
+    ride the pass-C top-64 scan with its on-device coverage proof;
+    pathological rows (> 64 near-ties) fall back to an exact host scan.
+
+    Requires ``k <= 2*SUSPECT_K`` (the capture width); larger k should
+    use the strict device tier.  Returns (distances (w, k) float64,
+    indices (w, k) int32), rows sorted ascending; missing neighbors are
+    (inf, -1) — the same contract as mpx.topk.compute_topk_profile."""
+    from mpx.ops.precompute import precompute_statistics, precompute_statistics_numpy
+
+    if k < 1 or k > 2 * SUSPECT_K:
+        raise ValueError(
+            f"hybrid top-k requires 1 <= k <= {2 * SUSPECT_K}, got {k}"
+        )
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32, dtype="float64")
+    m = config.m
+    T64 = np.asarray(T, np.float64)
+    n = T64.shape[0]
+    config.validate_series(n, T64)
+    w = n - m + 1
+    config = config.shrink_to(w)
+    S, W = config.band, config.chunk
+    excl = m // 4
+    if margin is None:
+        margin = default_margin(m)
+    margin_f = float(margin)
+
+    with _phase(profile, "1. Pre-Computation [host f64]"):
+        from mpx import native
+
+        if native.is_available():
+            s64 = native.precompute(T64, m)
+        else:
+            s64 = precompute_statistics_numpy(T64, m)
+        mu64, inv64 = s64["mu"], s64["inv"]
+
+    with _phase(profile, "1. Pre-Computation [device f32]"):
+        stats = precompute_statistics(
+            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64
+        )
+        jax.block_until_ready(stats.mu)
+
+    grid = make_job_grid(w, S, W)
+    pw = stats.mu.shape[0]
+    sparse = _sparse_ok(stats, w)
+    kw = dict(S=S, W=W, m=m, w=w, tr=config.tile_rows, tc=config.tile_cols)
+
+    with _phase(profile, "2. Compute [mxu f32 pass A]"):
+        cap = None
+        if sparse:
+            thr_d, cap = run_max_jobs(
+                stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                jnp.float32(margin), pw=pw, capture=True, **kw
+            )
+        else:
+            thr_d = run_max_jobs(
+                stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                jnp.float32(margin), pw=pw, **kw
+            )
+        thr_h = np.asarray(thr_d).copy()
+
+    if sparse:
+        # Initial per-row k-NN threshold from pass A's captured job
+        # maxima: their k-th largest lower-bounds v_k (at most k-1
+        # pairs — hence k-1 job maxima — exceed it), so round one of
+        # the loop below certifies nearly every row instead of
+        # descending from the 1-NN threshold.
+        with _phase(profile, "2. Compute [topk thr estimate]"):
+            Lg = w + S + W
+            gv = jnp.full((Lg, k), jnp.float32(AGGREGATE_INIT), jnp.float32)
+            for gr, gk, jrow, jcol in cap:
+                gv = _job_kth_max_group(gr, gk, jrow, jcol, gv, S=S, W=W, k=k)
+            est = np.asarray(gv[:w, k - 1], np.float64)
+            q16 = 2.0 / 65535.0
+            good = est > AGGREGATE_INIT / 2
+            thr_h[:w] = np.where(
+                good, est - q16 - 2.0 * margin_f, thr_h[:w]
+            ).astype(np.float32)
+
+    rescore = lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c)
+    nslots = 2 * SUSPECT_K
+    topv = np.full((w, k), AGGREGATE_INIT, np.float64)
+    topi = np.full((w, k), INDEX_INIT, np.int32)
+    certified = np.zeros(w, bool)
+    delta = np.zeros(w, np.float32)
+    MAX_IT = 8
+    K64, CW = 64, 16384
+
+    def commit(rows, vals, idxs):
+        topv[rows] = vals[:, :k]
+        topi[rows] = idxs[:, :k]
+        certified[rows] = True
+
+    def best_of(rows, cand_rows, P_rows):
+        """Sort each row's rescored candidates (desc value, ties by
+        ascending index) and return (vals (R, k), idxs (R, k), nreal,
+        vk)."""
+        order = np.lexsort(
+            (np.where(cand_rows >= 0, cand_rows, np.int64(2**31)), -P_rows),
+            axis=-1,
+        )
+        Ps = np.take_along_axis(P_rows, order, 1)
+        Is = np.take_along_axis(cand_rows, order, 1)
+        nreal = (Ps > AGGREGATE_INIT).sum(1)
+        pad = max(0, k - Ps.shape[1])
+        if pad:
+            Ps = np.pad(Ps, ((0, 0), (0, pad)), constant_values=AGGREGATE_INIT)
+            Is = np.pad(Is, ((0, 0), (0, pad)), constant_values=INDEX_INIT)
+        vk = np.where(nreal >= k, Ps[:, k - 1], -np.inf)
+        Is = np.where(Ps > AGGREGATE_INIT, Is, INDEX_INIT)
+        return Ps, Is, nreal, vk
+
+    for it in range(MAX_IT):
+        thr_dev = jnp.asarray(thr_h)
+        with _phase(profile, "2. Compute [mxu f32 topk pass B]",
+                    f"iter_{it}"):
+            if sparse:
+                sus = run_suspect_jobs_sparse(stats, thr_dev, cap, **kw)
+            else:
+                sus = run_suspect_jobs(
+                    stats, thr_dev, jnp.asarray(grid.r0),
+                    jnp.asarray(grid.k0), **kw
+                )
+            sus = jax.device_get(sus)
+
+        with _phase(profile, "3. Rescore [host f64 topk]", f"iter_{it}"):
+            cnt = sus.cnt[:w]
+            cand = np.concatenate([sus.mn[:w], sus.mx[:w][:, ::-1]], axis=1)
+            cand[(cand == int(SUSPECT_MIN_INIT)) | (cand < 0)] = -1
+            todo = ~certified
+            # everything-is-a-suspect rows: thr below any correlation
+            allin = thr_h[:w] <= -1.0
+
+            small = np.nonzero(todo & (cnt <= nslots))[0].astype(np.int32)
+            if small.size:
+                sl = cand[small].copy()
+                for j in range(1, nslots):
+                    dup = (sl[:, :j] == sl[:, j : j + 1]).any(axis=1)
+                    sl[dup & (sl[:, j] >= 0), j] = -1
+                P = rescore(
+                    np.repeat(small, nslots), sl.reshape(-1)
+                ).reshape(-1, nslots)
+                P[sl < 0] = AGGREGATE_INIT
+                Ps, Is, nreal, vk = best_of(small, sl, P)
+                ok = ((nreal >= k) & (vk >= thr_h[small] + margin_f)) | (
+                    allin[small]
+                )
+                if ok.any():
+                    commit(small[ok], Ps[ok], Is[ok])
+
+            over = todo & (cnt > nslots)
+            # Narrow-spread plateau rows: every suspect lies in the
+            # captured [mn1, mx1] bracket; when it is compact, rescoring
+            # the whole interval enumerates ALL suspects on the host —
+            # no device pass C needed (mirrors the k=1 resolve).
+            RUNCAP = 64
+            mn1w = sus.mn[:w, 0]
+            mx1w = sus.mx[:w, 0]
+            spread = mx1w.astype(np.int64) - mn1w.astype(np.int64) + 1
+            narrow = (
+                over & (mn1w != int(SUSPECT_MIN_INIT)) & (spread <= RUNCAP)
+            )
+            nrows = np.nonzero(narrow)[0].astype(np.int32)
+            if nrows.size:
+                runs = (
+                    mn1w[nrows][:, None]
+                    + np.arange(RUNCAP, dtype=np.int32)[None, :]
+                )
+                runs = np.where(runs <= mx1w[nrows][:, None], runs, -1)
+                if excl > 0:
+                    d_ = runs - nrows[:, None]
+                    runs = np.where(np.abs(d_) >= excl, runs, -1)
+                P = rescore(
+                    np.repeat(nrows, RUNCAP), runs.reshape(-1).astype(np.int32)
+                ).reshape(-1, RUNCAP)
+                P[runs < 0] = AGGREGATE_INIT
+                Ps, Is, nreal, vk = best_of(nrows, runs, P)
+                ok = ((nreal >= k) & (vk >= thr_h[nrows] + margin_f)) | (
+                    allin[nrows]
+                )
+                if ok.any():
+                    commit(nrows[ok], Ps[ok], Is[ok])
+
+            big = np.nonzero(over & ~narrow)[0].astype(np.int32)
+            # Pass C in watchdog-safe chunks: each flagged row costs a
+            # full-width (pw) sweep, so bound rows-per-dispatch.
+            CHUNK_ROWS = max(256, min(2048, int(2e10 * 60) // max(pw, 1)))
+            for o in range(0, big.size, CHUNK_ROWS):
+                grp = big[o : o + CHUNK_ROWS]
+                with _phase(profile, "2. Compute [mxu f32 topk pass C]",
+                            f"iter_{it}_{o}"):
+                    F = max(256, ((grp.size + 255) // 256) * 256)
+                    pad = np.full(F - grp.size, pw - 1, np.int32)
+                    fidx = jnp.asarray(np.concatenate([grp, pad]))
+                    CW_ = CW
+                    while pw % CW_:
+                        CW_ //= 2
+                    bv, bi, _ = jax.device_get(
+                        scan_flagged_rows(
+                            stats, thr_dev, fidx, m=m, w=w, excl=excl,
+                            K=K64, CW=CW_,
+                        )
+                    )
+                    bv = bv[: grp.size]
+                    bi = bi[: grp.size]
+                P = rescore(
+                    np.repeat(grp, K64), bi.reshape(-1).astype(np.int32)
+                ).reshape(-1, K64)
+                # Slots the device filled with init (rows with < 64
+                # valid pairs) carry arbitrary column indices — mask
+                # them before scoring can resurrect invalid pairs.
+                P[(bi < 0) | (bv <= np.float32(AGGREGATE_INIT))] = (
+                    AGGREGATE_INIT
+                )
+                Ps, Is, nreal, vk = best_of(grp, bi.astype(np.int32), P)
+                # Certification is against the f32 top-64 itself, not
+                # the suspect threshold: any pair OUTSIDE the candidates
+                # has P32 <= bv[63], hence P64 <= bv[63] + margin — if
+                # the k-th rescored candidate clears that, no outsider
+                # can displace the top-k.  bv[63] = init means the row
+                # has < 64 valid pairs, all of them candidates.
+                bv_last = bv[:, K64 - 1].astype(np.float64)
+                ok = ((nreal >= k) & (vk >= bv_last + margin_f)) | (
+                    bv_last <= AGGREGATE_INIT
+                )
+                if ok.any():
+                    commit(grp[ok], Ps[ok], Is[ok])
+                # k-th within margin of the 64th (pathological tie
+                # plateau): no device bound exists — exact host scan.
+                wild = grp[~ok]
+                if wild.size:
+                    with _phase(profile, "3. Rescore [host f64 topk scan]"):
+                        vv, ii = _row_topk_scan(
+                            T64, mu64, inv64, m, w, excl, wild, k
+                        )
+                        commit(wild, vv, ii)
+
+        rem = ~certified
+        if not rem.any():
+            break
+        # Lower the remaining rows' thresholds (doubling descent) and
+        # freeze certified rows out of the next sparse sweep.
+        delta[rem] = np.maximum(4 * margin_f, 2 * delta[rem])
+        thr_h[:w][rem] = thr_h[:w][rem] - delta[rem]
+        thr_h[:w][certified] = np.inf
+    else:
+        left = np.nonzero(~certified)[0].astype(np.int32)
+        if left.size:
+            Logger.warning(
+                f"hybrid top-k: {left.size} row(s) did not converge in "
+                f"{MAX_IT} rounds; exact host scans"
+            )
+            with _phase(profile, "3. Rescore [host f64 topk scan]"):
+                vv, ii = _row_topk_scan(T64, mu64, inv64, m, w, excl, left, k)
+                commit(left, vv, ii)
+
+    with _phase(profile, "4. Post-Computation [host]"):
+        D = np.sqrt(np.maximum(2.0 * m * (1.0 - topv), 0.0))
+        D = np.where(topi >= 0, D, np.inf)
+        return D, topi
+
+
 def compute_matrix_profile_f64_hybrid(
     T,
     config: Optional[MatrixProfileConfig] = None,
@@ -1251,6 +1592,10 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
             eP = rescore(frows, bi.reshape(-1).astype(np.int32)).reshape(
                 flagged.size, K
             )
+            # Device-init slots (rows with < K valid pairs) carry
+            # arbitrary column indices; mask them before the exact
+            # scoring can resurrect invalid (e.g. trivial-match) pairs.
+            eP[(bi < 0) | (bv <= np.float32(AGGREGATE_INIT))] = AGGREGATE_INIT
             fbest = eP.max(axis=1)
             ftie = eP >= fbest[:, None]
             fcand = np.where(ftie & (bi >= 0), bi, np.int32(2**30))

@@ -98,9 +98,10 @@ def _job_topk(stats: Stats, r0, k0, *, S, W, m, w, excl, k, dt):
 
 @partial(
     jax.jit,
-    static_argnames=("S", "W", "m", "w", "excl", "k", "dtype"),
+    static_argnames=("S", "W", "m", "w", "excl", "k", "dtype", "corr"),
 )
-def _run_topk_jobs(stats, r0s, k0s, *, S, W, m, w, excl, k, dtype):
+def _run_topk_jobs(stats, r0s, k0s, *, S, W, m, w, excl, k, dtype,
+                   corr=False):
     dt = canonical_dtype(dtype)
     L = w + S + W
     rows_v = jnp.full((L, k), AGGREGATE_INIT, dt)
@@ -126,6 +127,11 @@ def _run_topk_jobs(stats, r0s, k0s, *, S, W, m, w, excl, k, dtype):
     cat_v = jnp.concatenate([rows_v[:w], cols_v[:w]], axis=1)
     cat_i = jnp.concatenate([rows_i[:w], cols_i[:w]], axis=1)
     v, i = _topk_desc(cat_v, cat_i, k)
+    if corr:
+        # Correlation-space output (the hybrid f64 tier derives its
+        # suspect threshold from the k-th value; converting through
+        # sqrt and back would cost rounding slack).
+        return v, i
     d = jnp.sqrt(jnp.maximum(2.0 * m * (1.0 - v), 0.0))
     d = jnp.where(i >= 0, d, jnp.inf)
     return d, i
@@ -156,6 +162,20 @@ def compute_topk_profile(
     if k > min(S, W):
         raise ValueError(f"k={k} exceeds the job extent min(band, chunk)")
     dt = canonical_dtype(config.dtype)
+
+    # Double precision routes to the hybrid tier (f32 MXU sweeps + exact
+    # host-f64 rescoring with per-row threshold descent) for the capture
+    # width it supports; kernel='mxu'/'xla' forces the strict emulated
+    # device path (also required for k > 8).
+    if (
+        dt == np.dtype(np.float64)
+        and config.kernel in ("auto", "hybrid")
+        and not config.interpret
+        and k <= 8
+    ):
+        from mpx.hybrid import compute_topk_profile_f64_hybrid
+
+        return compute_topk_profile_f64_hybrid(T, k, config)
 
     stats = precompute_statistics(T, m, band=S, chunk=W, dtype=dt)
     grid = make_job_grid(w, S, W)

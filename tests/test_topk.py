@@ -53,3 +53,67 @@ def test_topk_k1_matches_profile():
     np.testing.assert_allclose(
         np.asarray(D)[:, 0], np.asarray(MP), atol=1e-10
     )
+
+
+@pytest.mark.parametrize("n,m,k", [(300, 16, 4), (512, 32, 8), (256, 8, 1)])
+def test_topk_hybrid_matches_brute_force(n, m, k):
+    """dtype=float64 + kernel=auto routes top-k through the hybrid tier
+    (exact f64 with threshold descent); must match the brute oracle."""
+    T = random_walk(n, seed=n + k)
+    cfg = MatrixProfileConfig(m=m, dtype="float64",
+                              band=64, chunk=128, tile_rows=8, tile_cols=8)
+    D, I = compute_topk_profile(T, k=k, config=cfg)
+    D = np.asarray(D, np.float64)
+    I = np.asarray(I)
+    assert isinstance(D, np.ndarray)
+    De, Ie = brute_force_topk(T, m, k)
+
+    fin = np.isfinite(De)
+    np.testing.assert_allclose(D[fin], De[fin], atol=1e-8)
+    assert np.all(np.isinf(D[~fin]))
+    diff = (I != Ie) & fin
+    assert np.all(np.abs(D[diff] - De[diff]) <= 1e-8)
+    assert np.all(np.diff(D, axis=1) >= -1e-12)
+
+
+def test_topk_hybrid_tie_heavy_escalation():
+    """Repeated motifs force capture overflow and the pass-C /
+    threshold-descent paths; results stay exact."""
+    rng = np.random.default_rng(17)
+    motif = np.sin(np.linspace(0, 2 * np.pi, 24))
+    T = rng.standard_normal(24 * 40) * 1e-3
+    for r in range(40):
+        T[r * 24 : r * 24 + 24] += motif
+    m, k = 16, 4
+    cfg = MatrixProfileConfig(m=m, dtype="float64",
+                              band=64, chunk=128, tile_rows=8, tile_cols=8)
+    D, I = compute_topk_profile(T, k=k, config=cfg)
+    De, Ie = brute_force_topk(T, m, k)
+    fin = np.isfinite(De)
+    np.testing.assert_allclose(np.asarray(D)[fin], De[fin], atol=1e-8)
+
+
+def test_topk_hybrid_spread_neighbors():
+    """Rows whose k-th neighbor sits far below the best exercise the
+    threshold-descent rounds (first band holds < k suspects)."""
+    rng = np.random.default_rng(23)
+    T = np.cumsum(rng.standard_normal(700))
+    m, k = 24, 6
+    cfg = MatrixProfileConfig(m=m, dtype="float64",
+                              band=64, chunk=128, tile_rows=8, tile_cols=8)
+    D, I = compute_topk_profile(T, k=k, config=cfg)
+    De, Ie = brute_force_topk(T, m, k)
+    fin = np.isfinite(De)
+    np.testing.assert_allclose(np.asarray(D)[fin], De[fin], atol=1e-8)
+
+
+def test_topk_hybrid_rejects_large_k_to_strict():
+    """k > 8 in double stays on the strict device path (still correct)."""
+    T = random_walk(256, seed=3)
+    cfg = MatrixProfileConfig(m=16, dtype="float64",
+                              band=64, chunk=64, tile_rows=8, tile_cols=8)
+    D, I = compute_topk_profile(T, k=12, config=cfg)
+    De, Ie = brute_force_topk(T, 16, 12)
+    fin = np.isfinite(De)
+    np.testing.assert_allclose(np.asarray(D, np.float64)[fin], De[fin],
+                               atol=1e-8)
