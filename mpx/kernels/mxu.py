@@ -68,7 +68,8 @@ def _panel(stats: Stats, o, count: int, m: int):
 
 
 def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt,
-                      stats_c: Stats | None = None, precision=None):
+                      stats_c: Stats | None = None, precision=None,
+                      rg=0, cg=0, two_sided: bool = False):
     """The shared (S x W) correlation tile: unit-window panels -> MXU
     matmul -> validity mask.  Returns (P, valid, rows, cols).
 
@@ -76,7 +77,15 @@ def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt,
     (AB-joins: rows from A, columns from B; geom.excl < 0 and geom.wc
     carry the AB semantics).  Default: self-join.  ``precision``
     overrides the module default (the hybrid tier sweeps at HIGH with a
-    correspondingly inflated margin; its rescoring is exact either way)."""
+    correspondingly inflated margin; its rescoring is exact either way).
+
+    ``rg``/``cg`` are *global* index offsets added on top of the local
+    slice offsets ``r0``/``c0`` (sharded-input tiers slice device-local
+    statistics blocks but mask and report globally); ``two_sided``
+    applies the exclusion zone as ``|c - r| >= excl`` — required by
+    rectangle sweeps whose tiles straddle the main diagonal (the ring
+    tier's shard-pair blocks), where the upper-triangle convention
+    ``c - r >= excl`` does not hold."""
     S, W, m, w, excl = geom.S, geom.W, geom.m, geom.w, geom.excl
     Ur, fin_r = _panel(stats, r0, S, m)
     Uc, fin_c = _panel(stats if stats_c is None else stats_c, c0, W, m)
@@ -91,10 +100,12 @@ def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt,
         precision=_PRECISION if precision is None else precision,
     )
 
-    rows = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]
-    cols = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
+    rows = rg + r0 + jnp.arange(S, dtype=jnp.int32)[:, None]
+    cols = cg + c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
+    delta = cols - rows
+    zone = jnp.abs(delta) >= excl if two_sided else delta >= excl
     valid = (
-        (cols - rows >= excl)
+        zone
         & (rows <= w - 1)
         & (cols <= geom.wc - 1)
         & fin_r[:, None]
@@ -103,12 +114,17 @@ def _job_correlations(stats: Stats, r0, c0, geom: BandGeometry, dt,
     return P, valid, rows, cols
 
 
-def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
+def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype,
+                   stats_c: Stats | None = None, precision=None,
+                   rg=0, cg=0, two_sided: bool = False) -> BandOut:
     S, W = geom.S, geom.W
     dt = jnp.dtype(dtype)
     init_v = jnp.asarray(AGGREGATE_INIT, dt)
     c0 = r0 + k0
-    P, valid, rows, cols = _job_correlations(stats, r0, c0, geom, dt)
+    P, valid, rows, cols = _job_correlations(stats, r0, c0, geom, dt,
+                                             stats_c, precision,
+                                             rg=rg, cg=cg,
+                                             two_sided=two_sided)
     Pm = jnp.where(valid, P, init_v)
 
     # max + first-occurrence index via an iota-min over the tie mask.
@@ -133,7 +149,8 @@ def sweep_band_mxu(stats: Stats, r0, k0, geom: BandGeometry, dtype) -> BandOut:
 
 
 def sweep_band_max(stats: Stats, r0, k0, geom: BandGeometry, dtype,
-                   stats_c: Stats | None = None, precision=None):
+                   stats_c: Stats | None = None, precision=None,
+                   rg=0, cg=0, two_sided: bool = False):
     """Value-only band sweep: per-row and per-column max correlation,
     no argmax.  Pass A of the hybrid tier needs only the maxima (to set
     the suspect threshold); dropping the two tie-index reductions saves
@@ -142,7 +159,8 @@ def sweep_band_max(stats: Stats, r0, k0, geom: BandGeometry, dtype,
     init_v = jnp.asarray(AGGREGATE_INIT, dt)
     c0 = r0 + k0
     P, valid, _, _ = _job_correlations(stats, r0, c0, geom, dt, stats_c,
-                                       precision)
+                                       precision, rg=rg, cg=cg,
+                                       two_sided=two_sided)
     Pm = jnp.where(valid, P, init_v)
     return jnp.max(Pm, axis=1), jnp.max(Pm, axis=0)
 
@@ -456,7 +474,7 @@ def sweep_band_refine_sparse(
 def sweep_band_suspects(
     stats: Stats, r0, k0, geom: BandGeometry, dtype, thr: jax.Array,
     stats_c: Stats | None = None, thr_col: jax.Array | None = None,
-    precision=None,
+    precision=None, rg=0, cg=0, two_sided: bool = False,
 ) -> SuspectOut:
     """Stage-2 sweep of the hybrid double tier: recompute the f32
     correlation tile and summarize, per subsequence, every pair whose
@@ -465,12 +483,15 @@ def sweep_band_suspects(
     mpx.config.make_job_grid), so counts sum correctly across jobs.
 
     AB-joins pass ``stats_c``/``thr_col`` for the column (target) axis;
-    self-joins use one statistics set and one threshold array."""
+    self-joins use one statistics set and one threshold array.
+    ``thr``/``thr_col`` are indexed with the LOCAL offsets (r0 / c0);
+    sharded-input callers pass device-local threshold blocks."""
     dt = jnp.dtype(dtype)
     c0 = r0 + k0
     S, W = geom.S, geom.W
     P, valid, rows, cols = _job_correlations(stats, r0, c0, geom, dt, stats_c,
-                                             precision)
+                                             precision, rg=rg, cg=cg,
+                                             two_sided=two_sided)
     thr_r = jax.lax.dynamic_slice(thr, (r0,), (S,))
     thr_c = jax.lax.dynamic_slice(
         thr if thr_col is None else thr_col, (c0,), (W,)
