@@ -191,14 +191,46 @@ def compute_matrix_profile(
                     for o in out
                 )
             return out
-        from mpx.hybrid import compute_matrix_profile_f64_hybrid
+        if num_shards_ > 1 and config.shard_mode == "ring":
+            # explicit kernel='hybrid' with sharded inputs
+            from mpx.parallel.ring import run_ring_hybrid_f64
 
-        MP, MPI = compute_matrix_profile_f64_hybrid(T, config, profile=profile)
+            MP, MPI = run_ring_hybrid_f64(
+                np.asarray(T), m, num_shards=num_shards_,
+                band=config.band, chunk=config.chunk, profile=profile,
+            )
+        else:
+            from mpx.hybrid import compute_matrix_profile_f64_hybrid
+
+            MP, MPI = compute_matrix_profile_f64_hybrid(
+                T, config, profile=profile
+            )
         if f32_out:
             MP = MP.astype(np.float32)
         return MP, MPI
 
     x64 = needs_x64(dt)
+
+    num_shards = config.num_shards
+    if num_shards is not None and num_shards > 1 and config.shard_mode == "ring":
+        from mpx.parallel.ring import run_ring_hybrid_f64, run_ring_sharded
+
+        if left_right:
+            raise ValueError("ring sharding does not support --left-right")
+        Th = T if isinstance(T, np.ndarray) else np.asarray(T)
+        if dt == np.dtype(np.float64):
+            # The flagship dtype over sharded inputs: the hybrid
+            # evidence chain (exact f64) on the ring schedule.
+            return run_ring_hybrid_f64(
+                Th, m, num_shards=num_shards, band=S, chunk=W,
+                profile=profile,
+            )
+        with _phase(profile, f"2. Compute [ring sharded x{num_shards}]"):
+            MP, MPI = run_ring_sharded(
+                Th, m, num_shards=num_shards, band=S, chunk=W,
+                dtype=str(dt),
+            )
+            return MP, MPI
 
     if stats is None:
         with _phase(profile, "1. Pre-Computation [device]"):
@@ -206,19 +238,6 @@ def compute_matrix_profile(
             jax.block_until_ready(stats)
 
     grid = make_job_grid(w, S, W)
-
-    num_shards = config.num_shards
-    if num_shards is not None and num_shards > 1 and config.shard_mode == "ring":
-        from mpx.parallel.ring import run_ring_sharded
-
-        with _phase(profile, f"2. Compute [ring sharded x{num_shards}]"):
-            if left_right:
-                raise ValueError("ring sharding does not support --left-right")
-            MP, MPI = run_ring_sharded(
-                T if isinstance(T, np.ndarray) else np.asarray(T), m,
-                num_shards=num_shards, band=S, chunk=W, dtype=str(dt),
-            )
-            return MP, MPI
 
     if num_shards is not None and num_shards > 1:
         from mpx.parallel.sharding import run_jobs_sharded

@@ -723,7 +723,8 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
 
 @partial(jax.jit, static_argnames=("m", "w", "excl", "K", "CW", "side"))
 def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
-                      stats_t=None, side=0):
+                      stats_t=None, side=0, Uf=None, fin_f=None,
+                      thr_f=None, col_offset=0):
     """Pass C: exact suspect extraction for overflow rows, on the MXU.
 
     For each flagged subsequence, recompute its full correlation row
@@ -736,19 +737,29 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
     excl=-1 to disable the trivial-match zone); ``w`` is the TARGET
     profile width.  ``side`` restricts neighbors for the left/right
     profiles: +1 keeps only later targets (c - r >= excl), -1 only
-    earlier ones (r - c >= excl), 0 both."""
+    earlier ones (r - c >= excl), 0 both.
+
+    The sharded-inputs ring tier scans one SHARD of the column axis per
+    device: it passes the flagged operands explicitly (``Uf`` (F, m)
+    unit windows, ``fin_f``, ``thr_f`` — no device holds the full query
+    axis) and ``col_offset``, the global coordinate of the local shard's
+    first column (flag_idx stays GLOBAL, for the trivial-match zone)."""
     if stats_t is None:
         stats_t = stats
     F = flag_idx.shape[0]
-    inv_f = stats.inv[flag_idx]
-    fin_f = jnp.isfinite(inv_f)
-    if stats.windows is not None:
-        Uf = stats.windows[flag_idx]
-    else:
-        j = jnp.arange(m, dtype=jnp.int32)
-        Wf = stats.T[flag_idx[:, None] + j[None, :]]
-        Uf = (Wf - stats.mu[flag_idx][:, None]) * jnp.where(fin_f, inv_f, 0)[:, None]
-    thr_f = thr[flag_idx]
+    if Uf is None:
+        inv_f = stats.inv[flag_idx]
+        fin_f = jnp.isfinite(inv_f)
+        if stats.windows is not None:
+            Uf = stats.windows[flag_idx]
+        else:
+            j = jnp.arange(m, dtype=jnp.int32)
+            Wf = stats.T[flag_idx[:, None] + j[None, :]]
+            Uf = (Wf - stats.mu[flag_idx][:, None]) * jnp.where(
+                fin_f, inv_f, 0
+            )[:, None]
+    if thr_f is None:
+        thr_f = thr[flag_idx]
 
     pw = stats_t.mu.shape[0]
     nchunks = pw // CW
@@ -774,7 +785,7 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
             preferred_element_type=jnp.float32,
             precision=getattr(jax.lax.Precision, HYBRID_PRECISION),
         )
-        cols = c0 + jnp.arange(CW, dtype=jnp.int32)[None, :]
+        cols = col_offset + c0 + jnp.arange(CW, dtype=jnp.int32)[None, :]
         delta = cols - flag_idx[:, None]
         if side > 0:
             zone = delta >= excl
@@ -791,7 +802,7 @@ def scan_flagged_rows(stats, thr, flag_idx, *, m, w, excl, K, CW,
         Pm = jnp.where(valid, P, neg)
         cnt = cnt + jnp.sum(Pm >= thr_f[:, None], axis=1, dtype=jnp.int32)
         v, loc = jax.lax.top_k(Pm, K)
-        idx = c0 + loc.astype(jnp.int32)
+        idx = col_offset + c0 + loc.astype(jnp.int32)
         # streaming merge with the carry
         av = jnp.concatenate([bv, v], axis=1)
         ai = jnp.concatenate([bi, idx], axis=1)
@@ -1449,7 +1460,7 @@ def compute_matrix_profile_f64_hybrid(
 
 def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
                   escalate, profile, side=0, sym_resolve=None,
-                  oneside_resolve=None):
+                  oneside_resolve=None, passc_fn=None):
     """Shared suspect-resolution stage: rescore the captured candidates
     exactly, run the device pass C for capture-overflow rows, and hand
     pathological rows to the exact host scan.  ``sus`` is a host
@@ -1480,7 +1491,15 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
     nrows = np.nonzero(narrow)[0].astype(np.int32)
     flagged = np.nonzero(over4 & ~narrow)[0].astype(np.int32)
     passc = None
-    if flagged.size:
+    # stats_q=None without a passc_fn: no replicated device statistics
+    # exist and the caller supplied no sharded pass C — the few
+    # wide-overflow rows go straight to the exact host row scan.
+    if flagged.size and passc_fn is not None:
+        with _phase(profile, "2. Compute [mxu f32 pass C flagged rows]"):
+            # sharded pass C (the ring tier): the callee pads, scans
+            # each device's column shard, and merges to (F, K) + counts
+            passc = passc_fn(flagged, K)
+    elif flagged.size and stats_q is not None:
         CW = 16384
         pw = stats_q.mu.shape[0]
         pwt = stats_t.mu.shape[0]
@@ -1582,7 +1601,12 @@ def _resolve_side(sus, wq, m, *, rescore, stats_q, stats_t, thr_q, excl, wt,
     # Escalation: capture overflow spread too wide for interval
     # rescoring.  The device pass C was dispatched before the host
     # rescore above; collect its (already overlapped) results here.
-    if flagged.size:
+    if flagged.size and passc is None:
+        with _phase(profile, "3. Rescore [host f64 escalation]"):
+            eP2, eI2 = escalate(flagged)
+            bestP[flagged] = eP2
+            bestI[flagged] = eI2
+    elif flagged.size:
         with _phase(profile, "3. Rescore [host f64 flagged]"):
             bv, bi, ccnt = jax.device_get(passc)
             bv, bi, ccnt = (

@@ -371,6 +371,109 @@ def sweep_band_suspects_sparse(
     )
 
 
+def sweep_band_suspects_fused(
+    stats: Stats, r0, k0, geom: BandGeometry, thr: jax.Array, F: int,
+    stats_c: Stats | None = None, thr_col: jax.Array | None = None,
+    precision=None, rg=0, cg=0, two_sided: bool = False,
+):
+    """Pass-B job WITHOUT stored pass-A captures: recompute the tile's
+    per-row/per-column maxima inline (one dense matmul + two fused
+    reductions), flag rows/columns against ``thr``, then capture the
+    flagged rows'/columns' suspects with the skinny gathered machinery
+    of sweep_band_suspects_sparse.  The sharded-inputs ring tier uses
+    this: storing per-job captures across rotation steps would cost
+    O(jobs * (S + W)) per device, while the inline recompute adds only
+    the two reduction passes (~30% over a value sweep) instead of the
+    dense capture's ~9 sequential passes over the (S, W) tile.
+
+    Flag soundness: a row's dense-tile job maximum upper-bounds every
+    pair the margin argument needs (mpx.hybrid module docstring), and
+    the skinny re-evaluation error is covered by the same margin — the
+    true f64 argmax is always captured.
+
+    Returns (dense (S,) row window, dense (W,) col window, overflow);
+    on overflow the caller must re-sweep the job densely."""
+    dt = jnp.float32
+    S, W, m, w, excl, wc = geom.S, geom.W, geom.m, geom.w, geom.excl, geom.wc
+    st_c = stats if stats_c is None else stats_c
+    thr_c_arr = thr if thr_col is None else thr_col
+    c0 = r0 + k0
+    init = jnp.float32(AGGREGATE_INIT)
+
+    P, valid, _, _ = _job_correlations(stats, r0, c0, geom, dt, stats_c,
+                                       precision, rg=rg, cg=cg,
+                                       two_sided=two_sided)
+    Pm = jnp.where(valid, P, init)
+    rv = jnp.max(Pm, axis=1)
+    cv = jnp.max(Pm, axis=0)
+
+    thr_r = jax.lax.dynamic_slice(thr, (r0,), (S,))
+    thr_cw = jax.lax.dynamic_slice(thr_c_arr, (c0,), (W,))
+    flags_r = rv >= thr_r
+    flags_c = cv >= thr_cw
+    over = (jnp.sum(flags_r, dtype=jnp.int32) > F) | (
+        jnp.sum(flags_c, dtype=jnp.int32) > F
+    )
+
+    idx_r = _flagged_indices(flags_r, F, S)
+    idx_c = _flagged_indices(flags_c, F, W)
+    pad_r = idx_r < S
+    pad_c = idx_c < W
+    rows_f = rg + r0 + jnp.where(pad_r, idx_r, 0)
+    cols_f = cg + c0 + jnp.where(pad_c, idx_c, 0)
+
+    Ur, fin_r = _panel(stats, r0, S, m)
+    Uc, fin_c = _panel(st_c, c0, W, m)
+    Uf_r = _onehot_rows(idx_r, Ur, F, S)
+    Uf_c = _onehot_rows(idx_c, Uc, F, W)
+    fin_fr = fin_r[jnp.minimum(idx_r, S - 1)] & pad_r
+    fin_fc = fin_c[jnp.minimum(idx_c, W - 1)] & pad_c
+    thr_fr = jnp.where(pad_r, thr_r[jnp.minimum(idx_r, S - 1)], jnp.inf)
+    thr_fc = jnp.where(pad_c, thr_cw[jnp.minimum(idx_c, W - 1)], jnp.inf)
+
+    dot = lambda A, B: jax.lax.dot_general(
+        A, B, (((1,), (1,)), ((), ())),
+        preferred_element_type=dt,
+        precision=_PRECISION if precision is None else precision,
+    )
+    zone = (
+        (lambda d: jnp.abs(d) >= excl) if two_sided
+        else (lambda d: d >= excl)
+    )
+
+    # Row side: flagged rows x all W columns (global coordinates).
+    P_r = dot(Uf_r, Uc)  # (F, W)
+    cols_w = cg + c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid_r = (
+        zone(cols_w - rows_f[:, None])
+        & (rows_f[:, None] <= w - 1)
+        & (cols_w <= wc - 1)
+        & fin_fr[:, None]
+        & fin_c[None, :]
+    )
+    hit_r = valid_r & (P_r >= thr_fr[:, None])
+    win_r = _suspect_reduce(hit_r, jnp.broadcast_to(cols_w, (F, W)), axis=1)
+
+    # Column side: flagged columns x all S rows.
+    P_c = dot(Uf_c, Ur)  # (F, S)
+    rows_w = rg + r0 + jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid_c = (
+        zone(cols_f[:, None] - rows_w)
+        & (rows_w <= w - 1)
+        & (cols_f[:, None] <= wc - 1)
+        & fin_fc[:, None]
+        & fin_r[None, :]
+    )
+    hit_c = valid_c & (P_c >= thr_fc[:, None])
+    win_c = _suspect_reduce(hit_c, jnp.broadcast_to(rows_w, (F, S)), axis=1)
+
+    return (
+        _dense_merge_cols(idx_r, win_r, F, S),
+        _dense_merge_cols(idx_c, win_c, F, W),
+        over,
+    )
+
+
 def _scatter_dense_max(idx, vals, F: int, L: int):
     """Scatter a gathered (F,) f32 max vector back to a dense (L,) array
     (AGGREGATE_INIT elsewhere) via a one-hot matmul: slot indices are

@@ -7,7 +7,7 @@ attention; SURVEY §5 "long-context / sequence parallelism"):
 
 * each device owns one contiguous shard of the subsequence axis: its
   slice of the series (with an m-1 halo), rolling stats, and the
-  row-side aggregates for its shard;
+  row-side state for its shard;
 * a (column block, column state) bundle rotates around the ring via
   ``ppermute`` for ⌊D/2⌋ steps; each step, a device sweeps the full
   (shard_w x shard_w) rectangle of one unordered shard pair {d, b},
@@ -24,16 +24,18 @@ attention; SURVEY §5 "long-context / sequence parallelism"):
   same panel-slice + MXU matmul as the single-chip kernel
   (mpx.kernels.mxu._panel).
 
-Two tiers share this machinery:
+Two tiers share this machinery (one ring pass, three sweep modes):
 
-* ``run_ring_sharded``        — one-pass float32 max/argmax profile;
-* ``run_ring_hybrid_f64``     — the exact double tier: ring pass A
-  (value-only maxima) -> suspect thresholds -> ring pass B (dense
-  suspect sweep) -> exact host-f64 rescoring, with a sharded pass C
-  (each device scans its own columns for the overflow rows).  Same
-  evidence structure as mpx.hybrid; reference flagship analog:
-  /root/reference/README.md:35 (double 1M showcase) generalized to
-  sharded inputs.
+* ``run_ring_sharded``     — one-pass float32 max/argmax profile
+  (mode "maxarg");
+* ``run_ring_hybrid_f64``  — the exact double tier over sharded
+  inputs: ring pass A (mode "max": value-only f32 maxima at the hybrid
+  precision) -> host suspect thresholds -> ring pass B (mode
+  "suspects": dense threshold sweep with index capture) -> exact
+  host-f64 rescoring via mpx.hybrid._resolve_side.  Same evidence
+  structure and margin soundness argument as mpx.hybrid; reference
+  flagship analog: /root/reference/README.md:35 (double 1M showcase)
+  generalized to sharded inputs.
 
 Per-device memory is O(n/D * m / itemsize) for the two panels — the
 price of never rebuilding operands per job.  The O(n^2) sweep dwarfs
@@ -61,6 +63,11 @@ _BIG = np.int32(2**30)
 # panels; exceeding it means the shard is too wide for this device
 # count (use more shards — that is what sharded inputs are for).
 RING_PANEL_BUDGET = int(os.environ.get("MPX_RING_PANEL_BUDGET", 10 << 30))
+
+# Flagged-slot budget per job for the hybrid ring's fused pass B
+# (suspect flags per job are tens at the 1M showcase; overflowing jobs
+# fall back to a dense capture sweep inside the same dispatch).
+RING_SUSPECT_F = int(os.environ.get("MPX_RING_SUSPECT_F", 256))
 
 
 def _panel_block(shard_w: int) -> int:
@@ -133,17 +140,34 @@ def _stage_shards(T64, host_stats, w: int, m: int, D: int, shard_w: int, dt):
     return Tb, mub, invb
 
 
-def _ring_grids(shard_w: int, S: int, W: int):
-    """(diag upper-triangle jobs, off-diagonal rectangle jobs), static."""
-    from mpx.config import make_job_grid
+def _stage_vector(vec, D: int, shard_w: int, fill, dt=np.float32):
+    """Block a host (w,)-vector into the (D, shard_w) device layout."""
+    out = np.full((D, shard_w), fill, dt)
+    flat = out.reshape(-1)
+    flat[: vec.shape[0]] = vec.astype(dt)
+    return flat.reshape(D, shard_w)
 
-    g = make_job_grid(shard_w, S, W)
-    diag = (jnp.asarray(g.r0), jnp.asarray(g.k0))
+
+def _ring_grids(shard_w: int, S: int, W: int):
+    """(diag upper-triangle jobs, off-diagonal rectangle jobs), static.
+
+    Both grids are RECTANGLE tilings (r0, c0 = r0 + k0 aligned to S/W):
+    the diag block keeps only tiles touching the upper triangle
+    (c0 + W > r0), masked one-sided inside the sweep.  A diagonal-chunk
+    grid (mpx.config.make_job_grid) is NOT usable here: with W > S its
+    last chunk emits jobs with c0 + W > shard_w, and dynamic_slice
+    would clamp the local panel/state slices — silently merging into
+    wrong offsets."""
     nr, nc = shard_w // S, shard_w // W
-    idx = np.arange(nr * nc, dtype=np.int32)
-    r0 = (idx // nc) * S
-    c0 = (idx % nc) * W
-    rect = (jnp.asarray(r0), jnp.asarray(c0 - r0))  # k0 = c0 - r0
+    rr, cc = np.meshgrid(
+        np.arange(nr, dtype=np.int32) * S,
+        np.arange(nc, dtype=np.int32) * W,
+        indexing="ij",
+    )
+    rr, cc = rr.ravel(), cc.ravel()
+    keep = cc + W > rr
+    diag = (jnp.asarray(rr[keep]), jnp.asarray(cc[keep] - rr[keep]))
+    rect = (jnp.asarray(rr), jnp.asarray(cc - rr))  # k0 = c0 - r0
     return diag, rect
 
 
@@ -155,6 +179,213 @@ def _check_budget(shard_w: int, m: int, itemsize: int = 4):
             f"(shard_w={shard_w}, m={m}); raise num_shards or "
             f"MPX_RING_PANEL_BUDGET"
         )
+
+
+def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
+               geom, diag, rect, prec, thrb=None, suspect_f=None,
+               compile_only=False):
+    """One full ring sweep in one dispatch.  ``mode``:
+
+    * ``"maxarg"``   -> per-subsequence (value, index) best pair;
+    * ``"max"``      -> per-subsequence max correlation only (hybrid
+      pass A);
+    * ``"suspects"`` -> per-subsequence SuspectWindow capture at the
+      per-row thresholds ``thrb`` (hybrid pass B).
+
+    Every mode returns device-folded (D, shard_w[, ...]) outputs: the
+    homed column-side state is merged into the row-side state on-device
+    before the (relay-expensive) host fetch.
+    """
+    from mpx.hybrid import (
+        _combine_suspects,
+        _init_suspects,
+        _merge_suspects_at,
+    )
+    from mpx.kernels.mxu import (
+        sweep_band_max,
+        sweep_band_mxu,
+        sweep_band_suspects,
+        sweep_band_suspects_fused,
+    )
+
+    S, W, m = geom.S, geom.W, geom.m
+    dt = jnp.float32
+    init_v = jnp.asarray(AGGREGATE_INIT, dt)
+    diag_r0, diag_k0 = diag
+    rect_r0, rect_k0 = rect
+    s_final = D // 2
+    suspects = mode == "suspects"
+    F = RING_SUSPECT_F if suspect_f is None else suspect_f
+
+    def merge_at(arr, new, o, better):
+        cur = jax.lax.dynamic_slice(arr, (o,), (new.shape[0],))
+        win = better(new, cur)
+        return jax.lax.dynamic_update_slice(
+            arr, jnp.where(win, new, cur), (o,)
+        )
+
+    def sweep_jobs(st_r, st_c, r0s, k0s, rg, cg, two_sided,
+                   row_st, col_st, thr_r=None, thr_c=None):
+        def body(carry, job):
+            row_st, col_st = carry
+            r0, k0 = job
+            c0 = r0 + k0
+            if suspects:
+                win_r, win_c, over = sweep_band_suspects_fused(
+                    st_r, r0, k0, geom, thr_r, F, st_c,
+                    thr_c, precision=prec, rg=rg, cg=cg,
+                    two_sided=two_sided,
+                )
+
+                def dense(_):
+                    out = sweep_band_suspects(
+                        st_r, r0, k0, geom, dt, thr_r, st_c, thr_c,
+                        precision=prec, rg=rg, cg=cg,
+                        two_sided=two_sided,
+                    )
+                    return out.row, out.col
+
+                # Rare flag-budget overflows re-sweep densely (cond
+                # runs one branch — the dense path costs nothing when
+                # untaken).
+                win_r, win_c = jax.lax.cond(
+                    over, dense, lambda _: (win_r, win_c), None
+                )
+                row_st = _merge_suspects_at(row_st, win_r, r0)
+                col_st = _merge_suspects_at(col_st, win_c, c0)
+            elif mode == "max":
+                rv, cv = sweep_band_max(
+                    st_r, r0, k0, geom, dt, st_c,
+                    precision=prec, rg=rg, cg=cg, two_sided=two_sided,
+                )
+                row_st = merge_at(row_st, rv, r0, jnp.greater)
+                col_st = merge_at(col_st, cv, c0, jnp.greater)
+            else:
+                out = sweep_band_mxu(
+                    st_r, r0, k0, geom, dt, stats_c=st_c,
+                    precision=prec, rg=rg, cg=cg, two_sided=two_sided,
+                )
+                rV, rI = row_st
+                cV, cI = col_st
+
+                def merge_vi(V, I, v, i, o):
+                    curV = jax.lax.dynamic_slice(V, (o,), (v.shape[0],))
+                    curI = jax.lax.dynamic_slice(I, (o,), (v.shape[0],))
+                    win = v > curV
+                    return (
+                        jax.lax.dynamic_update_slice(
+                            V, jnp.where(win, v, curV), (o,)),
+                        jax.lax.dynamic_update_slice(
+                            I, jnp.where(win, i, curI), (o,)),
+                    )
+
+                rV, rI = merge_vi(rV, rI, out.row.value, out.row.index, r0)
+                cV, cI = merge_vi(cV, cI, out.col.value, out.col.index, c0)
+                row_st, col_st = (rV, rI), (cV, cI)
+            return (row_st, col_st), None
+
+        return jax.lax.scan(body, (row_st, col_st), (r0s, k0s))[0]
+
+    def init_state():
+        if suspects:
+            return _init_suspects(shard_w)
+        if mode == "max":
+            return jnp.full((shard_w,), init_v, dt)
+        return (jnp.full((shard_w,), init_v, dt),
+                jnp.full((shard_w,), INDEX_INIT, jnp.int32))
+
+    def fold(row_st, col_st):
+        if suspects:
+            return _combine_suspects(row_st, col_st)
+        if mode == "max":
+            return jnp.maximum(row_st, col_st)
+        rV, rI = row_st
+        cV, cI = col_st
+        better = cV > rV
+        return jnp.where(better, cV, rV), jnp.where(better, cI, rI)
+
+    def local(*args):
+        if suspects:
+            T_blk, mu_blk, inv_blk, thr_blk = args
+            thr_blk = thr_blk[0]
+        else:
+            T_blk, mu_blk, inv_blk = args
+            thr_blk = None
+        d = jax.lax.axis_index("jobs")
+        T_blk, mu_blk, inv_blk = T_blk[0], mu_blk[0], inv_blk[0]
+        goff = d.astype(jnp.int32) * shard_w
+        Ur = _build_panel(T_blk, mu_blk, inv_blk, shard_w, m)
+        st_r = _local_stats(Ur, inv_blk, T_blk, mu_blk)
+
+        row_st = init_state()
+        col_st = init_state()
+
+        # Diagonal shard pair: a self-join of the shard (upper-triangle
+        # job grid, one-sided exclusion — each unordered pair once).
+        row_st, col_st = sweep_jobs(
+            st_r, None, diag_r0, diag_k0, goff, goff, False,
+            row_st, col_st, thr_blk, None,
+        )
+
+        if D > 1:
+            perm = [(i, (i - 1) % D) for i in range(D)]
+
+            def step(s, carry):
+                cT, cMu, cInv, cThr, col_st, row_st = carry
+                cT, cMu, cInv, cThr, col_st = jax.lax.ppermute(
+                    (cT, cMu, cInv, cThr, col_st), "jobs", perm
+                )
+                b = (d + s) % D
+                mine = s <= (D - 1) // 2
+                if D % 2 == 0:
+                    mine = mine | ((s == D // 2) & (d < D // 2))
+
+                def do(args):
+                    cT, cMu, cInv, cThr, col_st, row_st = args
+                    Uc = _build_panel(cT, cMu, cInv, shard_w, m)
+                    st_c = _local_stats(Uc, cInv, cT, cMu)
+                    row_st, col_st = sweep_jobs(
+                        st_r, st_c, rect_r0, rect_k0,
+                        goff, b.astype(jnp.int32) * shard_w, True,
+                        row_st, col_st, thr_blk, cThr,
+                    )
+                    return row_st, col_st
+
+                row_st, col_st = jax.lax.cond(
+                    mine, do, lambda a: (a[5], a[4]),
+                    (cT, cMu, cInv, cThr, col_st, row_st),
+                )
+                return (cT, cMu, cInv, cThr, col_st, row_st)
+
+            thr0 = thr_blk if suspects else jnp.zeros((1,), dt)
+            carry = (T_blk, mu_blk, inv_blk, thr0, col_st, row_st)
+            carry = jax.lax.fori_loop(1, s_final + 1, step, carry)
+            col_st, row_st = carry[4], carry[5]
+            # Send the traveled column state home (bundle j sits at
+            # device j - s_final after the loop) and fold the sides.
+            home = [(i, (i + s_final) % D) for i in range(D)]
+            col_st = jax.lax.ppermute(col_st, "jobs", home)
+
+        out = fold(row_st, col_st)
+        return jax.tree.map(lambda a: a[None], out)
+
+    nin = 4 if suspects else 3
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("jobs"),) * nin,
+        out_specs=P("jobs"),
+        check_vma=False,
+    )
+    args = (Tb, mub, invb) + ((thrb,) if suspects else ())
+    with mesh:
+        fn = jax.jit(shard_fn)
+        if compile_only:
+            # pod-scale configs (n=16M+) are validated for compilation
+            # on virtual meshes where executing them would take hours
+            fn.lower(*args).compile()
+            return None
+        return fn(*args)
 
 
 def run_ring_sharded(
@@ -177,14 +408,8 @@ def run_ring_sharded(
     overrides the f32 matmul precision (default: the mxu kernel's
     HIGHEST, i.e. full-f32 products).  float64 requests should use
     :func:`run_ring_hybrid_f64` (the driver routes there)."""
-    from mpx.kernels.mxu import _PRECISION, sweep_band_mxu
-    from mpx.ops.precompute import precompute_statistics_numpy
+    from mpx.kernels.mxu import _PRECISION
 
-    D = num_shards
-    T64 = np.asarray(T, np.float64)
-    n = T64.shape[0]
-    w = n - m + 1
-    excl = m // 4
     dt = canonical_dtype(dtype)
     if dt == np.dtype(np.float64):
         raise NotImplementedError(
@@ -194,6 +419,32 @@ def run_ring_sharded(
     prec = _PRECISION if precision is None else getattr(
         jax.lax.Precision, precision
     )
+    env = _ring_setup(T, m, num_shards, band, chunk, mesh, host_stats,
+                      np.dtype(np.float32))
+    out = _ring_pass(
+        env["Tb"], env["mub"], env["invb"], mode="maxarg",
+        mesh=env["mesh"], D=num_shards, shard_w=env["shard_w"],
+        geom=env["geom"], diag=env["diag"], rect=env["rect"], prec=prec,
+        compile_only=compile_only,
+    )
+    if compile_only:
+        return None, None
+    V, I = out
+    w = env["w"]
+    V = np.asarray(V).reshape(-1)[:w]
+    I = np.asarray(I).reshape(-1)[:w]
+    MP = np.sqrt(np.maximum(2.0 * m * (1.0 - V.astype(np.float64)), 0.0))
+    return MP, I
+
+
+def _ring_setup(T, m, D, band, chunk, mesh, host_stats, dt):
+    """Shared staging for the ring tiers: host stats, shard layout,
+    explicit (D, shard) input blocks, job grids, geometry."""
+    from mpx.ops.precompute import precompute_statistics_numpy
+
+    T64 = np.asarray(T, np.float64)
+    n = T64.shape[0]
+    w = n - m + 1
 
     if host_stats is None:
         from mpx import native
@@ -208,131 +459,205 @@ def run_ring_sharded(
     Tb, mub, invb = _stage_shards(T64, host_stats, w, m, D, shard_w, dt)
     if mesh is None:
         mesh = default_mesh(D)
+    # Device-put the shard blocks ONCE with their ring sharding: every
+    # pass (A, B, C) reuses the resident buffers instead of paying the
+    # relay transfer (~30 MB/s) per dispatch.
+    sharding = jax.sharding.NamedSharding(mesh, P("jobs"))
+    Tb = jax.device_put(Tb, sharding)
+    mub = jax.device_put(mub, sharding)
+    invb = jax.device_put(invb, sharding)
     S = min(band, shard_w)
     W = min(chunk, shard_w)
     geom = band_geometry(S, W, m, w, 8, min(2048, W))
-    (diag_r0, diag_k0), (rect_r0, rect_k0) = _ring_grids(shard_w, S, W)
-    init_v = jnp.asarray(AGGREGATE_INIT, dt)
-    s_final = D // 2
-
-    def block_jobs(st_r, st_c, r0s, k0s, rg, cg, two_sided,
-                   rowsV, rowsI, colV, colI):
-        def body(carry, job):
-            rowsV, rowsI, colV, colI = carry
-            r0, k0 = job
-            out = sweep_band_mxu(
-                st_r, r0, k0, geom, dt, stats_c=st_c, precision=prec,
-                rg=rg, cg=cg, two_sided=two_sided,
-            )
-            c0 = r0 + k0
-            # Row merge at the local band offset.
-            curV = jax.lax.dynamic_slice(rowsV, (r0,), (S,))
-            curI = jax.lax.dynamic_slice(rowsI, (r0,), (S,))
-            win = out.row.value > curV
-            rowsV = jax.lax.dynamic_update_slice(
-                rowsV, jnp.where(win, out.row.value, curV), (r0,))
-            rowsI = jax.lax.dynamic_update_slice(
-                rowsI, jnp.where(win, out.row.index, curI), (r0,))
-            # Column merge: sweep_band_mxu's col window spans S + W
-            # columns starting at c0; clamp to the shard via a padded
-            # local view is avoided by merging only the leading W lanes
-            # for rectangle jobs (their column extent is exactly W).
-            cv = out.col.value[:W]
-            ci = out.col.index[:W]
-            curV = jax.lax.dynamic_slice(colV, (c0,), (W,))
-            curI = jax.lax.dynamic_slice(colI, (c0,), (W,))
-            win = cv > curV
-            colV = jax.lax.dynamic_update_slice(
-                colV, jnp.where(win, cv, curV), (c0,))
-            colI = jax.lax.dynamic_update_slice(
-                colI, jnp.where(win, ci, curI), (c0,))
-            return (rowsV, rowsI, colV, colI), None
-
-        (rowsV, rowsI, colV, colI), _ = jax.lax.scan(
-            body, (rowsV, rowsI, colV, colI), (r0s, k0s)
-        )
-        return rowsV, rowsI, colV, colI
-
-    def local(T_blk, mu_blk, inv_blk):
-        d = jax.lax.axis_index("jobs")
-        T_blk, mu_blk, inv_blk = T_blk[0], mu_blk[0], inv_blk[0]
-        goff = d.astype(jnp.int32) * shard_w
-        Ur = _build_panel(T_blk, mu_blk, inv_blk, shard_w, m)
-        st_r = _local_stats(Ur, inv_blk, T_blk, mu_blk)
-
-        rowsV = jnp.full((shard_w,), init_v, dt)
-        rowsI = jnp.full((shard_w,), INDEX_INIT, jnp.int32)
-        colV = jnp.full((shard_w,), init_v, dt)
-        colI = jnp.full((shard_w,), INDEX_INIT, jnp.int32)
-
-        # Diagonal shard pair: a self-join of the shard (upper-triangle
-        # job grid, one-sided exclusion — each unordered pair once).
-        rowsV, rowsI, colV, colI = block_jobs(
-            st_r, None, diag_r0, diag_k0, goff, goff, False,
-            rowsV, rowsI, colV, colI,
-        )
-
-        if D == 1:
-            better = colV > rowsV
-            return (jnp.where(better, colV, rowsV)[None],
-                    jnp.where(better, colI, rowsI)[None])
-
-        perm = [(i, (i - 1) % D) for i in range(D)]
-
-        def step(s, carry):
-            cT, cMu, cInv, cV, cI, rV, rI = carry
-            cT, cMu, cInv, cV, cI = jax.lax.ppermute(
-                (cT, cMu, cInv, cV, cI), "jobs", perm
-            )
-            b = (d + s) % D
-            mine = s <= (D - 1) // 2
-            if D % 2 == 0:
-                mine = mine | ((s == D // 2) & (d < D // 2))
-
-            def do(args):
-                cT, cMu, cInv, cV, cI, rV, rI = args
-                Uc = _build_panel(cT, cMu, cInv, shard_w, m)
-                st_c = _local_stats(Uc, cInv, cT, cMu)
-                return block_jobs(
-                    st_r, st_c, rect_r0, rect_k0,
-                    goff, b.astype(jnp.int32) * shard_w, True,
-                    rV, rI, cV, cI,
-                )
-
-            rV, rI, cV, cI = jax.lax.cond(
-                mine, do, lambda a: (a[5], a[6], a[3], a[4]),
-                (cT, cMu, cInv, cV, cI, rV, rI),
-            )
-            return (cT, cMu, cInv, cV, cI, rV, rI)
-
-        carry = (T_blk, mu_blk, inv_blk, colV, colI, rowsV, rowsI)
-        cT, cMu, cInv, cV, cI, rV, rI = jax.lax.fori_loop(
-            1, s_final + 1, step, carry
-        )
-        # Send the traveled column state home (bundle j sits at device
-        # j - s_final after the loop) and fold the two sides.
-        home = [(i, (i + s_final) % D) for i in range(D)]
-        cV, cI = jax.lax.ppermute((cV, cI), "jobs", home)
-        better = cV > rV
-        return jnp.where(better, cV, rV)[None], jnp.where(better, cI, rI)[None]
-
-    shard_fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P("jobs"), P("jobs"), P("jobs")),
-        out_specs=P("jobs"),
-        check_vma=False,
+    diag, rect = _ring_grids(shard_w, S, W)
+    return dict(
+        T64=T64, host_stats=host_stats, w=w, shard_w=shard_w,
+        Tb=Tb, mub=mub, invb=invb, mesh=mesh, geom=geom,
+        diag=diag, rect=rect,
     )
 
-    with mesh:
-        fn = jax.jit(shard_fn)
+
+def _ring_pass_c(env, *, D: int, shard_w: int, m: int, w: int, excl: int,
+                 mu64, inv64, thr_host, T64):
+    """Sharded pass C factory: exact suspect extraction for
+    capture-overflow rows over the ring's column shards.
+
+    Returns ``passc_fn(flagged, K) -> (bv, bi, cnt)`` for
+    mpx.hybrid._resolve_side: the flagged rows' unit windows are built
+    on the host (F is tiny; no device holds the full query axis) and
+    replicated; each device scans ITS shard of the column axis with
+    scan_flagged_rows (global coordinates via col_offset); the
+    per-device top-K merge to the global top-K on the host.  count <= K
+    proves completeness exactly as in the single-chip tier — per-shard
+    counts partition the global count."""
+    from mpx.hybrid import scan_flagged_rows
+
+    mesh = env["mesh"]
+
+    def passc_fn(flagged: np.ndarray, K: int):
+        F = max(256, ((flagged.size + 511) // 512) * 512)
+        fidx = np.concatenate(
+            [flagged, np.zeros(F - flagged.size, np.int32)]
+        ).astype(np.int32)
+        j = np.arange(m)
+        Wf = T64[fidx[:, None] + j[None, :]]
+        invf = inv64[fidx]
+        finf = np.isfinite(invf)
+        finf[flagged.size:] = False  # padded rows never match
+        Uf = (
+            (Wf - mu64[fidx][:, None]) * np.where(finf, invf, 0.0)[:, None]
+        ).astype(np.float32)
+        thr_f = thr_host[fidx].astype(np.float32)
+        thr_f[flagged.size:] = np.inf
+
+        CW = 16384
+        while shard_w % CW:
+            CW //= 2
+        fidx_j = jnp.asarray(fidx)
+        Uf_j = jnp.asarray(Uf)
+        fin_j = jnp.asarray(finf)
+        thr_j = jnp.asarray(thr_f)
+        dummy = jnp.zeros((1,), jnp.float32)
+
+        def local(T_blk, mu_blk, inv_blk):
+            d = jax.lax.axis_index("jobs")
+            goff = d.astype(jnp.int32) * shard_w
+            st = Stats(T=T_blk[0], mu=mu_blk[0], df=dummy, dg=dummy,
+                       inv=inv_blk[0], qt0=dummy, windows=None)
+            bv, bi, cnt = scan_flagged_rows(
+                st, None, fidx_j, m=m, w=w, excl=excl, K=K, CW=CW,
+                Uf=Uf_j, fin_f=fin_j, thr_f=thr_j, col_offset=goff,
+            )
+            return bv[None], bi[None], cnt[None]
+
+        shard_fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("jobs"),) * 3, out_specs=P("jobs"),
+            check_vma=False,
+        )
+        with mesh:
+            out = jax.jit(shard_fn)(env["Tb"], env["mub"], env["invb"])
+        bv, bi, cnt = (np.asarray(a) for a in jax.device_get(out))
+        cntm = cnt.sum(axis=0, dtype=np.int64).astype(np.int32)
+        bvc = np.swapaxes(bv, 0, 1).reshape(F, D * K)
+        bic = np.swapaxes(bi, 0, 1).reshape(F, D * K)
+        sel = np.argsort(-bvc, axis=1)[:, :K]
+        return (
+            np.take_along_axis(bvc, sel, 1),
+            np.take_along_axis(bic, sel, 1),
+            cntm,
+        )
+
+    return passc_fn
+
+
+def run_ring_hybrid_f64(
+    T,
+    m: int,
+    *,
+    num_shards: int,
+    band: int = 4096,
+    chunk: int = 16384,
+    margin: float | None = None,
+    mesh=None,
+    host_stats: dict | None = None,
+    suspect_f: int | None = None,
+    compile_only: bool = False,
+    profile=None,
+):
+    """Exact double-precision self-join with SHARDED inputs.
+
+    The hybrid evidence chain (mpx.hybrid: f32 sweeps bound the f64
+    optimum, exact host rescoring decides) over the ring schedule:
+
+    1. ring pass A (mode "max")     -> per-subsequence f32 max,
+    2. host thresholds              -> thr = gmax32 - 2*margin,
+    3. ring pass B (mode "suspects")-> per-subsequence capture windows,
+    4. mpx.hybrid._resolve_side     -> exact f64 best pair (capture
+       overflow escalates to plateau-interval rescoring or the exact
+       host row scan; no replicated device stats exist in this tier,
+       so the device pass C is skipped).
+
+    Both ring passes run at HYBRID_PRECISION with the same margin
+    soundness argument as the single-chip tier.  Returns (MP float64,
+    MPI int32) numpy arrays at the reference's 1e-8 tolerance.
+    """
+    from mpx.hybrid import (
+        HYBRID_PRECISION,
+        _prec,
+        _rescore_pairs,
+        _resolve_side,
+        _row_scan,
+        default_margin,
+    )
+    from mpx.utils.profile import phase as _phase
+
+    D = num_shards
+    if margin is None:
+        margin = default_margin(m)
+    prec = _prec(HYBRID_PRECISION)
+
+    with _phase(profile, "1. Pre-Computation [host f64]"):
+        env = _ring_setup(T, m, D, band, chunk, mesh, host_stats,
+                          np.dtype(np.float32))
+    T64, w, shard_w = env["T64"], env["w"], env["shard_w"]
+    mu64 = np.asarray(env["host_stats"]["mu"], np.float64)
+    inv64 = np.asarray(env["host_stats"]["inv"], np.float64)
+    excl = m // 4
+
+    common = dict(mesh=env["mesh"], D=D, shard_w=shard_w,
+                  geom=env["geom"], diag=env["diag"], rect=env["rect"],
+                  prec=prec)
+
+    with _phase(profile, f"2. Compute [ring f32 pass A x{D}]"):
+        gmax = _ring_pass(env["Tb"], env["mub"], env["invb"],
+                          mode="max", compile_only=compile_only, **common)
+        if not compile_only:
+            gmax = np.asarray(gmax).reshape(-1)[:w]
+
+    if compile_only:
+        thrb = np.full((D, shard_w), np.inf, np.float32)
+    else:
+        # thr = gmax - 2*margin; rows with no valid pair stay +inf so
+        # they never flag (same rule as mpx.hybrid._build_thr).
+        thr = np.where(
+            gmax > np.float32(AGGREGATE_INIT),
+            gmax - np.float32(2.0 * margin), np.float32(np.inf),
+        ).astype(np.float32)
+        thrb = _stage_vector(thr, D, shard_w, np.inf)
+
+    with _phase(profile, f"2. Compute [ring f32 pass B x{D}]"):
+        sus = _ring_pass(env["Tb"], env["mub"], env["invb"],
+                         mode="suspects", thrb=jnp.asarray(thrb),
+                         suspect_f=suspect_f,
+                         compile_only=compile_only, **common)
         if compile_only:
-            # pod-scale configs (n=16M+) are validated for compilation
-            # on virtual meshes where executing them would take hours
-            fn.lower(Tb, mub, invb).compile()
             return None, None
-        V, I = fn(Tb, mub, invb)
-    V = np.asarray(V).reshape(-1)[:w]
-    I = np.asarray(I).reshape(-1)[:w]
-    MP = np.sqrt(np.maximum(2.0 * m * (1.0 - V.astype(np.float64)), 0.0))
-    return MP, I
+        # one bulk transfer; per-array slicing executables cost seconds
+        # of dispatch through the TPU relay
+        sus = jax.device_get(sus)
+        sus = jax.tree.map(
+            lambda a: np.asarray(a).reshape((D * shard_w,) + a.shape[2:]),
+            sus,
+        )
+
+    from mpx import native as _native
+
+    sym = None
+    if _native.is_available():
+        sym = lambda cand: _native.resolve_slots(T64, mu64, inv64, m, cand, w)
+    passc_fn = _ring_pass_c(
+        env, D=D, shard_w=shard_w, m=m, w=w, excl=excl,
+        mu64=mu64, inv64=inv64, thr_host=thr, T64=T64,
+    )
+    bestP, bestI = _resolve_side(
+        sus, w, m,
+        rescore=lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c),
+        stats_q=None, stats_t=None, thr_q=None, excl=excl, wt=w,
+        escalate=lambda rows: _row_scan(T64, mu64, inv64, m, w, excl, rows),
+        profile=profile, sym_resolve=sym, passc_fn=passc_fn,
+    )
+
+    with _phase(profile, "4. Post-Computation [host]"):
+        MP = np.sqrt(np.maximum(2.0 * m * (1.0 - bestP), 0.0))
+        return MP, bestI

@@ -48,7 +48,22 @@ def run_ring():
     return np.asarray(MP)
 
 
-fn = run_ring if MODE == "ring" else run_job
+def run_ring_f64():
+    from mpx.parallel.ring import run_ring_hybrid_f64
+    from mpx.utils.profile import BenchmarkProfile
+
+    prof = BenchmarkProfile()
+    MP, _ = run_ring_hybrid_f64(
+        T, M, num_shards=1,
+        band=int(os.environ.get("BAND", 4096)),
+        chunk=int(os.environ.get("CHUNK", 4096)),
+        profile=prof,
+    )
+    print(prof.report(), flush=True)
+    return np.asarray(MP)
+
+
+fn = {"ring": run_ring, "ringf64": run_ring_f64}.get(MODE, run_job)
 
 t0 = time.perf_counter()
 mp = fn()

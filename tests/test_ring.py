@@ -43,3 +43,56 @@ def test_ring_rejects_f64():
     with pytest.raises(NotImplementedError):
         run_ring_sharded(random_walk(600, seed=54), 16, num_shards=2,
                          dtype="float64")
+
+
+def test_ring_unequal_band_chunk():
+    """W > S exercises the rectangle-tiled diag grid (a diagonal-chunk
+    grid would emit clamped out-of-shard column slices here)."""
+    T = random_walk(3000, seed=55)
+    m = 32
+    MP, MPI = run_ring_sharded(T, m, num_shards=4, band=64, chunk=256)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=2e-3)
+
+
+@pytest.mark.parametrize("shards", [1, 3, 4, 8])
+def test_ring_hybrid_f64_exact(shards):
+    """The sharded-inputs double tier must match the golden f64 profile
+    at the reference tolerance (1e-8), like the single-chip hybrid."""
+    from mpx.parallel.ring import run_ring_hybrid_f64
+
+    T = random_walk(2500, seed=56)
+    m = 24
+    MP, MPI = run_ring_hybrid_f64(T, m, num_shards=shards,
+                                  band=64, chunk=128)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+
+def test_ring_hybrid_f64_overflow_fallback():
+    """A tiny flagged-slot budget forces the fused pass B to overflow
+    on (nearly) every job, exercising the dense capture fallback; the
+    result must stay exact."""
+    from mpx.parallel.ring import run_ring_hybrid_f64
+
+    T = random_walk(1500, seed=58)
+    m = 16
+    MP, MPI = run_ring_hybrid_f64(T, m, num_shards=2, band=64, chunk=64,
+                                  suspect_f=2)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+
+def test_ring_hybrid_f64_driver_route():
+    """float64 + shard_mode='ring' routes through the hybrid ring tier."""
+    from mpx.config import MatrixProfileConfig
+    from mpx.driver import compute_matrix_profile
+
+    T = random_walk(1800, seed=57)
+    m = 16
+    cfg = MatrixProfileConfig(m=m, dtype="float64", band=64, chunk=64,
+                              num_shards=4, shard_mode="ring")
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    assert MP.dtype == np.float64
+    assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
