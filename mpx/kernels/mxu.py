@@ -217,7 +217,14 @@ def _dense_merge_cols(idx, win: SuspectWindow, F: int, L: int) -> SuspectWindow:
 
     Index fields are shifted by +1 so 0 means "missing": the max-merged
     fields' init is already -1 (-> 0), the min-merged fields' init
-    (2^30, not f32-exact) is mapped to 0 explicitly."""
+    (2^30, not f32-exact) is mapped to 0 explicitly.
+
+    HIGHEST precision is REQUIRED on every index-carrying one-hot
+    matmul in this module: TPU DEFAULT is a one-pass bf16 matmul whose
+    8 mantissa bits silently round integers >= 2^9 to multiples of
+    their magnitude/2^8 — encoded suspect indices past the first few
+    hundred would come back corrupted (observed at n=16384: the last
+    band's capture slots quantized to multiples of 64)."""
     K = SUSPECT_K
     enc_mn = jnp.where(win.mn == SUSPECT_MIN_INIT, 0, win.mn + 1)
     enc_mx = win.mx + 1  # SUSPECT_MAX_INIT == -1 -> 0
@@ -228,6 +235,7 @@ def _dense_merge_cols(idx, win: SuspectWindow, F: int, L: int) -> SuspectWindow:
     D = jax.lax.dot_general(
         onehot.astype(jnp.float32), M, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)  # (L, 1 + 2K)
     mn = D[:, 1 : 1 + K]
     return SuspectWindow(
@@ -253,6 +261,8 @@ def _flagged_indices(flags, F: int, L: int):
         onehot.astype(jnp.float32),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST: index-carrying (see _dense_merge_cols)
+        precision=jax.lax.Precision.HIGHEST,
     )[0].astype(jnp.int32)
     valid = jnp.arange(F, dtype=jnp.int32) < jnp.sum(flags, dtype=jnp.int32)
     return jnp.where(valid, idx, L)
@@ -268,6 +278,9 @@ def _onehot_rows(idx, U, F: int, L: int):
     return jax.lax.dot_general(
         onehot, U, (((1,), (0,)), ((), ())),
         preferred_element_type=U.dtype,
+        # HIGHEST: TPU DEFAULT would bf16-round the copied panel values
+        # (2^-8 relative), blowing the sweep's margin error budget
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -486,6 +499,8 @@ def _scatter_dense_max(idx, vals, F: int, L: int):
     D = jax.lax.dot_general(
         onehot, VI, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST: TPU DEFAULT would bf16-round the scattered maxima
+        precision=jax.lax.Precision.HIGHEST,
     )  # (L, 2)
     return jnp.where(D[:, 1] > 0, D[:, 0], jnp.float32(AGGREGATE_INIT))
 
