@@ -1,12 +1,23 @@
 """Job-level checkpoint / resume.
 
 The reference has no checkpointing; its host-side aggregate arrays are
-exactly the state one would persist between diagonal chunks (SURVEY §5).
-mpx makes that a real feature: the job grid is processed in groups, and
-after each group the partial row/column aggregates (plus a config/input
-fingerprint and the next group index) are written atomically to an .npz.
-A rerun with the same input and config resumes at the first unfinished
-group; anything else starts fresh.
+exactly the state one would persist between diagonal chunks (SURVEY §5;
+reference analog: the host aggregate arrays of
+/root/reference/host/MatrixProfileHost.cpp:41).  mpx makes that a real
+feature: the job grid is processed in groups, and after each group the
+partial row/column aggregates (plus a config/input fingerprint and the
+next group index) are written atomically to an .npz.  A rerun with the
+same input and config resumes at the first unfinished group; anything
+else starts fresh.
+
+Two tiers are resumable:
+
+* the straight sweep tiers (mxu/xla/pallas, any dtype) via
+  :func:`compute_with_checkpoint`'s group loop below;
+* the hybrid exact-f64 tier — the flagship path — via
+  :class:`HybridCheckpoint`, which persists pass-A maxima and pass-B
+  suspect state at dispatch-group granularity (see the class docstring
+  for the exactness argument).
 """
 
 from __future__ import annotations
@@ -91,6 +102,217 @@ def _load(path: str, fp: str):
     return rows, cols, int(data["next_group"])
 
 
+class HybridCheckpoint:
+    """Pass-level checkpoint for the hybrid f64 tier (single device).
+
+    Stage ``A`` persists the pass-A partial (rmax, cmax) maxima and the
+    next dispatch-group index after every group.  The per-job captured
+    maxima (the sparse pass-B skip oracle) are deliberately NOT
+    persisted — at the showcase geometry they are ~0.5 GB against
+    rmax/cmax's ~8 MB; jobs whose captures were lost to a crash simply
+    re-sweep DENSELY in pass B.  Exactness is unaffected: the dense
+    suspect sweep captures precisely the pairs at the threshold that
+    the sparse sweep would (the oracle only skips rows provably without
+    suspects), and all suspect merges are associative and commutative
+    (merge networks — mpx.hybrid._combine_suspects), so the final
+    profile is identical to an uninterrupted run.
+
+    Stage ``B`` persists the pass-A threshold, the partial
+    SuspectWindow arrays, and a done-mask over the canonical job grid
+    after every dispatch batch.  Only jobs whose captures actually
+    merged are marked done (sparse-overflow jobs stay pending until
+    their dense re-sweep lands).  On resume, pending jobs re-sweep
+    densely from the loaded state.
+
+    The resolution stages (exact rescore / pass C / escalation) run in
+    seconds even at n=2M and are rerun from scratch on resume.  Saves
+    device_get the suspect state (~9 words/subsequence), so checkpoint
+    overhead is a few percent of a dispatch group through the relay.
+    """
+
+    STAGE_A = "A"
+    STAGE_B = "B"
+
+    def __init__(self, path: str, fp: str, grid):
+        self.path = path
+        self.fp = fp
+        self._index = {
+            (int(r), int(k)): i
+            for i, (r, k) in enumerate(zip(grid.r0, grid.k0))
+        }
+        self.njobs = len(self._index)
+        self.done = np.zeros(self.njobs, bool)
+        self.thr = None
+        # stage-A resume: job groups whose device captures were lost
+        # (the orchestrator forces these through the dense pass B)
+        self.uncaptured: list = []
+        self._state = None
+        data = _load_raw(path, fp)
+        if data is not None:
+            self._state = data
+
+    # -- stage A ----------------------------------------------------
+    def load_a(self):
+        if self._state is None or str(self._state["stage"]) != self.STAGE_A:
+            return None
+        return (
+            self._state["rmax"],
+            self._state["cmax"],
+            int(self._state["next_group"]),
+        )
+
+    def save_a(self, rmax, cmax, next_group: int):
+        _save_npz(
+            self.path,
+            stage=self.STAGE_A,
+            rmax=np.asarray(rmax),
+            cmax=np.asarray(cmax),
+            next_group=next_group,
+            fingerprint=self.fp,
+        )
+
+    # -- stage B ----------------------------------------------------
+    def begin_b(self, thr):
+        self.thr = np.asarray(thr)
+
+    def load_b(self):
+        if self._state is None or str(self._state["stage"]) != self.STAGE_B:
+            return None
+        self.thr = self._state["thr"]
+        self.done = self._state["done"].astype(bool)
+        return self._state
+
+    def mark_done_and_save(self, rows_g, cols_g, r0s, k0s, keep=None):
+        """Mark the batch's (non-pad, kept) jobs done and persist the
+        suspect state.  ``keep`` masks out jobs that contributed nothing
+        this batch (sparse flag-budget overflows)."""
+        import jax
+
+        r0s = np.asarray(r0s)
+        k0s = np.asarray(k0s)
+        for i, (r, k) in enumerate(zip(r0s, k0s)):
+            if keep is not None and not keep[i]:
+                continue
+            j = self._index.get((int(r), int(k)))
+            if j is not None:
+                self.done[j] = True
+        rows_h, cols_h = jax.device_get((rows_g, cols_g))
+        _save_npz(
+            self.path,
+            stage=self.STAGE_B,
+            thr=self.thr,
+            rows_cnt=np.asarray(rows_h.cnt),
+            rows_mn=np.asarray(rows_h.mn),
+            rows_mx=np.asarray(rows_h.mx),
+            cols_cnt=np.asarray(cols_h.cnt),
+            cols_mn=np.asarray(cols_h.mn),
+            cols_mx=np.asarray(cols_h.mx),
+            done=self.done,
+            fingerprint=self.fp,
+        )
+
+    def pending_jobs(self, grid):
+        todo = ~self.done
+        r0 = np.asarray(grid.r0)[: self.njobs][todo]
+        k0 = np.asarray(grid.k0)[: self.njobs][todo]
+        return r0.astype(np.int32), k0.astype(np.int32)
+
+    def finalize(self):
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
+
+def _save_npz(path: str, **arrays):
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)) or "."
+    )
+    os.close(fd)
+    np.savez(tmp, **arrays)
+    os.replace(tmp + ".npz", path)
+    if os.path.exists(tmp):
+        os.remove(tmp)
+
+
+def _load_raw(path: str, fp: str):
+    if not os.path.exists(path):
+        return None
+    try:
+        data = np.load(path, allow_pickle=False)
+    except Exception as e:  # corrupt checkpoint -> start fresh
+        Logger.warning(f"ignoring unreadable checkpoint {path}: {e}")
+        return None
+    if str(data["fingerprint"]) != fp:
+        Logger.warning(
+            f"checkpoint {path} does not match input/config; ignoring"
+        )
+        return None
+    return dict(data)
+
+
+def _hybrid_fingerprint(T: np.ndarray, cfg: MatrixProfileConfig, w: int,
+                        margin: float) -> str:
+    from mpx.hybrid import HYBRID_PRECISION, _PASS_RATE
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(np.asarray(T, np.float64)).tobytes())
+    meta = json.dumps(
+        {
+            "m": cfg.m,
+            "band": cfg.band,
+            "chunk": cfg.chunk,
+            "w": w,
+            "kernel": "hybrid",
+            "margin": margin,
+            "precision": HYBRID_PRECISION,
+            # group sizing: stage-A next_group indexes these groups
+            "pass_rate": _PASS_RATE,
+        },
+        sort_keys=True,
+    )
+    h.update(meta.encode())
+    return h.hexdigest()
+
+
+def compute_hybrid_with_checkpoint(
+    T,
+    cfg: MatrixProfileConfig,
+    checkpoint_path: str,
+    *,
+    profile=None,
+    keep_checkpoint: bool = False,
+    _ckpt_cls=None,
+):
+    """Resumable hybrid exact-f64 computation (single device).
+
+    The flagship double-precision path with pass-level checkpointing:
+    kill it mid-pass-A or mid-pass-B and a rerun with the same input
+    and config resumes instead of restarting (see HybridCheckpoint).
+    Returns (MP float64, MPI int32).
+    """
+    from mpx.hybrid import compute_matrix_profile_f64_hybrid, default_margin
+
+    T = np.asarray(T, np.float64)
+    n = T.shape[0]
+    cfg.validate_series(n, T)
+    w = n - cfg.m + 1
+    cfg = cfg.shrink_to(w)
+    if cfg.num_shards and cfg.num_shards > 1:
+        raise ValueError("checkpointed hybrid runs execute single-device")
+    margin = default_margin(cfg.m)
+    fp = _hybrid_fingerprint(T, cfg, w, margin)
+    grid = make_job_grid(w, cfg.band, cfg.chunk)
+    cls = HybridCheckpoint if _ckpt_cls is None else _ckpt_cls
+    ckpt = cls(checkpoint_path, fp, grid)
+    MP, MPI = compute_matrix_profile_f64_hybrid(
+        T, cfg, margin=margin, profile=profile, ckpt=ckpt
+    )
+    if canonical_dtype(cfg.dtype) == np.dtype(np.float32):
+        MP = MP.astype(np.float32)  # exact f64-true values, f32 storage
+    if not keep_checkpoint:
+        ckpt.finalize()
+    return MP, MPI
+
+
 def compute_with_checkpoint(
     T,
     cfg: MatrixProfileConfig,
@@ -114,11 +336,12 @@ def compute_with_checkpoint(
     cfg = cfg.shrink_to(w)
     S, W = cfg.band, cfg.chunk
     dt = canonical_dtype(cfg.dtype)
-    kernel = resolve_kernel(cfg.kernel, dt, m)
+    kernel = resolve_kernel(cfg.kernel, dt, m, allow_hybrid=True, w=w)
     if kernel == "hybrid":
-        raise ValueError(
-            "checkpointing is for long straight-f64 sweeps; the hybrid "
-            "tier runs in grouped f32 passes and needs no checkpoint"
+        # the flagship path: pass-level hybrid checkpointing
+        return compute_hybrid_with_checkpoint(
+            T, cfg, checkpoint_path, profile=profile,
+            keep_checkpoint=keep_checkpoint,
         )
     fp = _fingerprint(T, cfg, w, group_jobs, kernel)
 

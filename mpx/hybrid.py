@@ -181,22 +181,28 @@ def _fold_suspects(rows_g, cols_g, *, w):
 
 def run_suspect_jobs(stats, thr, r0s, k0s, *, S, W, m, w, tr, tc,
                      wc=None, excl=None, stats_c=None, thr_col=None,
-                     combine=True):
+                     combine=True, ckpt=None, rows_g=None, cols_g=None):
     """Pass B: sweep all jobs in watchdog-safe dispatch groups, merging
     per-job suspect summaries into global row-axis and column-axis
     arrays.  Self-joins (combine=True) fold the two sides into one
-    per-subsequence summary; AB-joins get (query, target) separately."""
+    per-subsequence summary; AB-joins get (query, target) separately.
+
+    ``ckpt`` persists state + done-mask per group; ``rows_g``/``cols_g``
+    seed the merge from a loaded checkpoint (resume path)."""
     r0s = np.asarray(r0s, np.int32)
     k0s = np.asarray(k0s, np.int32)
     Lr = w + S
     Lc = (w if wc is None else wc) + W
-    rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
+    if rows_g is None:
+        rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
     for gr, gk in _job_groups(r0s, k0s, S, W, w):
         rows_g, cols_g = _suspect_jobs_group(
             stats, thr, jnp.asarray(gr), jnp.asarray(gk), rows_g, cols_g,
             S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
             stats_c=stats_c, thr_col=thr_col, prec=HYBRID_PRECISION,
         )
+        if ckpt is not None:
+            ckpt.mark_done_and_save(rows_g, cols_g, gr, gk)
     if combine:
         return _fold_suspects(rows_g, cols_g, w=w)
     return rows_g, cols_g
@@ -369,12 +375,17 @@ def _tier_batches(cap_groups, tier_sel_f, F, *, S, W, w):
 
 def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
                             wc=None, excl=None, stats_c=None, thr_col=None,
-                            combine=True, profile=None):
+                            combine=True, profile=None, ckpt=None):
     """Sparse pass B: consume pass A's per-job maxima to skip all
     unflagged rows/columns.  Jobs are routed to the smallest panel tier
     that fits their exact flag count; jobs exceeding the largest tier
     go straight to the dense re-sweep.  Same output contract as
-    run_suspect_jobs."""
+    run_suspect_jobs.
+
+    ``ckpt`` persists the partial suspect state + job done-mask after
+    every batch.  Jobs whose pass-A captures predate a resume
+    (ckpt.uncaptured) join the dense re-sweep; sparse-overflow jobs
+    stay pending in the mask until their dense re-sweep lands."""
     F2 = _sparse_budget(S, W)
     tiers = _sparse_tiers(F2)
     thr_c_arr = thr if thr_col is None else thr_col
@@ -385,23 +396,34 @@ def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
     tier_sel, over_jobs = _route_tiers(
         cap_groups, thr, thr_c_arr, tiers, S=S, W=W, tag="sparse pass B"
     )
+    if ckpt is not None:
+        for gr, gk in ckpt.uncaptured:
+            gr, gk = np.asarray(gr), np.asarray(gk)
+            real = gr < w  # drop group-pad dummy jobs
+            if real.any():
+                over_jobs.append((gr[real], gk[real]))
     for F in tiers:
         if not tier_sel[F]:
             continue
         for args in _tier_batches(cap_groups, tier_sel[F], F, S=S, W=W, w=w):
-            rows_g, cols_g, _ = _sparse_suspect_group(
+            rows_g, cols_g, overs = _sparse_suspect_group(
                 stats, thr, *args, rows_g, cols_g,
                 S=S, W=W, m=m, w=w, tr=tr, tc=tc, F=F,
                 wc=wc, excl=excl, stats_c=stats_c, thr_col=thr_col,
                 prec=HYBRID_PRECISION,
             )
+            if ckpt is not None:
+                ckpt.mark_done_and_save(
+                    rows_g, cols_g, args[0], args[1],
+                    keep=~np.asarray(overs),
+                )
 
     if over_jobs:
         ro = np.concatenate([r for r, _ in over_jobs])
         ko = np.concatenate([k for _, k in over_jobs])
         Logger.verbose_log(
-            f"hybrid sparse pass B: {ro.shape[0]} job(s) overflowed the "
-            f"flag budget F={F}; re-sweeping densely"
+            f"hybrid sparse pass B: {ro.shape[0]} job(s) to the dense "
+            "re-sweep (flag-budget overflow or lost captures)"
         )
         with _phase(profile, "2. Compute [mxu f32 pass B dense overflow]"):
             for gr, gk in _job_groups(ro, ko, S, W, w):
@@ -411,6 +433,8 @@ def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
                     S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
                     stats_c=stats_c, thr_col=thr_col, prec=HYBRID_PRECISION,
                 )
+                if ckpt is not None:
+                    ckpt.mark_done_and_save(rows_g, cols_g, gr, gk)
 
     if combine:
         return _fold_suspects(rows_g, cols_g, w=w)
@@ -673,7 +697,7 @@ def _run_max_jobs_cascade(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
 
 def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
                  wc=None, excl=None, pwc=None, stats_c=None, combine=True,
-                 capture=False):
+                 capture=False, ckpt=None):
     """Pass A: value-only max sweep over all jobs in watchdog-safe
     dispatch groups, folded into the suspect threshold(s).
 
@@ -685,8 +709,15 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
     [(r0s, k0s, jobrow (G,S), jobcol (G,W)), ...] (device-resident) for
     the sparse pass B.  With MPX_HYBRID_CASCADE=1 this runs the bf16
     cascade instead (see _run_max_jobs_cascade / _cascade_enabled); the
-    thresholds and captured maxima are exact either way."""
-    if capture and _cascade_enabled(stats):
+    thresholds and captured maxima are exact either way.
+
+    ``ckpt`` (mpx.checkpoint.HybridCheckpoint, self-join only) persists
+    (rmax, cmax, next_group) after every group and resumes mid-pass;
+    groups completed before a crash lose their device captures, so they
+    are recorded on ``ckpt.uncaptured`` for a dense pass-B sweep (the
+    cascade is bypassed under ckpt: its tier batches have no stable
+    group order to resume)."""
+    if capture and _cascade_enabled(stats) and ckpt is None:
         return _run_max_jobs_cascade(
             stats, r0s, k0s, margin, S=S, W=W, m=m, w=w, tr=tr, tc=tc,
             pw=pw, wc=wc, excl=excl, pwc=pwc, stats_c=stats_c,
@@ -700,7 +731,20 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
     rmax = jnp.full((Lr,), neg, jnp.float32)
     cmax = jnp.full((Lc,), neg, jnp.float32)
     cap_groups = []
-    for gr, gk in _job_groups(r0s, k0s, S, W, w):
+    groups = _job_groups(r0s, k0s, S, W, w)
+    start = 0
+    if ckpt is not None:
+        st = ckpt.load_a()
+        if st is not None:
+            rmax = jnp.asarray(st[0])
+            cmax = jnp.asarray(st[1])
+            start = st[2]
+            ckpt.uncaptured = groups[:start]
+            Logger.info(
+                f"hybrid pass A: resuming at group {start}/{len(groups)}"
+            )
+    for gi in range(start, len(groups)):
+        gr, gk = groups[gi]
         gr_d, gk_d = jnp.asarray(gr), jnp.asarray(gk)
         out = _max_jobs_group(
             stats, gr_d, gk_d, rmax, cmax,
@@ -712,6 +756,8 @@ def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
             cap_groups.append((gr_d, gk_d, jrow, jcol))
         else:
             rmax, cmax = out
+        if ckpt is not None:
+            ckpt.save_a(rmax, cmax, gi + 1)
     thr = _build_thr(
         rmax, cmax, margin, w=w, pw=pw,
         wc=wc, pwc=pwc, combine=combine,
@@ -1341,11 +1387,16 @@ def compute_matrix_profile_f64_hybrid(
     m: Optional[int] = None,
     margin: Optional[float] = None,
     profile=None,
+    ckpt=None,
 ):
     """Exact double-precision self-join profile via the hybrid tier.
 
     Returns (MP float64 distances, MPI int32) as numpy arrays, matching
     the reference's double semantics at the 1e-8 test tolerance.
+
+    ``ckpt`` (mpx.checkpoint.HybridCheckpoint; single-device self-joins
+    only — use mpx.checkpoint.compute_hybrid_with_checkpoint) makes the
+    run resumable at dispatch-group granularity.
     """
     from mpx.ops.precompute import precompute_statistics, precompute_statistics_numpy
 
@@ -1383,62 +1434,100 @@ def compute_matrix_profile_f64_hybrid(
     num_shards = config.num_shards or 1
     pw = stats.mu.shape[0]
     shard_tag = f", sharded x{num_shards}" if num_shards > 1 else ""
+    if ckpt is not None and num_shards > 1:
+        raise ValueError("hybrid checkpointing is single-device")
 
     sparse = num_shards == 1 and _sparse_ok(stats, w)
 
-    # 3. Pass A: f32 value-only max sweep -> suspect threshold (the
-    #    sparse variant also captures each job's row/col maxima — the
-    #    pass-B skip oracle).
-    with _phase(profile, f"2. Compute [mxu f32 pass A{shard_tag}]"):
-        cap = None
-        if num_shards > 1:
-            thr = run_max_jobs_sharded(
-                stats, grid, margin, num_shards=num_shards,
-                S=S, W=W, m=m, w=w,
-                tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+    state_b = ckpt.load_b() if ckpt is not None else None
+    if state_b is not None:
+        # Resume mid-pass-B: pass A is complete (thr persisted); the
+        # pending jobs re-sweep DENSELY from the loaded suspect state
+        # (their pass-A captures died with the crashed process; the
+        # dense sweep captures the identical suspect set).
+        thr = jnp.asarray(state_b["thr"])
+        r0p, k0p = ckpt.pending_jobs(grid)
+        Logger.info(
+            f"hybrid pass B: resuming, {r0p.shape[0]} of "
+            f"{ckpt.njobs} jobs pending"
+        )
+        with _phase(profile, "2. Compute [mxu f32 pass B resume dense]"):
+            rows_g = SuspectWindow(
+                cnt=jnp.asarray(state_b["rows_cnt"]),
+                mn=jnp.asarray(state_b["rows_mn"]),
+                mx=jnp.asarray(state_b["rows_mx"]),
             )
-        elif sparse:
-            thr, cap = run_max_jobs(
-                stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
-                jnp.float32(margin),
-                S=S, W=W, m=m, w=w,
-                tr=config.tile_rows, tc=config.tile_cols, pw=pw,
-                capture=True,
+            cols_g = SuspectWindow(
+                cnt=jnp.asarray(state_b["cols_cnt"]),
+                mn=jnp.asarray(state_b["cols_mn"]),
+                mx=jnp.asarray(state_b["cols_mx"]),
             )
-        else:
-            thr = run_max_jobs(
-                stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
-                jnp.float32(margin),
-                S=S, W=W, m=m, w=w,
-                tr=config.tile_rows, tc=config.tile_cols, pw=pw,
-            )
-        jax.block_until_ready(thr)
-
-    # 4. Pass B: suspect sweep against thr = gmax - 2*margin.
-    pass_b_tag = "sparse" if sparse else "suspects"
-    with _phase(profile, f"2. Compute [mxu f32 pass B {pass_b_tag}{shard_tag}]"):
-        if num_shards > 1:
-            sus = run_suspect_jobs_sharded(
-                stats, thr, grid, num_shards=num_shards,
-                S=S, W=W, m=m, w=w,
-                tr=config.tile_rows, tc=config.tile_cols,
-            )
-        elif sparse:
-            sus = run_suspect_jobs_sparse(
-                stats, thr, cap,
-                S=S, W=W, m=m, w=w,
-                tr=config.tile_rows, tc=config.tile_cols, profile=profile,
-            )
-            cap = None  # free the captured job maxima
-        else:
             sus = run_suspect_jobs(
-                stats, thr, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                stats, thr, r0p, k0p,
                 S=S, W=W, m=m, w=w,
                 tr=config.tile_rows, tc=config.tile_cols,
+                ckpt=ckpt, rows_g=rows_g, cols_g=cols_g,
             )
-        # one bulk transfer; per-array slicing executables cost seconds
-        # of dispatch through the TPU relay
-        sus = jax.device_get(sus)
+            sus = jax.device_get(sus)
+    else:
+        # 3. Pass A: f32 value-only max sweep -> suspect threshold (the
+        #    sparse variant also captures each job's row/col maxima — the
+        #    pass-B skip oracle).
+        with _phase(profile, f"2. Compute [mxu f32 pass A{shard_tag}]"):
+            cap = None
+            if num_shards > 1:
+                thr = run_max_jobs_sharded(
+                    stats, grid, margin, num_shards=num_shards,
+                    S=S, W=W, m=m, w=w,
+                    tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+                )
+            elif sparse:
+                thr, cap = run_max_jobs(
+                    stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                    jnp.float32(margin),
+                    S=S, W=W, m=m, w=w,
+                    tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+                    capture=True, ckpt=ckpt,
+                )
+            else:
+                thr = run_max_jobs(
+                    stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                    jnp.float32(margin),
+                    S=S, W=W, m=m, w=w,
+                    tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+                    ckpt=ckpt,
+                )
+            jax.block_until_ready(thr)
+        if ckpt is not None:
+            ckpt.begin_b(thr)
+
+        # 4. Pass B: suspect sweep against thr = gmax - 2*margin.
+        pass_b_tag = "sparse" if sparse else "suspects"
+        with _phase(profile,
+                    f"2. Compute [mxu f32 pass B {pass_b_tag}{shard_tag}]"):
+            if num_shards > 1:
+                sus = run_suspect_jobs_sharded(
+                    stats, thr, grid, num_shards=num_shards,
+                    S=S, W=W, m=m, w=w,
+                    tr=config.tile_rows, tc=config.tile_cols,
+                )
+            elif sparse:
+                sus = run_suspect_jobs_sparse(
+                    stats, thr, cap,
+                    S=S, W=W, m=m, w=w,
+                    tr=config.tile_rows, tc=config.tile_cols,
+                    profile=profile, ckpt=ckpt,
+                )
+                cap = None  # free the captured job maxima
+            else:
+                sus = run_suspect_jobs(
+                    stats, thr, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                    S=S, W=W, m=m, w=w,
+                    tr=config.tile_rows, tc=config.tile_cols, ckpt=ckpt,
+                )
+            # one bulk transfer; per-array slicing executables cost
+            # seconds of dispatch through the TPU relay
+            sus = jax.device_get(sus)
 
     from mpx import native as _native
 
