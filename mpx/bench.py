@@ -26,6 +26,78 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 3.0e10
 
 
+class ValidationError(AssertionError):
+    pass
+
+
+def validate_sampled_rows(T, m: int, MP, MPI, k: int = 64, seed: int = 1,
+                          tol: float | None = None) -> dict:
+    """Exact-oracle spot check of a computed profile: ``k`` random rows
+    are rescanned in full f64 on the host (native.row_scan — the
+    independent OpenMP oracle) and the benchmark result must match the
+    exact distance, with index disagreements allowed only for
+    equidistant ties (the reference's tie rule, tests/helpers.py).
+
+    Raises ValidationError on any mismatch — a benchmark number with a
+    wrong profile is worse than no number (this is what would have
+    caught the DEFAULT-precision one-hot corruption on hardware, which
+    every CPU test missed)."""
+    from mpx.hybrid import _rescore_pairs, _row_scan
+    from mpx.ops.precompute import precompute_statistics_numpy
+    from mpx import native
+
+    T64 = np.asarray(T, np.float64)
+    w = T64.shape[0] - m + 1
+    excl = m // 4
+    if tol is None:
+        # conservative default by output storage; callers that KNOW the
+        # compute precision pass tol explicitly (an f32-computed tier
+        # may store into an f64 array — storage dtype is not precision)
+        tol = 1e-8 if np.asarray(MP).dtype == np.float64 else 2e-3
+    MP = np.asarray(MP, np.float64)
+    MPI = np.asarray(MPI)
+    s64 = (
+        native.precompute(T64, m) if native.is_available()
+        else precompute_statistics_numpy(T64, m)
+    )
+    mu64 = np.asarray(s64["mu"], np.float64)
+    inv64 = np.asarray(s64["inv"], np.float64)
+    rows = np.sort(
+        np.random.default_rng(seed).choice(w, size=min(k, w), replace=False)
+    ).astype(np.int32)
+    eP, eI = _row_scan(T64, mu64, inv64, m, w, excl, rows)
+    eMP = np.sqrt(np.maximum(2.0 * m * (1.0 - eP), 0.0))
+
+    derr = np.abs(MP[rows] - eMP)
+    bad_d = derr > tol
+    # index check: exact match, or the chosen pair is equidistant
+    mism = MPI[rows] != eI
+    tie_ok = np.zeros_like(mism)
+    if mism.any():
+        sel = np.nonzero(mism)[0]
+        cP = _rescore_pairs(
+            T64, mu64, inv64, m, rows[sel],
+            MPI[rows[sel]].astype(np.int32),
+        )
+        cMP = np.sqrt(np.maximum(2.0 * m * (1.0 - cP), 0.0))
+        tie_ok[sel] = np.abs(cMP - eMP[sel]) <= tol
+    bad_i = mism & ~tie_ok
+    if bad_d.any() or bad_i.any():
+        r_d = rows[np.nonzero(bad_d)[0][:5]].tolist()
+        r_i = rows[np.nonzero(bad_i)[0][:5]].tolist()
+        raise ValidationError(
+            f"sampled-row validation FAILED: {int(bad_d.sum())} distance "
+            f"mismatches (max err {derr.max():.3e}, rows {r_d}), "
+            f"{int(bad_i.sum())} non-tie index mismatches (rows {r_i})"
+        )
+    return {
+        "rows": int(rows.shape[0]),
+        "max_abs_err": float(derr.max()),
+        "tie_indices": int((mism & tie_ok).sum()),
+        "tol": tol,
+    }
+
+
 def run_benchmark(
     n: int = 1 << 20,
     m: int = 256,
@@ -38,6 +110,7 @@ def run_benchmark(
     seed: int = 0,
     verbose: bool = False,
     input_path=None,
+    validate: int = 64,
 ):
     from mpx import MatrixProfileConfig, compute_matrix_profile
     from mpx.runtime import enable_compilation_cache
@@ -86,7 +159,19 @@ def run_benchmark(
     pairs_per_sec_compute = pairs / (compute_ns / 1e9)
     pairs_per_sec_wall = pairs / wall
 
+    val = None
+    if validate:
+        from mpx.dtypes import canonical_dtype
+
+        tol = 1e-8 if canonical_dtype(dtype) == np.dtype(np.float64) else 2e-3
+        val = validate_sampled_rows(T, m, MP, MPI, k=validate,
+                                    seed=seed + 1, tol=tol)
+        if verbose:
+            print(f"# validated {val['rows']} sampled rows: "
+                  f"max err {val['max_abs_err']:.2e}", file=sys.stderr)
+
     return {
+        "validation": val,
         "n": n,
         "m": m,
         "dtype": dtype,
@@ -174,13 +259,17 @@ def run_streaming_benchmark(n: int, m: int, append: int, rounds: int,
     for _ in range(rounds - 1):
         smp.append(T[pos : pos + append])
         pos += append
-    MP, _ = smp.profile()  # materialization syncs the device
+    MP, MPI = smp.profile()  # materialization syncs the device
     wall = time.time() - t0
     done = rounds - 1
     pairs = sum(
         (append + m - 1) * (n + append * (i + 1)) for i in range(1, rounds)
     )
+    # the streaming tier computes in f32 (stored f64): f32 tolerance
+    val = validate_sampled_rows(T[:pos], m, MP, MPI, k=32, seed=seed + 1,
+                                tol=2e-3)
     return {
+        "validation": val,
         "n": n,
         "m": m,
         "dtype": "float32",
@@ -276,6 +365,9 @@ def main(argv=None) -> int:
     p.add_argument("--table", action="store_true",
                    help="with --suite: also print the README markdown table to stderr")
     p.add_argument("--out", default=None, help="with --suite: write the JSON array to a file")
+    p.add_argument("--validate", type=int, default=64,
+                   help="spot-check this many rows against the exact f64 "
+                        "oracle (0 disables); a mismatch fails the bench")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -294,6 +386,7 @@ def main(argv=None) -> int:
         n=args.n, m=args.m, dtype=args.dtype, kernel=args.kernel,
         band=args.band, chunk=args.chunk, tile_rows=args.tile_rows,
         shards=args.shards, verbose=args.verbose, input_path=args.input,
+        validate=args.validate,
     )
     print(
         json.dumps(

@@ -46,3 +46,36 @@ def test_suite_covers_baseline_configs():
     assert "showcase-f64-1048576" in names
     assert any(n.startswith("real-") for n in names)
     assert any(n.startswith("scale-") for n in names)
+
+
+def test_sampled_row_validation_catches_corruption():
+    """validate_sampled_rows must flag a corrupted profile (this is the
+    guard that would have caught the round-2 DEFAULT-precision one-hot
+    index corruption, which only manifested on hardware)."""
+    import numpy as np
+    import pytest
+
+    from mpx import MatrixProfileConfig, compute_matrix_profile
+    from mpx.bench import ValidationError, validate_sampled_rows
+    from mpx.io.datasets import generate_random_walk
+
+    n, m = 2048, 32
+    T = generate_random_walk(n, seed=7)
+    cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="mxu",
+                              band=256, chunk=512)
+    MP, MPI = compute_matrix_profile(T, m, cfg)
+    MP, MPI = np.array(MP), np.array(MPI)
+
+    ok = validate_sampled_rows(T, m, MP, MPI, k=64, tol=1e-8)
+    assert ok["rows"] == 64 and ok["max_abs_err"] <= 1e-8
+
+    bad_val = MP.copy()
+    bad_val[123] += 0.5
+    with pytest.raises(ValidationError):
+        validate_sampled_rows(T, m, bad_val, MPI, k=2048, tol=1e-8)
+
+    bad_idx = MPI.copy()
+    # point row 123 at a far-away, non-equidistant neighbor
+    bad_idx[123] = (bad_idx[123] + 400) % (n - m + 1)
+    with pytest.raises(ValidationError):
+        validate_sampled_rows(T, m, MP, bad_idx, k=2048, tol=1e-8)
