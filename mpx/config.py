@@ -27,7 +27,12 @@ import numpy as np
 from mpx.dtypes import canonical_dtype
 from mpx.types import JobGrid
 
-_KERNELS = ("auto", "mxu", "xla", "pallas", "hybrid")
+# 'mxu_fused' (Pallas matmul + in-VMEM argmax epilogue) is selectable
+# but never chosen by 'auto': Mosaic's f32 matmul currently runs ~4x
+# below XLA's on this stack, so the fused epilogue's HBM savings don't
+# pay for the slower MXU path.  Kept selectable for hardware where the
+# Mosaic matmul closes the gap (see ROADMAP.md).
+_KERNELS = ("auto", "mxu", "xla", "pallas", "hybrid", "mxu_fused")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -80,7 +80,7 @@ def run_jobs(
     geom = band_geometry(S, W, m, w, tr, tc)
     dt = canonical_dtype(dtype)
     sweep = get_sweep_fn(kernel)
-    if kernel == "pallas":
+    if kernel in ("pallas", "mxu_fused"):
         sweep = partial(sweep, interpret=interpret)
     L = _agg_length(w, S, W)
 
