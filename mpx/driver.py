@@ -15,6 +15,7 @@ The analog of the reference host driver's ``RunMatrixProfileKernel``
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -38,6 +39,18 @@ def _agg_length(w: int, S: int, W: int) -> int:
 # Conservative sustained pairs/s by tier, used only to size dispatch
 # groups (~60s each); measured round-1/2 rates on one v5e chip.
 _TIER_RATE = {"f64": 3e8, "pallas": 3e9, "default": 3e10}
+
+# Small-problem fused path: below these widths a one-pass run executes
+# as ONE jitted dispatch (device f64 precompute -> job sweeps ->
+# postcompute) instead of three-plus, saving ~0.1s of per-dispatch
+# relay overhead + the O(n) stats staging transfer — the reference
+# finishes tiny problems in milliseconds (host/MatrixProfileHost.cpp
+# runs one kernel launch end-to-end), so dispatch latency dominates
+# mpx's small-n wall without this.  f64 is capped lower: its sweeps are
+# XLA-emulated (~3e8 pairs/s) and one dispatch must stay well under the
+# relay watchdog.  Overridable for other hardware.
+SMALL_FUSED_MAX_W = int(os.environ.get("MPX_SMALL_FUSED_MAX_W", 1 << 19))
+SMALL_FUSED_MAX_W_F64 = int(os.environ.get("MPX_SMALL_FUSED_MAX_W_F64", 1 << 16))
 
 
 def _auto_dispatch_group(config, kernel: str, dt, S: int, W: int):
@@ -99,6 +112,105 @@ def run_jobs(
     return rows, cols
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "S", "W", "m", "w", "pw", "kernel", "dtype", "interpret",
+        "tr", "tc", "left_right", "use_windows",
+    ),
+)
+def run_fused_small(
+    T64,
+    r0s,
+    k0s,
+    *,
+    S: int,
+    W: int,
+    m: int,
+    w: int,
+    pw: int,
+    kernel: str,
+    dtype: str,
+    interpret: bool = False,
+    tr: int = 8,
+    tc: int = 2048,
+    left_right: bool = False,
+    use_windows: bool = False,
+):
+    """One-dispatch end-to-end profile for small problems: on-device f64
+    statistics (ops/precompute._precompute_jax_f64), the job sweep scan,
+    and the final merge all inside a single executable.  Must be called
+    inside an x64 scope (the f64 statistics trace needs it even for f32
+    compute dtypes).  The O(n) emulated-f64 precompute is noise next to
+    the saved relay round-trips at the widths this path is routed for."""
+    from mpx.ops.precompute import _precompute_jax_f64, build_windows
+
+    dt = canonical_dtype(dtype)
+    mu, df, dg, inv, qt0 = _precompute_jax_f64(T64, m)
+
+    def pad(x, width):
+        return jnp.pad(x.astype(dt), (0, width - x.shape[0]))
+
+    stats = Stats(
+        T=pad(T64, pw + m - 1),
+        mu=pad(mu, pw),
+        df=pad(df, pw),
+        dg=pad(dg, pw),
+        inv=pad(inv, pw),
+        qt0=pad(qt0, pw),
+    )
+    if use_windows:
+        stats = stats._replace(windows=build_windows(stats, m))
+
+    geom = band_geometry(S, W, m, w, tr, tc)
+    sweep = get_sweep_fn(kernel)
+    if kernel in ("pallas", "mxu_fused"):
+        sweep = partial(sweep, interpret=interpret)
+    L = _agg_length(w, S, W)
+    rows0 = init_aggregates(L, dt, AGGREGATE_INIT)
+    cols0 = init_aggregates(L, dt, AGGREGATE_INIT)
+
+    def body(carry, job):
+        rows, cols = carry
+        r0, k0 = job
+        out = sweep(stats, r0, k0, geom, dt)
+        rows = merge_window(rows, out.row, r0)
+        cols = merge_window(cols, out.col, r0 + k0)
+        return (rows, cols), None
+
+    (rows, cols), _ = jax.lax.scan(body, (rows0, cols0), (r0s, k0s))
+    if left_right:
+        from mpx.ops.aggregates import postcompute_left_right
+
+        out = postcompute_left_right(rows, cols, m, w)
+    else:
+        out = postcompute(rows, cols, m, w)
+    # Pack every output into ONE array: the relay charges ~30ms latency
+    # per device->host fetch, so a (value, index) pair fetched
+    # separately costs more than the whole computation at these sizes.
+    # Indices are value-converted (NOT bitcast: int32 patterns land in
+    # the f32 denormal range and the TPU flushes denormals to zero) —
+    # exact because the fused caps keep every index < 2^19 << 2^24, the
+    # f32 integer-exact limit; _unpack_fused rounds them back.
+    def enc(x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(dt)
+        return x
+
+    return jnp.stack([enc(x) for x in out])
+
+
+def _unpack_fused(host: np.ndarray, left_right: bool):
+    """Host-side inverse of run_fused_small's output packing."""
+
+    def dec_i(row):
+        return np.rint(row).astype(np.int32)
+
+    if left_right:
+        return host[0], dec_i(host[1]), host[2], dec_i(host[3])
+    return host[0], dec_i(host[1])
+
+
 def compute_matrix_profile(
     T,
     m: Optional[int] = None,
@@ -114,8 +226,10 @@ def compute_matrix_profile(
     nearest-neighbor indices, matching the reference semantics
     (untouched entries: sqrt(2m(1+1e12)) / -1).  Runs routed through
     the hybrid tier (float64, and float32 at w >= HYBRID32_MIN_W)
-    return host numpy arrays — the exact rescoring ends on the host;
-    the one-pass device paths return jax arrays.  Use np.asarray for a
+    return host numpy arrays — the exact rescoring ends on the host —
+    as does the small-problem fused tier (w <= SMALL_FUSED_MAX_W*),
+    whose outputs arrive packed in a single device fetch; the remaining
+    one-pass device paths return jax arrays.  Use np.asarray for a
     backend-agnostic consumer.
 
     With ``left_right=True`` returns (MP_left, MPI_left, MP_right,
@@ -231,6 +345,41 @@ def compute_matrix_profile(
                 dtype=str(dt),
             )
             return MP, MPI
+
+    fused_w_cap = (
+        SMALL_FUSED_MAX_W_F64
+        if dt == np.dtype(np.float64)
+        else SMALL_FUSED_MAX_W
+    )
+    # The packed single-fetch output stores indices as f32 values;
+    # exactness requires every index < 2^24 regardless of env overrides.
+    fused_w_cap = min(fused_w_cap, (1 << 23))
+    if (
+        stats is None
+        and (num_shards is None or num_shards <= 1)
+        and not config.dispatch_group  # explicit grouping wins over fusing
+        and w <= fused_w_cap
+    ):
+        from mpx.ops.precompute import WINDOWS_BUDGET, _padded_width
+
+        pw = _padded_width(w, S, W)
+        use_windows = kernel == "mxu" and pw * m * dt.itemsize <= WINDOWS_BUDGET
+        grid = make_job_grid(w, S, W)
+        with _phase(profile, f"1-3. Fused end-to-end [{kernel}]"), x64_scope(True):
+            T64 = jnp.asarray(np.asarray(T, np.float64))
+            packed = run_fused_small(
+                T64,
+                jnp.asarray(grid.r0),
+                jnp.asarray(grid.k0),
+                S=S, W=W, m=m, w=w, pw=pw,
+                kernel=kernel, dtype=str(dt),
+                interpret=config.interpret,
+                tr=config.tile_rows, tc=config.tile_cols,
+                left_right=left_right, use_windows=use_windows,
+            )
+            # One sync + one fetch; numpy outputs (like the hybrid tier).
+            host = np.asarray(packed)
+        return _unpack_fused(host, left_right)
 
     if stats is None:
         with _phase(profile, "1. Pre-Computation [device]"):

@@ -49,13 +49,26 @@ def test_xla_kernel_f32(n, m):
                          eps=distance_epsilon("float32"))
 
 
-def test_profile_phases_recorded():
+def test_profile_phases_recorded(monkeypatch):
     from mpx.utils.profile import BenchmarkProfile
 
     T = random_walk(256, seed=9)
-    prof = BenchmarkProfile()
     cfg = MatrixProfileConfig(m=16, dtype="float64", kernel="xla",
                               band=64, chunk=64, tile_rows=8, tile_cols=8)
+
+    # Small problems run as one fused dispatch: one phase entry.
+    prof = BenchmarkProfile()
+    compute_matrix_profile(T, config=cfg, profile=prof)
+    cats = list(prof.category_totals())
+    assert any("Fused end-to-end" in c for c in cats)
+    assert prof.total() > 0
+
+    # Above the fused width cap the three reference-style phases appear
+    # (include/host/BenchmarkProfile.hpp's report shape).
+    import mpx.driver as driver
+
+    monkeypatch.setattr(driver, "SMALL_FUSED_MAX_W_F64", 0)
+    prof = BenchmarkProfile()
     compute_matrix_profile(T, config=cfg, profile=prof)
     cats = list(prof.category_totals())
     assert any("Pre-Computation" in c for c in cats)
@@ -64,12 +77,16 @@ def test_profile_phases_recorded():
     assert prof.total() > 0
 
 
-def test_grouped_dispatch_matches_single():
+def test_grouped_dispatch_matches_single(monkeypatch):
     """dispatch_group splits the job scan into several device dispatches
     (watchdog resilience); results must match the single-dispatch run and
-    the per-entry report must show the groups."""
+    the per-entry report must show the groups.  (Fused small-n routing is
+    pinned off: this invariant is about grouping, and the fused tier's
+    on-device statistics round differently from the host two-pass.)"""
+    import mpx.driver as driver
     from mpx.utils.profile import BenchmarkProfile
 
+    monkeypatch.setattr(driver, "SMALL_FUSED_MAX_W_F64", 0)
     T = random_walk(800, seed=21)
     base = dict(m=16, dtype="float64", kernel="mxu", band=64, chunk=64,
                 tile_rows=8, tile_cols=8)
@@ -102,3 +119,38 @@ def test_constant_window_skipped():
     matched = MPI[MPI >= 0]
     assert not np.isin(matched, np.nonzero(degenerate)[0]).any()
     assert np.isfinite(np.asarray(MP)[~degenerate]).all()
+
+
+def test_fused_small_path_matches_classic(monkeypatch):
+    """The one-dispatch fused tier must agree with the staged path
+    (within precompute-estimator rounding) and with the golden, for both
+    dtypes and for left/right profiles."""
+    import mpx.driver as driver
+    from tests.helpers import assert_profile_close
+
+    T = random_walk(3000, seed=11)
+    for dtype in ("float32", "float64"):
+        cfg = MatrixProfileConfig(m=32, dtype=dtype, kernel="mxu",
+                                  band=256, chunk=512)
+        MPf, MPIf = compute_matrix_profile(T, config=cfg)  # fused (small w)
+        monkeypatch.setattr(driver, "SMALL_FUSED_MAX_W", 0)
+        monkeypatch.setattr(driver, "SMALL_FUSED_MAX_W_F64", 0)
+        MPc, MPIc = compute_matrix_profile(T, config=cfg)  # classic
+        monkeypatch.undo()
+        tol = 1e-8 if dtype == "float64" else 2e-3
+        assert_profile_close(T, 32, np.asarray(MPf, np.float64),
+                             np.asarray(MPIf), np.asarray(MPc, np.float64),
+                             np.asarray(MPIc), eps=tol)
+
+    cfg = MatrixProfileConfig(m=32, dtype="float64", kernel="mxu",
+                              band=256, chunk=512)
+    out_f = compute_matrix_profile(T, config=cfg, left_right=True)
+    monkeypatch.setattr(driver, "SMALL_FUSED_MAX_W_F64", 0)
+    out_c = compute_matrix_profile(T, config=cfg, left_right=True)
+    for a, b in zip(out_f, out_c):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, atol=1e-8)
+        else:
+            # index ties across estimators: values must still agree
+            assert (a == b).mean() > 0.99
