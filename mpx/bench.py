@@ -111,6 +111,7 @@ def run_benchmark(
     verbose: bool = False,
     input_path=None,
     validate: int = 64,
+    warmup: bool = True,
 ):
     from mpx import MatrixProfileConfig, compute_matrix_profile
     from mpx.runtime import enable_compilation_cache
@@ -134,14 +135,17 @@ def run_benchmark(
     )
 
     # Warmup run compiles everything (reference analog: bitstream build).
-    prof = BenchmarkProfile()
-    t0 = time.time()
-    MP, MPI = compute_matrix_profile(T, config=cfg, profile=prof)
-    np.asarray(MP)
-    compile_wall = time.time() - t0
-    if verbose:
-        print(f"# warmup (incl compile): {compile_wall:.1f}s", file=sys.stderr)
-        prof.report(file=sys.stderr)
+    # Hour-scale rows skip it (warmup=False): a ~40s cached compile inside
+    # a ~3000s run is noise, and the run would otherwise execute twice.
+    if warmup:
+        prof = BenchmarkProfile()
+        t0 = time.time()
+        MP, MPI = compute_matrix_profile(T, config=cfg, profile=prof)
+        np.asarray(MP)
+        compile_wall = time.time() - t0
+        if verbose:
+            print(f"# warmup (incl compile): {compile_wall:.1f}s", file=sys.stderr)
+            prof.report(file=sys.stderr)
 
     # Timed run; host materialization included so async-dispatch platforms
     # cannot under-report.
@@ -241,6 +245,19 @@ SUITE = [
         "streaming": True, "n": 1 << 18, "m": 256,
         "append": 64, "rounds": 50,
     },
+    {
+        # BASELINE item 5, executed: the 16M-point pod-scale workload on
+        # ONE chip (1.4e14 pairs, ~50 min).  kernel=mxu pinned: the O(n)
+        # aggregate state streams 2.1M jobs through grouped dispatches,
+        # while the hybrid tier's pass-A capture panels would need ~86GB
+        # at this n (its 16M story is the ring tier over a real mesh).
+        # Gated out of default --suite runs by "huge": run explicitly
+        # with --only pod-f32-16777216.
+        "name": "pod-f32-16777216",
+        "n": 1 << 24, "m": 256, "dtype": "float32", "kernel": "mxu",
+        "band": 4096, "chunk": 16384, "huge": True, "warmup": False,
+        "validate": 32,
+    },
 ]
 
 
@@ -295,8 +312,10 @@ def run_suite(names=None, verbose: bool = False) -> list:
     for cfg in SUITE:
         if names and cfg["name"] not in names:
             continue
+        if cfg.get("huge") and not names:
+            continue  # hour-scale rows run only when named via --only
         kwargs = {k: v for k, v in cfg.items()
-                  if k not in ("name", "input", "streaming")}
+                  if k not in ("name", "input", "streaming", "huge")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 

@@ -90,8 +90,19 @@ def run_jobs_sharded(
     # Round-robin placement (like the reference's CU round-robin,
     # host/MatrixProfileHost.cpp:107) balances the ragged tail jobs.
     order = np.arange(grid.r0.shape[0]).reshape(per_dev, num_shards).T.reshape(-1)
-    r0s = jnp.asarray(grid.r0[order]).reshape(num_shards, per_dev)
-    k0s = jnp.asarray(grid.k0[order]).reshape(num_shards, per_dev)
+    r0s = grid.r0[order].reshape(num_shards, per_dev)
+    k0s = grid.k0[order].reshape(num_shards, per_dev)
+
+    from mpx.parallel.distributed import globalize, mesh_spans_processes
+
+    if mesh_spans_processes(mesh):
+        # Multi-host (DCN) run: inputs must be global jax.Arrays laid
+        # out to match the shard_map specs — each process transfers
+        # only its addressable shards over its own PCIe.
+        stats = globalize(stats, mesh, P())
+        r0s, k0s = globalize((r0s, k0s), mesh, P("jobs"))
+    else:
+        r0s, k0s = jnp.asarray(r0s), jnp.asarray(k0s)
 
     local = partial(
         _local_scan, geom=geom, dt=dt, kernel=kernel, interpret=interpret, L=L
