@@ -107,6 +107,7 @@ def run_benchmark(
     chunk: int = 4096,
     tile_rows: int = 64,
     shards=None,
+    shard_mode: str = "jobs",
     seed: int = 0,
     verbose: bool = False,
     input_path=None,
@@ -131,7 +132,7 @@ def run_benchmark(
 
     cfg = MatrixProfileConfig(
         m=m, dtype=dtype, kernel=kernel, band=band, chunk=chunk,
-        tile_rows=tile_rows, num_shards=shards,
+        tile_rows=tile_rows, num_shards=shards, shard_mode=shard_mode,
     )
 
     # Warmup run compiles everything (reference analog: bitstream build).
@@ -236,6 +237,15 @@ SUITE = [
         # scaling row: 4x the showcase pair count, float tier
         "name": "scale-f32-2097152",
         "n": 1 << 21, "m": 256, "dtype": "float32", "band": 4096, "chunk": 16384,
+    },
+    {
+        # sharded-INPUTS tier on a 1-device mesh: the pod-scale ring
+        # schedule (O(n/D) memory per device, ppermute rotation)
+        # benchmarked on the one real chip — its per-chip rate is the
+        # honest basis for pod projections
+        "name": "ring-f32-1048576",
+        "n": 1 << 20, "m": 256, "dtype": "float32",
+        "shards": 1, "shard_mode": "ring", "band": 4096, "chunk": 16384,
     },
     {
         # streaming tier (BASELINE item 5's single-chip analog; the

@@ -305,7 +305,7 @@ def compute_matrix_profile(
                     for o in out
                 )
             return out
-        if num_shards_ > 1 and config.shard_mode == "ring":
+        if config.shard_mode == "ring":
             # explicit kernel='hybrid' with sharded inputs
             from mpx.parallel.ring import run_ring_hybrid_f64
 
@@ -326,7 +326,11 @@ def compute_matrix_profile(
     x64 = needs_x64(dt)
 
     num_shards = config.num_shards
-    if num_shards is not None and num_shards > 1 and config.shard_mode == "ring":
+    # shard_mode='ring' is an explicit request (default 'jobs'); honor it
+    # on any mesh size — a 1-device "ring" is how the sharded-inputs tier
+    # is benchmarked on single-chip hardware.
+    if config.shard_mode == "ring":
+        num_shards = num_shards or 1
         from mpx.parallel.ring import run_ring_hybrid_f64, run_ring_sharded
 
         if left_right:

@@ -96,3 +96,20 @@ def test_ring_hybrid_f64_driver_route():
     MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
     assert MP.dtype == np.float64
     assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+
+def test_ring_single_device_routing():
+    """shard_mode='ring' is honored on a 1-device mesh (how the tier is
+    benchmarked on single-chip hardware) — with num_shards=1 or unset."""
+    from mpx.config import MatrixProfileConfig
+    from mpx.driver import compute_matrix_profile
+
+    T = random_walk(1200, seed=61)
+    m = 16
+    MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+    for ns in (1, None):
+        cfg = MatrixProfileConfig(m=m, dtype="float32", band=64, chunk=64,
+                                  num_shards=ns, shard_mode="ring")
+        MP, MPI = compute_matrix_profile(T, config=cfg)
+        assert_profile_close(T, m, np.asarray(MP, np.float64), np.asarray(MPI),
+                             MP_exp, MPI_exp, eps=2e-3)
