@@ -256,6 +256,13 @@ SUITE = [
         "append": 64, "rounds": 50,
     },
     {
+        # k-NN profile at the showcase scale: exact double through the
+        # hybrid threshold-descent tier (mpx/hybrid.py:compute_topk_...)
+        "name": "topk-f64-1048576-k4",
+        "topk": True, "n": 1 << 20, "m": 256, "k": 4, "dtype": "double",
+        "band": 4096, "chunk": 16384,
+    },
+    {
         # BASELINE item 5, executed: the 16M-point pod-scale workload on
         # ONE chip (1.4e14 pairs, ~50 min).  kernel=mxu pinned: the O(n)
         # aggregate state streams 2.1M jobs through grouped dispatches,
@@ -315,6 +322,77 @@ def run_streaming_benchmark(n: int, m: int, append: int, rounds: int,
     }
 
 
+def run_topk_benchmark(n: int, m: int, k: int, dtype: str = "double",
+                       band: int = 4096, chunk: int = 16384,
+                       seed: int = 0, validate: int = 32,
+                       verbose: bool = False):
+    """k-NN profile benchmark (hybrid exact-f64 tier for k<=8).  Metric
+    = distance pairs swept per second (the sweep work is identical to
+    the 1-NN job; top-k only widens capture and merge).  Validation:
+    ``validate`` random rows fully rescanned by the exact host oracle
+    (mpx.hybrid._row_topk_scan); all k distances must match and index
+    disagreements must be equidistant ties."""
+    from mpx import MatrixProfileConfig
+    from mpx.topk import compute_topk_profile
+    from mpx.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
+    w = n - m + 1
+    pairs = w * (w - 1) / 2
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=band, chunk=chunk)
+
+    D, I = compute_topk_profile(T, k=k, config=cfg)  # warmup/compile
+    t0 = time.time()
+    D, I = compute_topk_profile(T, k=k, config=cfg)
+    D = np.asarray(D, np.float64)
+    I = np.asarray(I)
+    wall = time.time() - t0
+
+    val = None
+    if validate:
+        from mpx.hybrid import _row_topk_scan
+        from mpx.ops.precompute import precompute_statistics_numpy
+        from mpx import native
+
+        T64 = np.asarray(T, np.float64)
+        s64 = (native.precompute(T64, m) if native.is_available()
+               else precompute_statistics_numpy(T64, m))
+        rows = np.sort(np.random.default_rng(seed + 1).choice(
+            w, size=min(validate, w), replace=False)).astype(np.int32)
+        eP, eI = _row_topk_scan(
+            np.asarray(T64), np.asarray(s64["mu"], np.float64),
+            np.asarray(s64["inv"], np.float64), m, w, m // 4, rows, k,
+        )
+        eD = np.sqrt(np.maximum(2.0 * m * (1.0 - eP), 0.0))
+        got = D[rows]
+        fin = np.isfinite(eD)
+        derr = np.abs(got - eD)[fin]
+        if derr.size and derr.max() > 1e-8:
+            raise ValidationError(
+                f"top-k sampled-row validation FAILED: max err {derr.max():.3e}"
+            )
+        mism = (I[rows] != eI) & fin
+        # ties: a differing index is fine iff the distances agree
+        if mism.any() and np.abs(got[mism] - eD[mism]).max() > 1e-8:
+            raise ValidationError("top-k non-tie index mismatches")
+        val = {"rows": int(rows.shape[0]),
+               "max_abs_err": float(derr.max()) if derr.size else 0.0,
+               "tie_indices": int(mism.sum()), "tol": 1e-8}
+        if verbose:
+            print(f"# validated {val['rows']} top-{k} rows: "
+                  f"max err {val['max_abs_err']:.2e}", file=sys.stderr)
+
+    return {
+        "validation": val,
+        "n": n, "m": m, "k": k, "dtype": dtype,
+        "pairs": pairs,
+        "wall_s": wall,
+        "pairs_per_sec": pairs / wall,
+        "mp_head": D[:2, :2].tolist(),
+    }
+
+
 def run_suite(names=None, verbose: bool = False) -> list:
     """Run the benchmark suite; returns a list of result dicts (one per
     config) each including vs_baseline against the U250 roofline."""
@@ -325,7 +403,7 @@ def run_suite(names=None, verbose: bool = False) -> list:
         if cfg.get("huge") and not names:
             continue  # hour-scale rows run only when named via --only
         kwargs = {k: v for k, v in cfg.items()
-                  if k not in ("name", "input", "streaming", "huge")}
+                  if k not in ("name", "input", "streaming", "huge", "topk")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 
@@ -334,6 +412,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
             print(f"# running {cfg['name']} ...", file=sys.stderr)
         if cfg.get("streaming"):
             res = run_streaming_benchmark(verbose=verbose, **kwargs)
+        elif cfg.get("topk"):
+            res = run_topk_benchmark(verbose=verbose, **kwargs)
         else:
             res = run_benchmark(verbose=verbose, **kwargs)
         res["name"] = cfg["name"]
