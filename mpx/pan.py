@@ -57,12 +57,26 @@ def compute_pan_profile(
     T,
     ms: Sequence[int],
     config: Optional[MatrixProfileConfig] = None,
+    method: str = "auto",
 ) -> PanProfile:
     """Matrix profile at every window size in ``ms``.
 
     ``config`` (optional) carries dtype/kernel/schedule knobs; its ``m``
-    is ignored.  Rows are computed largest-m-first so the first result
-    validates the whole range against the series length."""
+    is ignored.
+
+    ``method``:
+
+    * ``'fused'`` — ALL window lengths in one sweep of the pair grid
+      (mpx.pan_kernel): the centered-QT panel is carried across levels,
+      so the matmul volume is O(n^2 * max(ms)) instead of
+      O(n^2 * sum(ms)) and statistics stage once.  f32-grade rows
+      (validated at 2e-3 vs the exact per-m profile) — the right tier
+      for an exploratory surface.
+    * ``'exact'`` — R independent runs of the exact single-m pipeline
+      (largest-m-first so the first result validates the range).
+    * ``'auto'`` — fused for float32 configs (and when no config is
+      given), exact for float64.
+    """
     from dataclasses import replace
 
     from mpx.driver import compute_matrix_profile
@@ -71,8 +85,17 @@ def compute_pan_profile(
     ms_arr = np.unique(np.asarray(list(ms), dtype=np.int64))
     if ms_arr.size == 0:
         raise ValueError("ms is empty")
+    if method not in ("auto", "fused", "exact"):
+        raise ValueError(f"unknown pan method {method!r}")
+    if method == "auto":
+        method = (
+            "exact"
+            if config is not None and str(config.dtype).endswith("64")
+            else "fused"
+        )
     if config is None:
-        config = MatrixProfileConfig(m=int(ms_arr[0]), dtype="float64")
+        dtype = "float32" if method == "fused" else "float64"
+        config = MatrixProfileConfig(m=int(ms_arr[0]), dtype=dtype)
     n = T.shape[0]
     if n - int(ms_arr[-1]) + 1 < 2:
         raise ValueError(
@@ -80,6 +103,16 @@ def compute_pan_profile(
         )
     w_max = n - int(ms_arr[0]) + 1
     R = ms_arr.size
+
+    if method == "fused":
+        from mpx.pan_kernel import run_pan_jobs
+
+        cfg = replace(config, m=int(ms_arr[0])).shrink_to(w_max)
+        PMP, PMPI = run_pan_jobs(
+            T, [int(m) for m in ms_arr], band=cfg.band, chunk=cfg.chunk,
+        )
+        return PanProfile(ms=ms_arr, PMP=PMP, PMPI=PMPI)
+
     PMP = np.full((R, w_max), np.inf, np.float64)
     PMPI = np.full((R, w_max), -1, np.int32)
     for r in range(R - 1, -1, -1):

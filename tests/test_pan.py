@@ -80,3 +80,51 @@ def test_pan_cli(tmp_path, capsys):
         "--count", "2",
     ]) == 0
     assert "min(normalized distance)" in capsys.readouterr().out
+
+
+def test_pan_fused_matches_exact():
+    """The fused all-levels kernel must match per-m exact profiles at
+    f32 tolerance (index ties resolved by distance equality)."""
+    from tests.helpers import assert_profile_close
+
+    T = random_walk(1500, seed=31)
+    ms = [16, 23, 32, 48, 64, 96]
+    cfg32 = MatrixProfileConfig(m=16, dtype="float32", band=128, chunk=256,
+                                tile_rows=8, tile_cols=128)
+    pan = compute_pan_profile(T, ms, config=cfg32, method="fused")
+    n = T.shape[0]
+    for r, m in enumerate(ms):
+        from mpx.reference import compute_matrix_profile_reference
+
+        MPg, MPIg = compute_matrix_profile_reference(T, m)
+        wm = n - m + 1
+        assert_profile_close(T, m, pan.PMP[r, :wm], pan.PMPI[r, :wm],
+                             MPg, MPIg, eps=2e-3)
+        assert np.isinf(pan.PMP[r, wm:]).all()
+
+
+def test_pan_fused_degenerate_windows():
+    """Constant stretches (zero variance) stay unmatched at every level."""
+    T = random_walk(700, seed=33)
+    T[200:340] = 5.0
+    ms = [16, 32]
+    cfg32 = MatrixProfileConfig(m=16, dtype="float32", band=64, chunk=128,
+                                tile_rows=8, tile_cols=64)
+    pan = compute_pan_profile(T, ms, config=cfg32, method="fused")
+    for r, m in enumerate(ms):
+        w = 700 - m + 1
+        const_rows = np.array([
+            np.ptp(T[i:i + m]) == 0 for i in range(w)
+        ])
+        matched = pan.PMPI[r, :w][~const_rows]
+        # no matched neighbor may BE a degenerate window
+        assert not np.isin(matched[matched >= 0],
+                           np.nonzero(const_rows)[0]).any()
+
+
+def test_pan_default_routes_fused():
+    """No config -> the fused f32 surface (the exploratory default)."""
+    T = random_walk(500, seed=35)
+    pan = compute_pan_profile(T, [8, 16])
+    assert pan.PMP.shape[0] == 2
+    assert np.isfinite(pan.PMP[0][np.asarray(pan.PMPI[0]) >= 0]).all()
