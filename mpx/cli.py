@@ -335,6 +335,10 @@ def _add_pan(sub):
                    help="writes <o>.pan.npz (ms, PMP, PMPI)")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--kernel", default="auto")
+    p.add_argument("--method", default="auto",
+                   choices=("auto", "fused", "exact"),
+                   help="fused = all window sizes in one sweep (f32); "
+                        "exact = one exact run per m")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -349,7 +353,7 @@ def _cmd_pan(args) -> int:
     ms = pan_m_range(args.m_lo, args.m_hi, args.count)
     cfg = MatrixProfileConfig(m=int(ms[0]), dtype=args.dtype,
                               kernel=args.kernel)
-    pan = compute_pan_profile(T, ms, config=cfg)
+    pan = compute_pan_profile(T, ms, config=cfg, method=args.method)
     if args.output:
         np.savez_compressed(
             args.output + ".pan.npz", ms=pan.ms, PMP=pan.PMP, PMPI=pan.PMPI
