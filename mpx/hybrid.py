@@ -1424,9 +1424,13 @@ def compute_matrix_profile_f64_hybrid(
         mu64, inv64 = s64["mu"], s64["inv"]
 
     # 2. Device f32 statistics (reuses the host stats; no recompute).
+    #    matmul_only: the hybrid sweeps are all windows matmuls — the
+    #    recurrence seeds (df/dg/qt0) would be half the staging bytes
+    #    for nothing (~0.4s at 1M through the ~30 MB/s relay).
     with _phase(profile, "1. Pre-Computation [device f32]"):
         stats = precompute_statistics(
-            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64
+            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64,
+            matmul_only=True,
         )
         jax.block_until_ready(stats.mu)
 

@@ -188,6 +188,7 @@ def precompute_statistics(
     backend: str = "auto",
     windows: bool | None = None,
     host_stats: dict | None = None,
+    matmul_only: bool = False,
 ) -> Stats:
     """Device-resident, padded statistics in the compute dtype.
 
@@ -205,6 +206,11 @@ def precompute_statistics(
     * ``'auto'``   — native if the toolchain built, else numpy.  The
       statistics are O(n) next to the O(n^2) sweep, so the host paths
       cost one small transfer and avoid slow on-device f64 emulation.
+
+    ``matmul_only=True`` stages just the windows-matmul operands
+    (T, mu, inv) and zero-fills df/dg/qt0 on device — the recurrence
+    seeds are dead weight for the mxu/hybrid tiers, and host->device
+    bandwidth is the staging cost (host backends only).
     """
     if host_stats is not None:
         backend = "precomputed"
@@ -238,13 +244,14 @@ def precompute_statistics(
 
         # x64 scope so float64 stats survive device staging uncanonicalized.
         with x64_scope(dt == jnp.dtype(jnp.float64)):
+            zeros = lambda: jnp.zeros((pw,), dtype=dt)
             stats = Stats(
                 T=padn(T64, pw + m - 1),
                 mu=padn(s["mu"], pw),
-                df=padn(s["df"], pw),
-                dg=padn(s["dg"], pw),
+                df=zeros() if matmul_only else padn(s["df"], pw),
+                dg=zeros() if matmul_only else padn(s["dg"], pw),
                 inv=padn(s["inv"], pw),
-                qt0=padn(s["qt0"], pw),
+                qt0=zeros() if matmul_only else padn(s["qt0"], pw),
             )
             return _maybe_windows(stats, m, windows)
 
