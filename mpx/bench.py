@@ -248,6 +248,13 @@ SUITE = [
         "shards": 1, "shard_mode": "ring", "band": 4096, "chunk": 16384,
     },
     {
+        # the flagship DOUBLE over sharded inputs: ring pass A/B +
+        # sharded pass C + exact host rescore (mpx/parallel/ring.py)
+        "name": "ring-f64-1048576",
+        "n": 1 << 20, "m": 256, "dtype": "double",
+        "shards": 1, "shard_mode": "ring", "band": 4096, "chunk": 16384,
+    },
+    {
         # streaming tier (BASELINE item 5's single-chip analog; the
         # n=16M pod config is compile-validated in dryrun_multichip):
         # bootstrap then timed incremental appends
