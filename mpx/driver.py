@@ -37,8 +37,13 @@ def _agg_length(w: int, S: int, W: int) -> int:
 
 
 # Conservative sustained pairs/s by tier, used only to size dispatch
-# groups (~60s each); measured round-1/2 rates on one v5e chip.
+# groups (~60s each); measured round-1/2 rates on one v5e chip.  On
+# other hardware set MPX_TIER_RATE (a global scale on all three) so
+# groups stay under the platform's watchdog.
 _TIER_RATE = {"f64": 3e8, "pallas": 3e9, "default": 3e10}
+if "MPX_TIER_RATE" in os.environ:
+    _scale = float(os.environ["MPX_TIER_RATE"]) / _TIER_RATE["default"]
+    _TIER_RATE = {k: v * _scale for k, v in _TIER_RATE.items()}
 
 # Small-problem fused path: below these widths a one-pass run executes
 # as ONE jitted dispatch (device f64 precompute -> job sweeps ->

@@ -565,7 +565,8 @@ def _refine_group(stats, gthr, r0s, k0s, jrow_g, jcol_g, rmax, cmax, *,
 
 # Dispatch-group sizing for the hybrid's f32 passes: ~60s at the
 # measured sweep rate so long jobs never trip device watchdogs.
-_PASS_RATE = 3.5e10
+# Overridable for other hardware (pairs/s).
+_PASS_RATE = float(os.environ.get("MPX_PASS_RATE", 3.5e10))
 
 
 def _job_groups(r0s, k0s, S, W, w):
