@@ -696,6 +696,42 @@ def _run_max_jobs_cascade(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
     return thr, cap2
 
 
+# Below this profile width the whole device side of a hybrid self-join
+# (pass A value sweep -> threshold -> dense pass B capture -> fold) runs
+# as ONE jitted dispatch with ONE packed fetch: at small n the sparse
+# machinery saves nothing (the dense re-sweep is another cheap full
+# sweep) while the staged passes cost ~6 relay round trips (~30 ms
+# each, dominating the sub-second runs).  Overridable for other
+# hardware.
+HYBRID_SMALL_FUSED_W = int(os.environ.get("MPX_HYBRID_SMALL_FUSED_W", 1 << 16))
+
+
+@partial(jax.jit,
+         static_argnames=("S", "W", "m", "w", "tr", "tc", "pw", "prec"))
+def _hybrid_small_fused(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc,
+                        pw, prec=None):
+    """One-dispatch small-n hybrid device chain.  Returns (packed (w,
+    1+2K) int32 suspect summary, device thr) — thr stays on device for
+    a potential pass C; only the packed summary is fetched."""
+    Lr, Lc = w + S, w + W
+    neg = jnp.float32(AGGREGATE_INIT)
+    rmax = jnp.full((Lr,), neg, jnp.float32)
+    cmax = jnp.full((Lc,), neg, jnp.float32)
+    rmax, cmax = _max_jobs_group(
+        stats, r0s, k0s, rmax, cmax,
+        S=S, W=W, m=m, w=w, tr=tr, tc=tc, prec=prec,
+    )
+    thr = _build_thr(rmax, cmax, margin, w=w, pw=pw)
+    rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
+    rows_g, cols_g = _suspect_jobs_group(
+        stats, thr, r0s, k0s, rows_g, cols_g,
+        S=S, W=W, m=m, w=w, tr=tr, tc=tc, prec=prec,
+    )
+    sus = _fold_suspects(rows_g, cols_g, w=w)
+    packed = jnp.concatenate([sus.cnt[:, None], sus.mn, sus.mx], axis=1)
+    return packed, thr
+
+
 def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
                  wc=None, excl=None, pwc=None, stats_c=None, combine=True,
                  capture=False, ckpt=None):
@@ -1443,6 +1479,39 @@ def compute_matrix_profile_f64_hybrid(
         raise ValueError("hybrid checkpointing is single-device")
 
     sparse = num_shards == 1 and _sparse_ok(stats, w)
+
+    if (ckpt is None and num_shards == 1 and w <= HYBRID_SMALL_FUSED_W):
+        # Small problems: the whole device side in one dispatch + one
+        # packed fetch (see _hybrid_small_fused).
+        with _phase(profile, "2. Compute [mxu f32 fused A+B]"):
+            packed, thr = _hybrid_small_fused(
+                stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                jnp.float32(margin),
+                S=S, W=W, m=m, w=w,
+                tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+                prec=HYBRID_PRECISION,
+            )
+            host = np.asarray(packed)
+        K = SUSPECT_K
+        sus = SuspectWindow(
+            cnt=host[:, 0], mn=host[:, 1 : 1 + K], mx=host[:, 1 + K :]
+        )
+        sym = None
+        if native.is_available():
+            sym = lambda cand: native.resolve_slots(
+                T64, mu64, inv64, m, cand, w
+            )
+        bestP, bestI = _resolve_side(
+            sus, w, m,
+            rescore=lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c),
+            stats_q=stats, stats_t=stats, thr_q=thr, excl=excl, wt=w,
+            escalate=lambda rows: _row_scan(T64, mu64, inv64, m, w, excl,
+                                            rows),
+            profile=profile, sym_resolve=sym,
+        )
+        with _phase(profile, "4. Post-Computation [host]"):
+            MP = np.sqrt(np.maximum(2.0 * m * (1.0 - bestP), 0.0))
+            return MP, bestI
 
     state_b = ckpt.load_b() if ckpt is not None else None
     if state_b is not None:
