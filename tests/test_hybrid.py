@@ -285,3 +285,24 @@ def test_default_margin_scales_with_m():
     from mpx.hybrid import HYBRID_PRECISION
 
     assert default_margin(256) == default_margin(256, HYBRID_PRECISION)
+
+
+def test_hybrid_small_fused_phase_and_staged_equivalence(monkeypatch):
+    """Small self-joins run the one-dispatch fused device chain; pinning
+    the cap to 0 restores the staged passes; results identical."""
+    import mpx.hybrid as H
+    from mpx.utils.profile import BenchmarkProfile
+
+    T = random_walk(1200, seed=44)
+    cfg = MatrixProfileConfig(m=16, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=64)
+    prof = BenchmarkProfile()
+    MPf, MPIf = compute_matrix_profile(T, config=cfg, profile=prof)
+    assert any("fused A+B" in c for c in prof.category_totals())
+
+    monkeypatch.setattr(H, "HYBRID_SMALL_FUSED_W", 0)
+    prof = BenchmarkProfile()
+    MPs, MPIs = compute_matrix_profile(T, config=cfg, profile=prof)
+    assert any("pass A" in c for c in prof.category_totals())
+    np.testing.assert_array_equal(np.asarray(MPf), np.asarray(MPs))
+    np.testing.assert_array_equal(np.asarray(MPIf), np.asarray(MPIs))
