@@ -1193,7 +1193,8 @@ def compute_topk_profile_f64_hybrid(
 
     with _phase(profile, "1. Pre-Computation [device f32]"):
         stats = precompute_statistics(
-            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64
+            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64,
+            matmul_only=True,
         )
         jax.block_until_ready(stats.mu)
 
@@ -1853,10 +1854,12 @@ def compute_ab_join_f64_hybrid(
 
     with _phase(profile, "1. Pre-Computation [device f32]"):
         stats_a = precompute_statistics(
-            A64, m, band=S, chunk=W, dtype="float32", host_stats=sa
+            A64, m, band=S, chunk=W, dtype="float32", host_stats=sa,
+            matmul_only=True,
         )
         stats_b = precompute_statistics(
-            B64, m, band=S, chunk=W, dtype="float32", host_stats=sb
+            B64, m, band=S, chunk=W, dtype="float32", host_stats=sb,
+            matmul_only=True,
         )
         jax.block_until_ready(stats_b.mu)
 
@@ -2027,7 +2030,8 @@ def compute_left_right_f64_hybrid(
 
     with _phase(profile, "1. Pre-Computation [device f32]"):
         stats = precompute_statistics(
-            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64
+            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64,
+            matmul_only=True,
         )
         jax.block_until_ready(stats.mu)
 
