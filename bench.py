@@ -15,7 +15,7 @@ import sys
 from mpx.bench import main
 
 SHOWCASE = ["-n", "1048576", "-m", "256", "--dtype", "double",
-            "--band", "4096", "--chunk", "16384"]
+            "--band", "4096", "--chunk", "32768"]
 
 if __name__ == "__main__":
     argv = sys.argv[1:] or SHOWCASE

@@ -214,12 +214,12 @@ SUITE = [
         # routed through the hybrid tier (exact values), whose sparse
         # pass B wants the large-chunk schedule
         "name": "headline-f32-1048576",
-        "n": 1 << 20, "m": 256, "dtype": "float32", "band": 4096, "chunk": 16384,
+        "n": 1 << 20, "m": 256, "dtype": "float32", "band": 4096, "chunk": 32768,
     },
     {
         # the showcase job (README.md:35): double, n=2^20, m=256
         "name": "showcase-f64-1048576",
-        "n": 1 << 20, "m": 256, "dtype": "double", "band": 4096, "chunk": 16384,
+        "n": 1 << 20, "m": 256, "dtype": "double", "band": 4096, "chunk": 32768,
     },
     {
         # real dataset tier
@@ -236,7 +236,7 @@ SUITE = [
     {
         # scaling row: 4x the showcase pair count, float tier
         "name": "scale-f32-2097152",
-        "n": 1 << 21, "m": 256, "dtype": "float32", "band": 4096, "chunk": 16384,
+        "n": 1 << 21, "m": 256, "dtype": "float32", "band": 4096, "chunk": 32768,
     },
     {
         # sharded-INPUTS tier on a 1-device mesh: the pod-scale ring
