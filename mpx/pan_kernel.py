@@ -95,10 +95,20 @@ def build_pan_stats(T, ms: Sequence[int], band: int, chunk: int) -> PanStats:
     )
 
 
-def _shift_cols(Tseg: jax.Array, count: int, lo: int, hi: int) -> jax.Array:
-    """(count, hi-lo) matrix of window columns [lo, hi) via static
-    shifted slices (the mxu _windows construction, column-ranged)."""
-    return jnp.stack([Tseg[j : j + count] for j in range(lo, hi)], axis=1)
+def _raw_panel(Tseg: jax.Array, count: int, m_tot: int) -> jax.Array:
+    """(count, m_tot) raw window matrix — column j is Tseg[j : j+count].
+    Built with a fori_loop of dynamic_update_slice columns: O(1) HLO
+    regardless of m_tot (a stacked-slices build would put m_tot ops in
+    the scan body and blow the compile at pan-scale m), while the
+    runtime cost is one linear copy of the panel."""
+
+    def body(j, P):
+        col = jax.lax.dynamic_slice(Tseg, (j,), (count,))
+        return jax.lax.dynamic_update_slice(P, col[:, None], (0, j))
+
+    return jax.lax.fori_loop(
+        0, m_tot, body, jnp.zeros((count, m_tot), jnp.float32)
+    )
 
 
 def _level_epilogue(C, inv_r, inv_c, rows, cols, m, w):
@@ -136,6 +146,8 @@ def _pan_job(ps: PanStats, r0, c0, *, S, W, ms, n, prec):
 
     Tr = jax.lax.dynamic_slice(ps.T, (r0,), (S + m_max - 1,))
     Tc = jax.lax.dynamic_slice(ps.T, (c0,), (W + m_max - 1,))
+    rawA = _raw_panel(Tr, S, m_max)
+    rawB = _raw_panel(Tc, W, m_max)
     rows = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]
     cols = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
 
@@ -145,8 +157,8 @@ def _pan_job(ps: PanStats, r0, c0, *, S, W, ms, n, prec):
 
     mu_r = lev(ps.mu, 0, r0, S)
     mu_c = lev(ps.mu, 0, c0, W)
-    A0 = _shift_cols(Tr, S, 0, ms[0]) - mu_r[:, None]
-    B0 = _shift_cols(Tc, W, 0, ms[0]) - mu_c[:, None]
+    A0 = rawA[:, : ms[0]] - mu_r[:, None]
+    B0 = rawB[:, : ms[0]] - mu_c[:, None]
     C = dot(A0, B0)
 
     outs = []
@@ -161,8 +173,8 @@ def _pan_job(ps: PanStats, r0, c0, *, S, W, ms, n, prec):
             m2 = ms[r + 1]
             mu_r = lev(ps.mu, r, r0, S)
             mu_c = lev(ps.mu, r, c0, W)
-            dA = _shift_cols(Tr, S, m, m2) - mu_r[:, None]
-            dB = _shift_cols(Tc, W, m, m2) - mu_c[:, None]
+            dA = rawA[:, m:m2] - mu_r[:, None]
+            dB = rawB[:, m:m2] - mu_c[:, None]
             dmu_r = lev(ps.dmu, r, r0, S)
             dmu_c = lev(ps.dmu, r, c0, W)
             C = C + dot(dA, dB) - jnp.float32(m2) * dmu_r[:, None] * dmu_c[None, :]
