@@ -85,7 +85,9 @@ def build_pan_stats(T, ms: Sequence[int], band: int, chunk: int) -> PanStats:
         inv[r, :wr] = s["inv"]
     dmu = mu[1:] - mu[:-1]
 
-    Tp = np.zeros(pw + m_max - 1, np.float32)
+    # + _PANEL_BLOCK padding: _raw_panel reads blocked column segments
+    # up to the rounded-up panel width.
+    Tp = np.zeros(pw + _panel_width(m_max) - 1, np.float32)
     Tp[:n] = T64.astype(np.float32)
     return PanStats(
         T=jnp.asarray(Tp),
@@ -95,20 +97,35 @@ def build_pan_stats(T, ms: Sequence[int], band: int, chunk: int) -> PanStats:
     )
 
 
-def _raw_panel(Tseg: jax.Array, count: int, m_tot: int) -> jax.Array:
-    """(count, m_tot) raw window matrix — column j is Tseg[j : j+count].
-    Built with a fori_loop of dynamic_update_slice columns: O(1) HLO
-    regardless of m_tot (a stacked-slices build would put m_tot ops in
-    the scan body and blow the compile at pan-scale m), while the
-    runtime cost is one linear copy of the panel."""
+# Columns per raw-panel build block: HLO cost is O(block) once (traced
+# one block body), runtime is m/block map steps — the balance between a
+# full stacked-slices build (O(m_max) HLO -> relay-compile-hang
+# territory at pan-scale m) and a per-column loop (thousands of
+# serialized while iterations per job).
+_PANEL_BLOCK = 128
 
-    def body(j, P):
-        col = jax.lax.dynamic_slice(Tseg, (j,), (count,))
-        return jax.lax.dynamic_update_slice(P, col[:, None], (0, j))
 
-    return jax.lax.fori_loop(
-        0, m_tot, body, jnp.zeros((count, m_tot), jnp.float32)
-    )
+def _panel_width(m_max: int) -> int:
+    return ((m_max + _PANEL_BLOCK - 1) // _PANEL_BLOCK) * _PANEL_BLOCK
+
+
+def _raw_panel(Tseg: jax.Array, count: int, m_pad: int) -> jax.Array:
+    """(count, m_pad) raw window matrix — column j is Tseg[j : j+count].
+    ``m_pad`` must be a _PANEL_BLOCK multiple and Tseg must hold
+    count + m_pad - 1 values (build_pan_stats pads the series so)."""
+    nb = m_pad // _PANEL_BLOCK
+
+    def blk(i):
+        o = i * _PANEL_BLOCK
+        seg = jax.lax.dynamic_slice(
+            Tseg, (o,), (count + _PANEL_BLOCK - 1,)
+        )
+        return jnp.stack(
+            [seg[j : j + count] for j in range(_PANEL_BLOCK)], axis=1
+        )
+
+    out = jax.lax.map(blk, jnp.arange(nb, dtype=jnp.int32))
+    return jnp.moveaxis(out, 0, 1).reshape(count, m_pad)
 
 
 def _level_epilogue(C, inv_r, inv_c, rows, cols, m, w):
@@ -144,10 +161,11 @@ def _pan_job(ps: PanStats, r0, c0, *, S, W, ms, n, prec):
         preferred_element_type=jnp.float32, precision=prec,
     )
 
-    Tr = jax.lax.dynamic_slice(ps.T, (r0,), (S + m_max - 1,))
-    Tc = jax.lax.dynamic_slice(ps.T, (c0,), (W + m_max - 1,))
-    rawA = _raw_panel(Tr, S, m_max)
-    rawB = _raw_panel(Tc, W, m_max)
+    m_pad = _panel_width(m_max)
+    Tr = jax.lax.dynamic_slice(ps.T, (r0,), (S + m_pad - 1,))
+    Tc = jax.lax.dynamic_slice(ps.T, (c0,), (W + m_pad - 1,))
+    rawA = _raw_panel(Tr, S, m_pad)
+    rawB = _raw_panel(Tc, W, m_pad)
     rows = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]
     cols = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
 
