@@ -373,16 +373,35 @@ def run_topk_benchmark(n: int, m: int, k: int, dtype: str = "double",
         )
         eD = np.sqrt(np.maximum(2.0 * m * (1.0 - eP), 0.0))
         got = D[rows]
-        fin = np.isfinite(eD)
+        # missing-neighbor slots: the oracle marks them index -1 (its
+        # sentinel correlation decodes to a finite-huge distance); the
+        # profile stores +inf — compare only real slots, and require
+        # the profile to agree a slot is missing.
+        fin = eI >= 0
+        if np.isfinite(got[~fin]).any():
+            raise ValidationError(
+                "top-k rows report neighbors where the oracle has none"
+            )
         derr = np.abs(got - eD)[fin]
         if derr.size and derr.max() > 1e-8:
             raise ValidationError(
                 f"top-k sampled-row validation FAILED: max err {derr.max():.3e}"
             )
+        # index mismatches must be equidistant ties: rescore the
+        # REPORTED neighbor exactly and compare its distance
         mism = (I[rows] != eI) & fin
-        # ties: a differing index is fine iff the distances agree
-        if mism.any() and np.abs(got[mism] - eD[mism]).max() > 1e-8:
-            raise ValidationError("top-k non-tie index mismatches")
+        if mism.any():
+            from mpx.hybrid import _rescore_pairs
+
+            rr, cc = np.nonzero(mism)
+            cP = _rescore_pairs(
+                np.asarray(T64), np.asarray(s64["mu"], np.float64),
+                np.asarray(s64["inv"], np.float64), m,
+                rows[rr], I[rows][rr, cc].astype(np.int32),
+            )
+            cD = np.sqrt(np.maximum(2.0 * m * (1.0 - cP), 0.0))
+            if np.abs(cD - eD[rr, cc]).max() > 1e-8:
+                raise ValidationError("top-k non-tie index mismatches")
         val = {"rows": int(rows.shape[0]),
                "max_abs_err": float(derr.max()) if derr.size else 0.0,
                "tie_indices": int(mism.sum()), "tol": 1e-8}

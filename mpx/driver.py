@@ -97,10 +97,19 @@ def run_jobs(
     _agg_length(w, S, W)."""
     geom = band_geometry(S, W, m, w, tr, tc)
     dt = canonical_dtype(dtype)
+    L = _agg_length(w, S, W)
+    return job_scan(stats, r0s, k0s, geom=geom, dt=dt, kernel=kernel,
+                    interpret=interpret, L=L)
+
+
+def job_scan(stats, r0s, k0s, *, geom, dt, kernel, interpret, L):
+    """The shared job-scan body (single-chip run_jobs, the fused
+    small-n tier, and each shard of run_jobs_sharded all trace this):
+    lax.scan over (r0, k0) jobs, max-merging every job's band output
+    into carried (L,) row/column aggregate arrays."""
     sweep = get_sweep_fn(kernel)
     if kernel in ("pallas", "mxu_fused"):
         sweep = partial(sweep, interpret=interpret)
-    L = _agg_length(w, S, W)
 
     rows0 = init_aggregates(L, dt, AGGREGATE_INIT)
     cols0 = init_aggregates(L, dt, AGGREGATE_INIT)
@@ -168,22 +177,10 @@ def run_fused_small(
         stats = stats._replace(windows=build_windows(stats, m))
 
     geom = band_geometry(S, W, m, w, tr, tc)
-    sweep = get_sweep_fn(kernel)
-    if kernel in ("pallas", "mxu_fused"):
-        sweep = partial(sweep, interpret=interpret)
-    L = _agg_length(w, S, W)
-    rows0 = init_aggregates(L, dt, AGGREGATE_INIT)
-    cols0 = init_aggregates(L, dt, AGGREGATE_INIT)
-
-    def body(carry, job):
-        rows, cols = carry
-        r0, k0 = job
-        out = sweep(stats, r0, k0, geom, dt)
-        rows = merge_window(rows, out.row, r0)
-        cols = merge_window(cols, out.col, r0 + k0)
-        return (rows, cols), None
-
-    (rows, cols), _ = jax.lax.scan(body, (rows0, cols0), (r0s, k0s))
+    rows, cols = job_scan(
+        stats, r0s, k0s, geom=geom, dt=dt, kernel=kernel,
+        interpret=interpret, L=_agg_length(w, S, W),
+    )
     if left_right:
         from mpx.ops.aggregates import postcompute_left_right
 
@@ -366,7 +363,9 @@ def compute_matrix_profile(
     if (
         stats is None
         and (num_shards is None or num_shards <= 1)
-        and not config.dispatch_group  # explicit grouping wins over fusing
+        # explicit grouping (any non-None value, including the
+        # grouping-off request 0) wins over fusing
+        and config.dispatch_group is None
         and w <= fused_w_cap
     ):
         from mpx.ops.precompute import WINDOWS_BUDGET, _padded_width

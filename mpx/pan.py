@@ -88,9 +88,12 @@ def compute_pan_profile(
     if method not in ("auto", "fused", "exact"):
         raise ValueError(f"unknown pan method {method!r}")
     if method == "auto":
+        from mpx.dtypes import canonical_dtype
+
         method = (
             "exact"
-            if config is not None and str(config.dtype).endswith("64")
+            if config is not None
+            and canonical_dtype(config.dtype) == np.dtype(np.float64)
             else "fused"
         )
     if config is None:

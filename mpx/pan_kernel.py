@@ -259,12 +259,20 @@ def run_pan_jobs(T, ms: Sequence[int], *, band: int, chunk: int,
     cols = rows
 
     # Group dispatches: each job costs ~R epilogue passes of S*W pairs.
+    # Groups are balanced to ONE shared shape (a ragged tail would jit a
+    # second full _run_pan_group compile — minutes through the relay);
+    # the few dummy pad jobs start at row w0 (masked no-ops).
+    from mpx.config import pad_job_grid
+
     jobs = grid.r0.shape[0]
     per_job = band * chunk * max(R, 1)
     per_group = max(1, int(group_pairs // per_job))
+    ngroups = -(-jobs // per_group)
+    per_group = -(-jobs // ngroups)
+    grid = pad_job_grid(grid, per_group, dummy_r0=w0)
     with _phase(profile, f"2. Compute [pan x{R} levels]"):
-        for g0 in range(0, jobs, per_group):
-            g1 = min(g0 + per_group, jobs)
+        for g0 in range(0, grid.r0.shape[0], per_group):
+            g1 = g0 + per_group
             rows, cols = _run_pan_group(
                 ps, jnp.asarray(grid.r0[g0:g1]), jnp.asarray(grid.k0[g0:g1]),
                 rows, cols, S=band, W=chunk, ms=ms, n=n, L=L,

@@ -50,6 +50,11 @@ def initialize(
     Arguments fall back to MPX_COORDINATOR / MPX_NUM_PROCESSES /
     MPX_PROCESS_ID.  Returns True when running distributed, False for
     the single-process no-op.  Safe to call twice (idempotent)."""
+    if is_initialized():
+        # Already live through ANY channel (jax env bootstrap, TPU/SLURM
+        # auto-detect, a direct jax.distributed.initialize) — report the
+        # distributed runtime, not the env-var guard's view.
+        return True
     coordinator = coordinator or os.environ.get(_ENV_COORD)
     if num_processes is None and _ENV_NPROC in os.environ:
         num_processes = int(os.environ[_ENV_NPROC])
@@ -58,8 +63,6 @@ def initialize(
 
     if not coordinator or not num_processes or num_processes <= 1:
         return False
-    if is_initialized():
-        return True
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

@@ -32,23 +32,10 @@ from mpx.types import Aggregates, JobGrid, Stats
 
 
 def _local_scan(stats, r0s, k0s, *, geom, dt, kernel, interpret, L):
-    sweep = get_sweep_fn(kernel)
-    if kernel == "pallas":
-        sweep = partial(sweep, interpret=interpret)
+    from mpx.driver import job_scan
 
-    rows0 = init_aggregates(L, dt, AGGREGATE_INIT)
-    cols0 = init_aggregates(L, dt, AGGREGATE_INIT)
-
-    def body(carry, job):
-        rows, cols = carry
-        r0, k0 = job
-        out = sweep(stats, r0, k0, geom, dt)
-        rows = merge_window(rows, out.row, r0)
-        cols = merge_window(cols, out.col, r0 + k0)
-        return (rows, cols), None
-
-    (rows, cols), _ = jax.lax.scan(body, (rows0, cols0), (r0s, k0s))
-    return rows, cols
+    return job_scan(stats, r0s, k0s, geom=geom, dt=dt, kernel=kernel,
+                    interpret=interpret, L=L)
 
 
 def _merge_stacked(agg_v: jax.Array, agg_i: jax.Array) -> Aggregates:
