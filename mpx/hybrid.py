@@ -732,6 +732,34 @@ def _hybrid_small_fused(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc,
     return packed, thr
 
 
+@partial(jax.jit,
+         static_argnames=("S", "W", "m", "w", "tr", "tc", "pw", "prec"))
+def _hybrid_small_fused_lr(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc,
+                           pw, prec=None):
+    """Per-side variant of _hybrid_small_fused (left/right profiles):
+    one dispatch producing both sides' packed suspect summaries plus
+    the device-resident per-side thresholds."""
+    Lr, Lc = w + S, w + W
+    neg = jnp.float32(AGGREGATE_INIT)
+    rmax = jnp.full((Lr,), neg, jnp.float32)
+    cmax = jnp.full((Lc,), neg, jnp.float32)
+    rmax, cmax = _max_jobs_group(
+        stats, r0s, k0s, rmax, cmax,
+        S=S, W=W, m=m, w=w, tr=tr, tc=tc, prec=prec,
+    )
+    thr_r, thr_c = _build_thr(rmax, cmax, margin, w=w, pw=pw,
+                              wc=w, pwc=pw, combine=False)
+    rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
+    rows_g, cols_g = _suspect_jobs_group(
+        stats, thr_r, r0s, k0s, rows_g, cols_g,
+        S=S, W=W, m=m, w=w, tr=tr, tc=tc, thr_col=thr_c, prec=prec,
+    )
+    pk = lambda s: jnp.concatenate(
+        [s.cnt[:w, None], s.mn[:w], s.mx[:w]], axis=1
+    )
+    return jnp.stack([pk(rows_g), pk(cols_g)]), thr_r, thr_c
+
+
 def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
                  wc=None, excl=None, pwc=None, stats_c=None, combine=True,
                  capture=False, ckpt=None):
@@ -2041,42 +2069,59 @@ def compute_left_right_f64_hybrid(
 
     sparse = _sparse_ok(stats, w)
 
-    with _phase(profile, "2. Compute [mxu f32 pass A]"):
-        cap = None
-        if sparse:
-            (thr_r, thr_c), cap = run_max_jobs(
+    if w <= HYBRID_SMALL_FUSED_W:
+        # One-dispatch device chain + one packed fetch (the per-side
+        # variant of the self-join fused path above).
+        with _phase(profile, "2. Compute [mxu f32 fused A+B]"):
+            packed, thr_r, thr_c = _hybrid_small_fused_lr(
                 stats, r0s, k0s, jnp.float32(margin),
-                S=S, W=W, m=m, w=w, tr=config.tile_rows,
-                tc=config.tile_cols,
-                pw=pw, pwc=pw, combine=False, capture=True,
+                S=S, W=W, m=m, w=w,
+                tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+                prec=HYBRID_PRECISION,
             )
-        else:
-            thr_r, thr_c = run_max_jobs(
-                stats, r0s, k0s, jnp.float32(margin),
-                S=S, W=W, m=m, w=w, tr=config.tile_rows,
-                tc=config.tile_cols,
-                pw=pw, pwc=pw, combine=False,
-            )
-        jax.block_until_ready(thr_c)
-
-    pass_b_tag = "sparse" if sparse else "suspects"
-    with _phase(profile, f"2. Compute [mxu f32 pass B {pass_b_tag}]"):
-        if sparse:
-            sus_r, sus_c = run_suspect_jobs_sparse(
-                stats, thr_r, cap,
-                S=S, W=W, m=m, w=w, tr=config.tile_rows,
-                tc=config.tile_cols,
-                thr_col=thr_c, combine=False, profile=profile,
-            )
+            host = np.asarray(packed)
+        K = SUSPECT_K
+        mk = lambda h: SuspectWindow(
+            cnt=h[:, 0], mn=h[:, 1 : 1 + K], mx=h[:, 1 + K :]
+        )
+        sus_r, sus_c = mk(host[0]), mk(host[1])
+    else:
+        with _phase(profile, "2. Compute [mxu f32 pass A]"):
             cap = None
-        else:
-            sus_r, sus_c = run_suspect_jobs(
-                stats, thr_r, r0s, k0s,
-                S=S, W=W, m=m, w=w, tr=config.tile_rows,
-                tc=config.tile_cols,
-                thr_col=thr_c, combine=False,
-            )
-        sus_r, sus_c = jax.device_get((sus_r, sus_c))
+            if sparse:
+                (thr_r, thr_c), cap = run_max_jobs(
+                    stats, r0s, k0s, jnp.float32(margin),
+                    S=S, W=W, m=m, w=w, tr=config.tile_rows,
+                    tc=config.tile_cols,
+                    pw=pw, pwc=pw, combine=False, capture=True,
+                )
+            else:
+                thr_r, thr_c = run_max_jobs(
+                    stats, r0s, k0s, jnp.float32(margin),
+                    S=S, W=W, m=m, w=w, tr=config.tile_rows,
+                    tc=config.tile_cols,
+                    pw=pw, pwc=pw, combine=False,
+                )
+            jax.block_until_ready(thr_c)
+
+        pass_b_tag = "sparse" if sparse else "suspects"
+        with _phase(profile, f"2. Compute [mxu f32 pass B {pass_b_tag}]"):
+            if sparse:
+                sus_r, sus_c = run_suspect_jobs_sparse(
+                    stats, thr_r, cap,
+                    S=S, W=W, m=m, w=w, tr=config.tile_rows,
+                    tc=config.tile_cols,
+                    thr_col=thr_c, combine=False, profile=profile,
+                )
+                cap = None
+            else:
+                sus_r, sus_c = run_suspect_jobs(
+                    stats, thr_r, r0s, k0s,
+                    S=S, W=W, m=m, w=w, tr=config.tile_rows,
+                    tc=config.tile_cols,
+                    thr_col=thr_c, combine=False,
+                )
+            sus_r, sus_c = jax.device_get((sus_r, sus_c))
 
     from mpx import native as _native
 

@@ -306,3 +306,17 @@ def test_hybrid_small_fused_phase_and_staged_equivalence(monkeypatch):
     assert any("pass A" in c for c in prof.category_totals())
     np.testing.assert_array_equal(np.asarray(MPf), np.asarray(MPs))
     np.testing.assert_array_equal(np.asarray(MPIf), np.asarray(MPIs))
+
+
+def test_hybrid_lr_fused_matches_staged(monkeypatch):
+    """Left/right fused device chain == staged passes, element-exact."""
+    import mpx.hybrid as H
+
+    T = random_walk(1100, seed=47)
+    cfg = MatrixProfileConfig(m=16, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=64)
+    out_f = compute_matrix_profile(T, config=cfg, left_right=True)
+    monkeypatch.setattr(H, "HYBRID_SMALL_FUSED_W", 0)
+    out_s = compute_matrix_profile(T, config=cfg, left_right=True)
+    for a, b in zip(out_f, out_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
