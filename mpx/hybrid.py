@@ -733,31 +733,42 @@ def _hybrid_small_fused(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc,
 
 
 @partial(jax.jit,
-         static_argnames=("S", "W", "m", "w", "tr", "tc", "pw", "prec"))
-def _hybrid_small_fused_lr(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc,
-                           pw, prec=None):
-    """Per-side variant of _hybrid_small_fused (left/right profiles):
-    one dispatch producing both sides' packed suspect summaries plus
-    the device-resident per-side thresholds."""
-    Lr, Lc = w + S, w + W
+         static_argnames=("S", "W", "m", "w", "tr", "tc", "pw",
+                          "wc", "pwc", "excl", "prec"))
+def _hybrid_small_fused_two(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc,
+                            pw, wc=None, pwc=None, excl=None,
+                            stats_c=None, prec=None):
+    """Two-sided variant of _hybrid_small_fused (left/right profiles
+    and AB-joins — combine=False semantics): one dispatch producing both
+    sides' packed suspect summaries plus the device-resident per-side
+    thresholds.  The two packed blocks are returned separately (their
+    widths differ for AB)."""
+    wc_ = w if wc is None else wc
+    pwc_ = pw if pwc is None else pwc
+    Lr, Lc = w + S, wc_ + W
     neg = jnp.float32(AGGREGATE_INIT)
     rmax = jnp.full((Lr,), neg, jnp.float32)
     cmax = jnp.full((Lc,), neg, jnp.float32)
     rmax, cmax = _max_jobs_group(
         stats, r0s, k0s, rmax, cmax,
-        S=S, W=W, m=m, w=w, tr=tr, tc=tc, prec=prec,
+        S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
+        stats_c=stats_c, prec=prec,
     )
     thr_r, thr_c = _build_thr(rmax, cmax, margin, w=w, pw=pw,
-                              wc=w, pwc=pw, combine=False)
+                              wc=wc_, pwc=pwc_, combine=False)
     rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
     rows_g, cols_g = _suspect_jobs_group(
         stats, thr_r, r0s, k0s, rows_g, cols_g,
-        S=S, W=W, m=m, w=w, tr=tr, tc=tc, thr_col=thr_c, prec=prec,
+        S=S, W=W, m=m, w=w, tr=tr, tc=tc, wc=wc, excl=excl,
+        stats_c=stats_c, thr_col=thr_c, prec=prec,
     )
-    pk = lambda s: jnp.concatenate(
-        [s.cnt[:w, None], s.mn[:w], s.mx[:w]], axis=1
+    pk = lambda s, width: jnp.concatenate(
+        [s.cnt[:width, None], s.mn[:width], s.mx[:width]], axis=1
     )
-    return jnp.stack([pk(rows_g), pk(cols_g)]), thr_r, thr_c
+    if wc_ == w:
+        # equal-width sides (left/right): one stacked fetch
+        return jnp.stack([pk(rows_g, w), pk(cols_g, wc_)]), thr_r, thr_c
+    return (pk(rows_g, w), pk(cols_g, wc_)), thr_r, thr_c
 
 
 def run_max_jobs(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
@@ -1906,46 +1917,65 @@ def compute_ab_join_f64_hybrid(
 
     sparse = _sparse_ok(stats_a, max(wa, wb)) and stats_b.windows is not None
 
-    with _phase(profile, "2. Compute [mxu f32 pass A]"):
-        cap = None
-        if sparse:
-            (thr_a, thr_b), cap = run_max_jobs(
+    if max(wa, wb) <= HYBRID_SMALL_FUSED_W:
+        # One-dispatch device chain (see _hybrid_small_fused_two).
+        with _phase(profile, "2. Compute [mxu f32 fused A+B]"):
+            packed, thr_a, thr_b = _hybrid_small_fused_two(
                 stats_a, r0s, k0s, jnp.float32(margin),
-                S=S, W=W, m=m, w=wa, tr=config.tile_rows,
-                tc=config.tile_cols,
-                pw=pwa, wc=wb, excl=NO_EXCL, pwc=pwb, stats_c=stats_b,
-                combine=False, capture=True,
+                S=S, W=W, m=m, w=wa,
+                tr=config.tile_rows, tc=config.tile_cols,
+                pw=pwa, wc=wb, pwc=pwb, excl=NO_EXCL, stats_c=stats_b,
+                prec=HYBRID_PRECISION,
             )
-        else:
-            thr_a, thr_b = run_max_jobs(
-                stats_a, r0s, k0s, jnp.float32(margin),
-                S=S, W=W, m=m, w=wa, tr=config.tile_rows,
-                tc=config.tile_cols,
-                pw=pwa, wc=wb, excl=NO_EXCL, pwc=pwb, stats_c=stats_b,
-                combine=False,
-            )
-        jax.block_until_ready(thr_b)
-
-    pass_b_tag = "sparse" if sparse else "suspects"
-    with _phase(profile, f"2. Compute [mxu f32 pass B {pass_b_tag}]"):
-        if sparse:
-            sus_a, sus_b = run_suspect_jobs_sparse(
-                stats_a, thr_a, cap,
-                S=S, W=W, m=m, w=wa, tr=config.tile_rows,
-                tc=config.tile_cols,
-                wc=wb, excl=NO_EXCL, stats_c=stats_b, thr_col=thr_b,
-                combine=False, profile=profile,
-            )
+            host = jax.device_get(packed)
+        K = SUSPECT_K
+        mk = lambda h: SuspectWindow(
+            cnt=np.asarray(h[:, 0]), mn=np.asarray(h[:, 1 : 1 + K]),
+            mx=np.asarray(h[:, 1 + K :]),
+        )
+        # host is a stacked (2, w, 1+2K) array (wa == wb) or a 2-tuple
+        sus_a, sus_b = mk(host[0]), mk(host[1])
+    else:
+        with _phase(profile, "2. Compute [mxu f32 pass A]"):
             cap = None
-        else:
-            sus_a, sus_b = run_suspect_jobs(
-                stats_a, thr_a, r0s, k0s,
-                S=S, W=W, m=m, w=wa, tr=config.tile_rows,
-                tc=config.tile_cols,
-                wc=wb, excl=NO_EXCL, stats_c=stats_b, thr_col=thr_b,
-                combine=False,
-            )
-        sus_a, sus_b = jax.device_get((sus_a, sus_b))
+            if sparse:
+                (thr_a, thr_b), cap = run_max_jobs(
+                    stats_a, r0s, k0s, jnp.float32(margin),
+                    S=S, W=W, m=m, w=wa, tr=config.tile_rows,
+                    tc=config.tile_cols,
+                    pw=pwa, wc=wb, excl=NO_EXCL, pwc=pwb, stats_c=stats_b,
+                    combine=False, capture=True,
+                )
+            else:
+                thr_a, thr_b = run_max_jobs(
+                    stats_a, r0s, k0s, jnp.float32(margin),
+                    S=S, W=W, m=m, w=wa, tr=config.tile_rows,
+                    tc=config.tile_cols,
+                    pw=pwa, wc=wb, excl=NO_EXCL, pwc=pwb, stats_c=stats_b,
+                    combine=False,
+                )
+            jax.block_until_ready(thr_b)
+
+        pass_b_tag = "sparse" if sparse else "suspects"
+        with _phase(profile, f"2. Compute [mxu f32 pass B {pass_b_tag}]"):
+            if sparse:
+                sus_a, sus_b = run_suspect_jobs_sparse(
+                    stats_a, thr_a, cap,
+                    S=S, W=W, m=m, w=wa, tr=config.tile_rows,
+                    tc=config.tile_cols,
+                    wc=wb, excl=NO_EXCL, stats_c=stats_b, thr_col=thr_b,
+                    combine=False, profile=profile,
+                )
+                cap = None
+            else:
+                sus_a, sus_b = run_suspect_jobs(
+                    stats_a, thr_a, r0s, k0s,
+                    S=S, W=W, m=m, w=wa, tr=config.tile_rows,
+                    tc=config.tile_cols,
+                    wc=wb, excl=NO_EXCL, stats_c=stats_b, thr_col=thr_b,
+                    combine=False,
+                )
+            sus_a, sus_b = jax.device_get((sus_a, sus_b))
 
     from mpx import native as _native
 
@@ -2073,7 +2103,7 @@ def compute_left_right_f64_hybrid(
         # One-dispatch device chain + one packed fetch (the per-side
         # variant of the self-join fused path above).
         with _phase(profile, "2. Compute [mxu f32 fused A+B]"):
-            packed, thr_r, thr_c = _hybrid_small_fused_lr(
+            packed, thr_r, thr_c = _hybrid_small_fused_two(
                 stats, r0s, k0s, jnp.float32(margin),
                 S=S, W=W, m=m, w=w,
                 tr=config.tile_rows, tc=config.tile_cols, pw=pw,

@@ -46,3 +46,19 @@ def test_ab_join_motif_across_series():
     i = int(np.argmin(np.asarray(res.mp_a)))
     assert abs(i - 100) <= 4
     assert abs(int(res.mpi_a[i]) - 400) <= 4
+
+
+def test_ab_hybrid_fused_matches_staged(monkeypatch):
+    """AB fused device chain == staged passes (unequal widths)."""
+    import mpx.hybrid as H
+    from mpx.abjoin import compute_ab_join
+
+    A = random_walk(900, seed=51)
+    B = random_walk(700, seed=52)
+    cfg = MatrixProfileConfig(m=16, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=64)
+    out_f = compute_ab_join(A, B, config=cfg)
+    monkeypatch.setattr(H, "HYBRID_SMALL_FUSED_W", 0)
+    out_s = compute_ab_join(A, B, config=cfg)
+    for fa, fb in zip(out_f, out_s):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
