@@ -128,3 +128,22 @@ def test_pan_default_routes_fused():
     pan = compute_pan_profile(T, [8, 16])
     assert pan.PMP.shape[0] == 2
     assert np.isfinite(pan.PMP[0][np.asarray(pan.PMPI[0]) >= 0]).all()
+
+
+def test_pan_fused_multiblock_panels():
+    """Window sizes crossing the raw-panel block width (128) exercise
+    the multi-block build; levels straddling the boundary must stay
+    correct."""
+    from tests.helpers import assert_profile_close
+    from mpx.reference import compute_matrix_profile_reference
+
+    T = random_walk(1600, seed=71)
+    ms = [96, 128, 150, 257]
+    cfg32 = MatrixProfileConfig(m=96, dtype="float32", band=128, chunk=256,
+                                tile_rows=8, tile_cols=128)
+    pan = compute_pan_profile(T, ms, config=cfg32, method="fused")
+    for r, m in enumerate(ms):
+        MPg, MPIg = compute_matrix_profile_reference(T, m)
+        wm = 1600 - m + 1
+        assert_profile_close(T, m, pan.PMP[r, :wm], pan.PMPI[r, :wm],
+                             MPg, MPIg, eps=2e-3)
