@@ -111,6 +111,14 @@ def compute_ab_join(
         raise ValueError(f"m={m} conflicts with config.m={config.m}")
     m = config.m
 
+    if config.input_quant is not None:
+        # ap_fixed input tier (see mpx/io/apfixed.py): quantize both
+        # sides before any compute routing.
+        from mpx.io.apfixed import quantize
+
+        A = quantize(np.asarray(A), config.input_quant)
+        B = quantize(np.asarray(B), config.input_quant)
+
     # double-precision AB-joins route to the hybrid tier (f32 MXU sweeps
     # + exact host-f64 rescoring); kernel='mxu' forces the strict
     # emulated-f64 device path.

@@ -29,7 +29,9 @@ def _add_compute(sub):
     p.add_argument("-i", "--input", required=True, help=".tsb/.txt[.gz] time series")
     p.add_argument("-o", "--output", help="output base path (writes .mpb/.mpib)")
     p.add_argument("-m", type=int, default=32, help="subsequence length")
-    p.add_argument("--dtype", default="float32", help="double|float|float32|float64")
+    p.add_argument("--dtype", default="float32",
+                   help="double|float|float32|float64|ap16|ap24|ap32|ap64 "
+                        "(ap* = fixed-point input tier)")
     p.add_argument("--kernel", default="auto",
                    choices=("auto", "mxu", "xla", "pallas", "hybrid"))
     p.add_argument("--band", type=int, default=4096, help="rows per job (band height)")
@@ -123,7 +125,10 @@ def _add_tsbin(sub):
     g.add_argument("-e", "--encode", action="store_true")
     p.add_argument("input", nargs=1)
     p.add_argument("-o", "--output")
-    p.add_argument("-t", "--type", choices=("double", "int"), default="double")
+    p.add_argument("-t", "--type", default="double",
+                   choices=("double", "int", "ap16", "ap24", "ap32", "ap64"),
+                   help="element type; ap* = fixed-point quantized "
+                        "container (MPXQ; reference's ap_fixed dtypes)")
     p.add_argument("-n", type=int, help="expected element count")
     p.add_argument("-l", "--limit", type=int)
     p.add_argument("--offset", type=int)
@@ -149,6 +154,7 @@ def _cmd_tsbin(args) -> int:
         lim = off + args.limit if args.limit is not None else len(data)
         return data[off:lim]
 
+    ap = args.type.startswith("ap")
     if args.encode:
         if not args.output:
             raise SystemExit("-o/--output has to be specified in -e/--encode mode")
@@ -156,12 +162,22 @@ def _cmd_tsbin(args) -> int:
         if args.n is not None and len(data) != args.n:
             raise SystemExit(f"expected {args.n} values, decoded {len(data)}")
         data = window(data)
-        if args.type == "int":
-            data = np.asarray(data, dtype=np.int64)
-        write_binary(args.output, data, args.type)
+        if ap:
+            from mpx.io.apfixed import write_quantized
+
+            write_quantized(args.output, data, args.type)
+        else:
+            if args.type == "int":
+                data = np.asarray(data, dtype=np.int64)
+            write_binary(args.output, data, args.type)
         Logger.info(f"encoded {len(data)} '{args.type}' values -> {args.output}")
     else:
-        data = window(read_binary(path, args.type, args.n))
+        if ap:
+            from mpx.io.apfixed import read_quantized
+
+            data = window(read_quantized(path, args.n))
+        else:
+            data = window(read_binary(path, args.type, args.n))
         if args.output:
             write_ascii(args.output, data, oneline=args.oneline)
             Logger.info(f"decoded {len(data)} values -> {args.output}")

@@ -45,6 +45,12 @@ class MatrixProfileConfig:
     tile_rows: int = 8
     tile_cols: int = 2048
     num_shards: Optional[int] = None
+    # Fixed-point input tier (the reference's ap_fixed dtypes,
+    # CMakeLists.txt:71 / ArbitraryPrecisionFixed.hpp:18-37): quantize
+    # the input series to this ap grid before computing.  Set
+    # automatically when ``dtype`` names an ap format ('ap16'/'ap24' ->
+    # float32 compute, 'ap32'/'ap64' -> float64); see mpx/io/apfixed.py.
+    input_quant: Optional[str] = None
     # Multi-chip input strategy: 'jobs' replicates the O(n) statistics
     # and shards the job list (fastest to n ~ 16M f32); 'ring' shards
     # the inputs themselves and rotates column blocks over ICI
@@ -59,6 +65,25 @@ class MatrixProfileConfig:
     dispatch_group: Optional[int] = None
 
     def __post_init__(self):
+        # ap_fixed dtype names select the quantized-input tier with the
+        # narrowest exact compute dtype (ap16/ap24 mantissas fit f32;
+        # ap32/ap64 need f64 — routed through the hybrid tier).
+        key = self.dtype.lower() if isinstance(self.dtype, str) else None
+        if key in ("ap16", "ap24", "ap32", "ap64"):
+            if self.input_quant not in (None, key):
+                raise ValueError(
+                    f"dtype={self.dtype!r} conflicts with "
+                    f"input_quant={self.input_quant!r}"
+                )
+            object.__setattr__(self, "input_quant", key)
+            object.__setattr__(
+                self, "dtype",
+                "float32" if key in ("ap16", "ap24") else "float64",
+            )
+        elif self.input_quant is not None:
+            from mpx.io.apfixed import get_format
+
+            get_format(self.input_quant)  # raises on unknown
         canonical_dtype(self.dtype)  # raises on unsupported
         if self.kernel not in _KERNELS:
             raise ValueError(f"kernel must be one of {_KERNELS}, got {self.kernel!r}")

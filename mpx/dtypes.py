@@ -7,11 +7,14 @@ to ``value = -1e12`` / ``index = -1`` so that any genuine correlation
 (P in [-1, 1]) wins the max-merge, and untouched entries survive to the
 output as the reference's sentinel values.
 
-The reference supports ``double``/``float`` compute dtypes
-(CMakeLists.txt:35); the ap_fixed aliases it plumbs but never accepts are
-not reproduced.  On TPU, float32 runs native on the VPU/MXU and float64 is
-XLA-emulated; bfloat16 is accepted for the statistics inputs of experimental
-low-precision runs but aggregates always accumulate in >= float32.
+The reference supports ``double``/``float`` plus four fixed-point
+ap_fixed compute dtypes (CMakeLists.txt:71).  On TPU, float32 runs
+native on the VPU/MXU and float64 is XLA-emulated; the ap_fixed tiers
+map to input quantization + the narrowest exact float pipeline
+(mpx/io/apfixed.py, resolved in MatrixProfileConfig — by the time a
+dtype reaches this module it is one of the two floats).  bfloat16 is
+accepted for the statistics inputs of experimental low-precision runs
+but aggregates always accumulate in >= float32.
 """
 
 from __future__ import annotations

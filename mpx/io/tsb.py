@@ -75,7 +75,13 @@ def write_ascii(path: str, data, oneline: bool = False) -> None:
 
 
 def read_series(path: str) -> np.ndarray:
-    """Load a time series from any supported container by extension."""
+    """Load a time series from any supported container by extension.
+    MPXQ quantized containers (mpx/io/apfixed.py) are detected by magic
+    regardless of extension."""
+    from mpx.io.apfixed import is_quantized_file, read_quantized
+
+    if is_quantized_file(path):
+        return read_quantized(path)
     if path.endswith(".tsb") or path.endswith(".mpb"):
         return read_binary(path, "double")
     if path.endswith(".mpib"):

@@ -156,6 +156,11 @@ def compute_topk_profile(
     T = np.asarray(T) if not isinstance(T, jax.Array) else T
     n = T.shape[0]
     config.validate_series(n, T)
+    if config.input_quant is not None:
+        # ap_fixed input tier (see mpx/io/apfixed.py).
+        from mpx.io.apfixed import quantize
+
+        T = quantize(np.asarray(T), config.input_quant)
     w = n - m + 1
     config = config.shrink_to(w)
     S, W = config.band, config.chunk
