@@ -36,6 +36,8 @@ from mpx.analysis import (
     apply_annotation_vector,
     complexity_annotation,
     corrected_arc_curve,
+    mass,
+    match,
     mpdist,
     regimes,
     top_discords,
@@ -69,6 +71,8 @@ __all__ = [
     "all_chains",
     "unanchored_chain",
     "mpdist",
+    "mass",
+    "match",
     "AGGREGATE_INIT",
     "INDEX_INIT",
     "__version__",

@@ -16,7 +16,7 @@ the profile is directly actionable:
 
 from __future__ import annotations
 
-from typing import List, NamedTuple
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 
@@ -220,5 +220,108 @@ def top_discords(MP, MPI, m: int, k: int = 3) -> List[Discord]:
         if not alive[i]:
             break
         out.append(Discord(i, float(MP[i])))
+        _suppress(alive, i, zone)
+    return out
+
+
+class Match(NamedTuple):
+    index: int
+    distance: float
+
+
+def mass(Q, T, method: str = "auto") -> np.ndarray:
+    """Distance profile of query ``Q`` against every window of ``T``
+    (MASS: Mueen's algorithm for similarity search) — z-normalized
+    Euclidean distances, float64, length ``len(T) - len(Q) + 1``.
+
+    The raw-profile analog of a single AB-join row; for LARGE query
+    batches use :func:`mpx.abjoin.compute_ab_join` (MXU-batched).  Here
+    one query is host-side: ``method='fft'`` computes the sliding dot
+    products in O(n log n) (the classic MASS trick; ~1e-11 relative
+    rounding), ``method='direct'`` uses exact blocked BLAS dots in
+    O(n*m), and ``'auto'`` picks direct below n*m = 2^26.
+
+    Zero-variance handling matches the framework contract
+    (mpx/ops/precompute.py): flat windows of T get distance +inf (they
+    never match in z-norm space); a flat query raises.
+    """
+    from mpx.ops.precompute import ZERO_VARIANCE_REL, precompute_statistics_numpy
+
+    Q = np.asarray(Q, np.float64)
+    T = np.asarray(T, np.float64)
+    if Q.ndim != 1 or T.ndim != 1:
+        raise ValueError("mass expects 1-d query and series")
+    m, n = Q.shape[0], T.shape[0]
+    if m < 4:
+        raise ValueError("query must have at least 4 points")
+    if n < m:
+        raise ValueError("series shorter than the query")
+    if method not in ("auto", "fft", "direct"):
+        raise ValueError(f"unknown method {method!r}")
+    w = n - m + 1
+
+    s = precompute_statistics_numpy(T, m)
+    mu, inv = s["mu"], s["inv"]
+
+    muQ = float(Q.mean())
+    qc = Q - muQ
+    ssqQ = float(qc @ qc)
+    if ssqQ <= ZERO_VARIANCE_REL * float(Q @ Q) or ssqQ == 0.0:
+        raise ValueError("query has (numerically) zero variance; "
+                         "z-normalized distance is undefined")
+    invQ = 1.0 / np.sqrt(ssqQ)
+
+    if method == "auto":
+        method = "direct" if n * m <= (1 << 26) else "fft"
+    if method == "fft":
+        L = 1
+        while L < n + m:
+            L <<= 1
+        # correlation = convolution with the reversed query
+        QT = np.fft.irfft(np.fft.rfft(T, L) * np.fft.rfft(qc[::-1], L), L)
+        QT = QT[m - 1 : m - 1 + w]
+        # qc is centered, so sum(qc * win) = sum(qc * (win - mu)) already
+        cdot = QT
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(T, m)
+        cdot = np.empty(w, np.float64)
+        blk = 1 << 16
+        for o in range(0, w, blk):
+            cdot[o : o + blk] = windows[o : o + blk] @ qc
+    # centered both sides: subtract m*mu*mean(qc)=0 — qc already centered,
+    # but T windows are not: sum(qc*win) - 0*...  = sum(qc*(win-mu_win))
+    # because sum(qc) = 0.  So cdot IS the doubly-centered dot product.
+    P = cdot * invQ * inv
+    with np.errstate(invalid="ignore"):
+        D = np.sqrt(np.maximum(2.0 * m * (1.0 - np.clip(P, -1.0, 1.0)), 0.0))
+    return np.where(np.isfinite(inv), D, np.inf)
+
+
+def match(Q, T, *, max_distance=None, max_matches: Optional[int] = None,
+          method: str = "auto") -> List[Match]:
+    """All non-overlapping occurrences of ``Q`` in ``T``, nearest first.
+
+    ``max_distance`` defaults to ``max(min(D), mean(D) - 2*std(D))`` over
+    the finite profile (the standard query-match heuristic); each match
+    suppresses ``max(exclusion_zone(m), m // 2)`` neighbors on each side
+    like :func:`top_motifs`/:func:`top_discords`.
+    """
+    Q = np.asarray(Q, np.float64)
+    m = Q.shape[0]
+    D = mass(Q, T, method=method)
+    finite = D[np.isfinite(D)]
+    if finite.size == 0:
+        return []
+    if max_distance is None:
+        max_distance = float(max(finite.min(),
+                                 finite.mean() - 2.0 * finite.std()))
+    zone = max(exclusion_zone(m), m // 2)
+    alive = np.isfinite(D)
+    out: List[Match] = []
+    while alive.any() and (max_matches is None or len(out) < max_matches):
+        i = int(np.where(alive, D, np.inf).argmin())
+        if not alive[i] or D[i] > max_distance:
+            break
+        out.append(Match(i, float(D[i])))
         _suppress(alive, i, zone)
     return out

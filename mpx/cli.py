@@ -17,6 +17,7 @@ Replaces both reference entry points with one tool:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -450,6 +451,50 @@ def _cmd_bench(args) -> int:
     return bench.main(args.rest)
 
 
+def _add_query(sub):
+    p = sub.add_parser(
+        "query",
+        help="similarity search: find occurrences of a query subsequence "
+             "(MASS distance profile + non-overlapping matches)")
+    p.add_argument("-i", "--input", required=True, help="series to search")
+    p.add_argument("-q", "--query", required=True,
+                   help="query: a .tsb/.txt file, or i:j to slice the "
+                        "input series itself")
+    p.add_argument("-k", "--max-matches", type=int, default=None)
+    p.add_argument("--max-distance", type=float, default=None,
+                   help="report matches at distance <= this "
+                        "(default: max(min(D), mean(D)-2*std(D)))")
+    p.add_argument("-o", "--output",
+                   help="also write the full distance profile to <o>.mpb")
+    p.add_argument("--method", default="auto", choices=("auto", "fft", "direct"))
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_query(args) -> int:
+    from mpx.analysis import mass, match
+    from mpx.io.tsb import read_series, write_binary
+
+    Logger.verbose = args.verbose
+    T = read_series(args.input)
+    if ":" in args.query and not os.path.exists(args.query):
+        lo, hi = args.query.split(":", 1)
+        Q = T[int(lo):int(hi)]
+    else:
+        Q = read_series(args.query)
+    matches = match(Q, T, max_distance=args.max_distance,
+                    max_matches=args.max_matches, method=args.method)
+    for r in matches:
+        print(f"match @ {r.index}  distance {r.distance:.6f}")
+    if not matches:
+        print("no matches under the distance threshold")
+    if args.output:
+        D = mass(Q, T, method=args.method)
+        write_binary(args.output + ".mpb", D, "double")
+        Logger.info(f"wrote {args.output}.mpb ({D.shape[0]} distances)")
+    return 0
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -476,6 +521,7 @@ def main(argv=None) -> int:
     _add_analyze(sub)
     _add_pan(sub)
     _add_snippets(sub)
+    _add_query(sub)
     sub.add_parser("datasets", help="list vendored datasets")
     bench_p = sub.add_parser("bench", help="run the benchmark harness")
     bench_p.add_argument("rest", nargs=argparse.REMAINDER)
@@ -512,6 +558,7 @@ def main(argv=None) -> int:
             "analyze": _cmd_analyze,
             "pan": _cmd_pan,
             "snippets": _cmd_snippets,
+            "query": _cmd_query,
             "datasets": _cmd_datasets,
             "bench": _cmd_bench,
         }[args.command](args)

@@ -194,3 +194,96 @@ def test_mpdist_properties():
     assert d_shared >= 0.0
     # symmetry (ABBA join is symmetric by construction)
     assert abs(mpdist(A, C, m) - mpdist(C, A, m)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# mass / match (query similarity search)
+# ---------------------------------------------------------------------------
+
+
+def _brute_mass(Q, T):
+    import numpy as np
+
+    m, n = len(Q), len(T)
+    w = n - m + 1
+    Qz = (Q - Q.mean()) / Q.std()
+    out = np.empty(w)
+    for j in range(w):
+        Wj = T[j:j + m]
+        sd = Wj.std()
+        if sd < 1e-12:
+            out[j] = np.inf
+            continue
+        Wz = (Wj - Wj.mean()) / sd
+        out[j] = np.sqrt(max(((Qz - Wz) ** 2).sum(), 0.0))
+    return out
+
+
+def test_mass_matches_brute_force():
+    import numpy as np
+
+    from mpx.analysis import mass
+
+    rng = np.random.default_rng(0)
+    T = np.cumsum(rng.standard_normal(500))
+    Q = T[100:132].copy()
+    for method in ("direct", "fft"):
+        D = mass(Q, T, method=method)
+        B = _brute_mass(Q, T)
+        np.testing.assert_allclose(D, B, atol=1e-7)
+        assert D[100] < 1e-6  # the query matches itself exactly
+
+
+def test_mass_flat_windows_and_flat_query():
+    import numpy as np
+    import pytest
+
+    from mpx.analysis import mass
+
+    T = np.concatenate([np.ones(50), np.cumsum(np.ones(50) * 0.5 + np.sin(np.arange(50)))])
+    D = mass(np.sin(np.arange(16)), T)
+    assert np.isinf(D[:20]).all()  # flat region never matches
+    with pytest.raises(ValueError, match="zero variance"):
+        mass(np.ones(16), T)
+
+
+def test_match_finds_planted_occurrences():
+    import numpy as np
+
+    from mpx.analysis import match
+
+    rng = np.random.default_rng(1)
+    pattern = np.sin(np.linspace(0, 4 * np.pi, 64))
+    T = rng.standard_normal(1200) * 0.05
+    for at in (100, 500, 900):
+        T[at:at + 64] += pattern
+    got = match(pattern, T, max_distance=2.0)
+    assert len(got) == 3
+    assert sorted(abs(r.index - at) <= 2 for r, at in
+                  zip(sorted(got, key=lambda r: r.index), (100, 500, 900)))
+    # nearest-first ordering + max_matches cap
+    d = [r.distance for r in got]
+    assert d == sorted(d)
+    assert len(match(pattern, T, max_distance=2.0, max_matches=2)) == 2
+
+
+def test_query_cli(tmp_path):
+    import numpy as np
+
+    from mpx.cli import main
+    from mpx.io.tsb import read_binary, write_binary
+
+    rng = np.random.default_rng(2)
+    T = rng.standard_normal(800) * 0.05
+    pat = np.sin(np.linspace(0, 6, 48))
+    T[200:248] += pat
+    T[600:648] += pat
+    p = str(tmp_path / "t.tsb")
+    write_binary(p, T, "double")
+    out = str(tmp_path / "prof")
+    # query sliced from the series itself (i:j syntax)
+    assert main(["query", "-i", p, "-q", "200:248", "--max-distance", "1.5",
+                 "-o", out]) == 0
+    D = read_binary(out + ".mpb", "double")
+    assert D.shape[0] == 800 - 48 + 1
+    assert D[200] < 1e-6 and D[600] < 1.5
