@@ -55,3 +55,13 @@ smp = StreamingMatrixProfile(T[:-200], m=m)
 smp.append(T[-200:])
 MP_s, MPI_s = smp.profile()
 print(f"streaming == batch: {np.allclose(MP_s, MP, atol=1e-3)}")
+
+# --- 8. query similarity search (MASS) ---------------------------------------
+Q = T[100 : 100 + m]
+hits = mpx.match(Q, T, max_matches=3)
+print(f"query occurrences: {[(r.index, round(r.distance, 3)) for r in hits]}")
+
+# --- 9. fixed-point input tier (the reference's ap_fixed dtypes) -------------
+cfg16 = mpx.MatrixProfileConfig(m=m, dtype="ap16")   # quantize to 2^-11 grid
+MPq, _ = mpx.compute_matrix_profile(T / np.abs(T).max() * 8, config=cfg16)
+print(f"ap16 tier: profile on the quantized input, min d={np.asarray(MPq).min():.4f}")
