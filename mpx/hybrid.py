@@ -1531,6 +1531,8 @@ def compute_matrix_profile_f64_hybrid(
                 tr=config.tile_rows, tc=config.tile_cols, pw=pw,
                 prec=HYBRID_PRECISION,
             )
+            jax.block_until_ready(packed)
+        with _phase(profile, "2. Compute [packed fetch]"):
             host = np.asarray(packed)
         K = SUSPECT_K
         sus = SuspectWindow(
