@@ -298,20 +298,24 @@ def mass(Q, T, method: str = "auto") -> np.ndarray:
 
 
 def match(Q, T, *, max_distance=None, max_matches: Optional[int] = None,
-          method: str = "auto") -> List[Match]:
+          method: str = "auto", return_profile: bool = False):
     """All non-overlapping occurrences of ``Q`` in ``T``, nearest first.
 
     ``max_distance`` defaults to ``max(min(D), mean(D) - 2*std(D))`` over
     the finite profile (the standard query-match heuristic); each match
     suppresses ``max(exclusion_zone(m), m // 2)`` neighbors on each side
     like :func:`top_motifs`/:func:`top_discords`.
+
+    ``return_profile=True`` returns ``(matches, D)`` with the MASS
+    distance profile the matches were extracted from, so callers that
+    also want ``D`` (e.g. ``mpx query -o``) don't recompute it.
     """
     Q = np.asarray(Q, np.float64)
     m = Q.shape[0]
     D = mass(Q, T, method=method)
     finite = D[np.isfinite(D)]
     if finite.size == 0:
-        return []
+        return ([], D) if return_profile else []
     if max_distance is None:
         max_distance = float(max(finite.min(),
                                  finite.mean() - 2.0 * finite.std()))
@@ -324,4 +328,4 @@ def match(Q, T, *, max_distance=None, max_matches: Optional[int] = None,
             break
         out.append(Match(i, float(D[i])))
         _suppress(alive, i, zone)
-    return out
+    return (out, D) if return_profile else out

@@ -273,6 +273,19 @@ def _hybrid_fingerprint(T: np.ndarray, cfg: MatrixProfileConfig, w: int,
     return h.hexdigest()
 
 
+def _apply_input_quant(T: np.ndarray, cfg: MatrixProfileConfig) -> np.ndarray:
+    """ap_fixed input tier: apply the FileIO double->ap cast exactly as
+    the non-checkpointed driver does (mpx/driver.py), BEFORE the input
+    fingerprint — so resumable runs compute on (and fingerprint) the
+    same quantized series as `mpx compute` without --checkpoint.
+    Idempotent: already-on-grid values cast to themselves."""
+    if cfg.input_quant is not None:
+        from mpx.io.apfixed import quantize
+
+        T = quantize(T, cfg.input_quant)
+    return T
+
+
 def compute_hybrid_with_checkpoint(
     T,
     cfg: MatrixProfileConfig,
@@ -291,7 +304,7 @@ def compute_hybrid_with_checkpoint(
     """
     from mpx.hybrid import compute_matrix_profile_f64_hybrid, default_margin
 
-    T = np.asarray(T, np.float64)
+    T = _apply_input_quant(np.asarray(T, np.float64), cfg)
     n = T.shape[0]
     cfg.validate_series(n, T)
     w = n - cfg.m + 1
@@ -328,7 +341,7 @@ def compute_with_checkpoint(
     aggregates after each group.  Returns (MP, MPI) and removes the
     checkpoint on success unless ``keep_checkpoint``.
     """
-    T = np.asarray(T)
+    T = _apply_input_quant(np.asarray(T), cfg)
     n = T.shape[0]
     cfg.validate_series(n, T)
     m = cfg.m

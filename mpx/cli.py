@@ -472,7 +472,7 @@ def _add_query(sub):
 
 
 def _cmd_query(args) -> int:
-    from mpx.analysis import mass, match
+    from mpx.analysis import match
     from mpx.io.tsb import read_series, write_binary
 
     Logger.verbose = args.verbose
@@ -482,14 +482,14 @@ def _cmd_query(args) -> int:
         Q = T[int(lo):int(hi)]
     else:
         Q = read_series(args.query)
-    matches = match(Q, T, max_distance=args.max_distance,
-                    max_matches=args.max_matches, method=args.method)
+    matches, D = match(Q, T, max_distance=args.max_distance,
+                       max_matches=args.max_matches, method=args.method,
+                       return_profile=True)
     for r in matches:
         print(f"match @ {r.index}  distance {r.distance:.6f}")
     if not matches:
         print("no matches under the distance threshold")
     if args.output:
-        D = mass(Q, T, method=args.method)
         write_binary(args.output + ".mpb", D, "double")
         Logger.info(f"wrote {args.output}.mpb ({D.shape[0]} distances)")
     return 0

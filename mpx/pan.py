@@ -82,6 +82,13 @@ def compute_pan_profile(
     from mpx.driver import compute_matrix_profile
 
     T = np.asarray(T)
+    if config is not None and config.input_quant is not None:
+        # ap_fixed input tier: quantize ONCE here so the fused path sees
+        # the same cast input as the exact per-m pipeline (which would
+        # otherwise quantize internally while the fused path would not).
+        from mpx.io.apfixed import quantize
+
+        T = quantize(T, config.input_quant)
     ms_arr = np.unique(np.asarray(list(ms), dtype=np.int64))
     if ms_arr.size == 0:
         raise ValueError("ms is empty")

@@ -201,3 +201,39 @@ def test_cli_tsbin_ap_roundtrip(tmp_path):
     dbl = str(tmp_path / "x.tsb")
     assert main(["tsbin", "-e", str(src), "-o", dbl, "-t", "double"]) == 0
     assert os.path.getsize(enc) < os.path.getsize(dbl) / 3
+
+
+def test_checkpoint_path_honors_input_quant(tmp_path):
+    # Regression: compute_with_checkpoint skipped the FileIO cast, so a
+    # checkpointed ap run silently computed on the unquantized series.
+    from mpx.checkpoint import compute_with_checkpoint
+    from mpx.driver import compute_matrix_profile
+
+    rng = np.random.default_rng(19)
+    T = np.cumsum(rng.standard_normal(400)) * 0.02
+    cfg = MatrixProfileConfig(m=16, dtype="ap32", band=64, chunk=64)
+    ckpt = str(tmp_path / "st.npz")
+    MPc, MPIc = compute_with_checkpoint(T, cfg, ckpt, group_jobs=4)
+    MPd, MPId = compute_matrix_profile(T, config=cfg)
+    np.testing.assert_allclose(np.asarray(MPc), np.asarray(MPd),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(MPIc), np.asarray(MPId))
+
+
+def test_fused_pan_honors_input_quant():
+    # Regression: the fused pan path passed the raw series to
+    # run_pan_jobs while the exact path quantized per-m.
+    from mpx.pan import compute_pan_profile
+
+    rng = np.random.default_rng(23)
+    T = np.cumsum(rng.standard_normal(512)) * 0.01
+    ms = [16, 32]
+    cfg = MatrixProfileConfig(m=16, dtype="ap16", band=64, chunk=64)
+    pan_q = compute_pan_profile(T, ms, config=cfg, method="fused")
+    pan_e = compute_pan_profile(quantize(T, "ap16"), ms,
+                                config=MatrixProfileConfig(
+                                    m=16, dtype="float32",
+                                    band=64, chunk=64),
+                                method="fused")
+    np.testing.assert_array_equal(pan_q.PMP, pan_e.PMP)
+    np.testing.assert_array_equal(pan_q.PMPI, pan_e.PMPI)
