@@ -44,6 +44,7 @@ from mpx.analysis import (
     top_motifs,
     unanchored_chain,
 )
+from mpx.mstamp import compute_multidim_profile, multidim_motif
 from mpx.pan import compute_pan_profile, pan_m_range
 from mpx.snippets import snippets
 from mpx.topk import compute_topk_profile
@@ -58,6 +59,8 @@ __all__ = [
     "compute_ab_join",
     "compute_topk_profile",
     "compute_pan_profile",
+    "compute_multidim_profile",
+    "multidim_motif",
     "pan_m_range",
     "snippets",
     "compute_matrix_profile",

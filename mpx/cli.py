@@ -387,6 +387,50 @@ def _cmd_pan(args) -> int:
     return 0
 
 
+def _add_mstamp(sub):
+    p = sub.add_parser(
+        "mstamp",
+        help="multi-dimensional matrix profile (one -i per dimension)")
+    p.add_argument("-i", "--input", action="append", required=True,
+                   help="one series file per dimension (equal lengths); "
+                        "repeatable")
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("-o", "--output",
+                   help="writes <o>.mstamp.npz (PMP, PMPI)")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_mstamp(args) -> int:
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series
+    from mpx.mstamp import compute_multidim_profile, multidim_motif
+
+    Logger.verbose = args.verbose
+    series = [read_series(p) for p in args.input]
+    lengths = {s.shape[0] for s in series}
+    if len(lengths) != 1:
+        raise ValueError(
+            f"dimension series differ in length: {sorted(lengths)}")
+    T = np.stack(series)
+    prof = compute_multidim_profile(
+        T, config=MatrixProfileConfig(m=args.m, dtype=args.dtype))
+    if args.output:
+        np.savez_compressed(args.output + ".mstamp.npz",
+                            PMP=prof.PMP, PMPI=prof.PMPI)
+        Logger.info(f"wrote {args.output}.mstamp.npz "
+                    f"({prof.PMP.shape[0]} x {prof.PMP.shape[1]})")
+    print("k, best k-dimensional motif (i, j, distance):")
+    for k in range(1, T.shape[0] + 1):
+        if not np.isfinite(prof.PMP[k - 1]).any():
+            print(f"  {k:3d} (no valid pairs)")
+            continue
+        i, j, dist = multidim_motif(prof, k)
+        print(f"  {k:3d} ({i}, {j}) d={dist:.4f}")
+    return 0
+
+
 def _add_snippets(sub):
     p = sub.add_parser(
         "snippets", help="k most representative L-length segments"
@@ -520,6 +564,7 @@ def main(argv=None) -> int:
     _add_topk(sub)
     _add_analyze(sub)
     _add_pan(sub)
+    _add_mstamp(sub)
     _add_snippets(sub)
     _add_query(sub)
     sub.add_parser("datasets", help="list vendored datasets")
@@ -557,6 +602,7 @@ def main(argv=None) -> int:
             "topk": _cmd_topk,
             "analyze": _cmd_analyze,
             "pan": _cmd_pan,
+            "mstamp": _cmd_mstamp,
             "snippets": _cmd_snippets,
             "query": _cmd_query,
             "datasets": _cmd_datasets,

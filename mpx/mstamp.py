@@ -1,0 +1,220 @@
+"""Multi-dimensional matrix profile (mSTAMP, Yeh/Kamgar/Keogh KDD'17).
+
+Beyond reference parity — /root/reference computes 1-D self-joins only
+(kernel/MatrixProfileKernelTiled.cpp); this module extends the same job
+decomposition to d-dimensional series: for every subsequence pair the
+z-normalized distance is computed PER DIMENSION, the per-pair distances
+are sorted across dimensions, and the k-dimensional distance is the mean
+of the k smallest — giving d stacked profiles ``PMP[k-1]`` (the best
+k-dimensional motif ends at ``argmin(PMP[k-1])``).
+
+TPU-first design
+----------------
+* The d per-dimension correlation tiles of a (S x W) job are ONE batched
+  MXU matmul over stacked unit-window panels: ``P[t] = U_r[t] @ U_c[t]^T``
+  (einsum ``dsm,dwm->dsw``) — the batch dimension rides the MXU schedule
+  for free, so the sweep costs ~d x the 1-D mxu kernel.
+* The cross-dimension sort runs over the MAJOR axis of the (d, S, W)
+  block (d is small: 2..64): XLA lowers it to a d-lane compare-exchange
+  network over fully vectorized (S, W) lanes — never a minor-axis sort
+  (pathological on TPU; see mpx/kernels/mxu.py compaction notes).
+* Per-k aggregation reuses the 1-D epilogue shape: min + iota-min index
+  tie-break, min-merged into carried (d, L) profile arrays inside one
+  ``lax.scan`` over the job grid (no host round trips).
+
+Zero-variance contract (matches mpx.analysis.mass / ops/precompute):
+a dimension whose row OR column window is (numerically) constant gets
+distance +inf for that pair — flat windows never match in z-norm space —
+so such pairs sort those dimensions last and drop out of low-k profiles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpx.config import MatrixProfileConfig, make_job_grid
+from mpx.kernels.mxu import _PRECISION
+from mpx.ops.precompute import precompute_statistics_numpy
+
+_BIG_I = np.int32(2**30)
+
+
+class MultiProfile(NamedTuple):
+    """Stacked k-dimensional profiles: row ``k-1`` is the k-dim profile."""
+
+    PMP: np.ndarray   # (d, w) float — k-dim z-norm distances
+    PMPI: np.ndarray  # (d, w) int32 — matching subsequence index (-1: none)
+
+
+def _stack_stats(T: np.ndarray, m: int, pw: int, dt):
+    """Per-dimension host-f64 statistics, padded/stacked for the device:
+    (d, pw + m - 1) series, (d, pw) mu, (d, pw) inv (0 where degenerate
+    or padded — operand rows are zeroed; masks carry validity)."""
+    d, n = T.shape
+    w = n - m + 1
+    Tb = np.zeros((d, pw + m - 1), dtype=dt)
+    mub = np.zeros((d, pw), dtype=dt)
+    invb = np.zeros((d, pw), dtype=dt)
+    finb = np.zeros((d, pw), dtype=bool)
+    for t in range(d):
+        s = precompute_statistics_numpy(T[t].astype(np.float64), m)
+        fin = np.isfinite(s["inv"])
+        Tb[t, : n] = T[t].astype(dt)
+        mub[t, : w] = s["mu"].astype(dt)
+        invb[t, : w] = np.where(fin, s["inv"], 0.0).astype(dt)
+        finb[t, : w] = fin
+    return Tb, mub, invb, finb
+
+
+def _panels(Tb, mub, invb, o, count: int, m: int):
+    """Stacked unit-window panels (d, count, m) at offset ``o`` — the
+    batched analog of mpx.kernels.mxu._windows (m static shifted slices,
+    no gather)."""
+    d = Tb.shape[0]
+    zero = np.int32(0)
+    Tseg = jax.lax.dynamic_slice(Tb, (zero, o), (d, count + m - 1))
+    mu = jax.lax.dynamic_slice(mub, (zero, o), (d, count))
+    inv = jax.lax.dynamic_slice(invb, (zero, o), (d, count))
+    cols = [Tseg[:, j : j + count] for j in range(m)]
+    U = jnp.stack(cols, axis=2)
+    return (U - mu[:, :, None]) * inv[:, :, None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("S", "W", "m", "w", "excl", "dt"),
+)
+def _run_mstamp_jobs(Tb, mub, invb, finb, r0s, k0s, *,
+                     S: int, W: int, m: int, w: int, excl: int, dt):
+    d = Tb.shape[0]
+    L = w + S + W  # same padded length as driver._agg_length
+    dtype = jnp.dtype(dt)
+    inf = jnp.asarray(jnp.inf, dtype)
+    vals0 = jnp.full((d, L), jnp.inf, dtype)
+    idxs0 = jnp.full((d, L), -1, jnp.int32)
+    kdiv = (1.0 + jnp.arange(d, dtype=dtype))[:, None, None]
+
+    def merge(vals, idxs, new_v, new_i, o):
+        zero = np.int32(0)
+        size = new_v.shape[1]
+        cur_v = jax.lax.dynamic_slice(vals, (zero, o), (d, size))
+        cur_i = jax.lax.dynamic_slice(idxs, (zero, o), (d, size))
+        take = new_v < cur_v
+        mv = jnp.where(take, new_v, cur_v)
+        mi = jnp.where(take, new_i, cur_i)
+        return (
+            jax.lax.dynamic_update_slice(vals, mv, (zero, o)),
+            jax.lax.dynamic_update_slice(idxs, mi, (zero, o)),
+        )
+
+    def body(carry, job):
+        vals, idxs = carry
+        r0, k0 = job
+        c0 = r0 + k0
+        Ur = _panels(Tb, mub, invb, r0, S, m)
+        Uc = _panels(Tb, mub, invb, c0, W, m)
+        fr = jax.lax.dynamic_slice(finb, (np.int32(0), r0), (d, S))
+        fc = jax.lax.dynamic_slice(finb, (np.int32(0), c0), (d, W))
+
+        # One batched matmul for all d dimension tiles.
+        P = jnp.einsum("dsm,dwm->dsw", Ur, Uc,
+                       preferred_element_type=dtype, precision=_PRECISION)
+        dist = jnp.sqrt(jnp.maximum(2.0 * m * (1.0 - P), 0.0))
+        dist = jnp.where(fr[:, :, None] & fc[:, None, :], dist, inf)
+
+        # Sort dimensions per pair (major axis) and prefix-average:
+        # Dk[k-1] = mean of the k smallest per-dim distances.
+        Dk = jnp.cumsum(jnp.sort(dist, axis=0), axis=0) / kdiv
+
+        rows = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]
+        cols = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
+        valid = ((cols - rows >= excl) & (rows <= w - 1) & (cols <= w - 1))
+        Dk = jnp.where(valid[None, :, :], Dk, inf)
+
+        row_v = jnp.min(Dk, axis=2)
+        ri = jnp.min(jnp.where(Dk == row_v[:, :, None], cols[None], _BIG_I),
+                     axis=2)
+        row_i = jnp.where(jnp.isfinite(row_v), ri.astype(jnp.int32),
+                          jnp.int32(-1))
+        col_v = jnp.min(Dk, axis=1)
+        ci = jnp.min(jnp.where(Dk == col_v[:, None, :], rows[None], _BIG_I),
+                     axis=1)
+        col_i = jnp.where(jnp.isfinite(col_v), ci.astype(jnp.int32),
+                          jnp.int32(-1))
+
+        vals, idxs = merge(vals, idxs, row_v, row_i, r0)
+        vals, idxs = merge(vals, idxs, col_v, col_i, c0)
+        return (vals, idxs), None
+
+    (vals, idxs), _ = jax.lax.scan(body, (vals0, idxs0), (r0s, k0s))
+    return vals[:, :w], idxs[:, :w]
+
+
+def compute_multidim_profile(
+    T,
+    m: Optional[int] = None,
+    *,
+    config: Optional[MatrixProfileConfig] = None,
+) -> MultiProfile:
+    """mSTAMP self-join of a (d, n) multi-dimensional series.
+
+    Returns :class:`MultiProfile` with ``PMP[k-1, i]`` = the smallest
+    mean-of-k-best-dimension z-norm distance from subsequence ``i`` to
+    any non-trivial subsequence, and ``PMPI[k-1, i]`` its index.  Row 0
+    (k=1) equals the best single-dimension profile; row d-1 (k=d) the
+    all-dimensions profile.  ``config`` supplies dtype and the
+    (band, chunk) schedule; shape knobs follow the 1-D driver.
+    """
+    from mpx.dtypes import canonical_dtype, needs_x64, x64_scope
+    from mpx.ops.precompute import _padded_width
+
+    T = np.asarray(T)
+    if T.ndim == 1:
+        T = T[None, :]
+    if T.ndim != 2:
+        raise ValueError(f"expected (d, n) series, got shape {T.shape}")
+    d, n = T.shape
+    if d > n:
+        raise ValueError(
+            f"series is (d={d}, n={n}) — dimensions in rows; transpose?")
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32)
+    elif m is not None and m != config.m:
+        raise ValueError(f"m={m} conflicts with config.m={config.m}")
+    m = config.m
+    config.validate_series(n, T[0])
+    if config.input_quant is not None:
+        from mpx.io.apfixed import quantize
+
+        T = quantize(np.asarray(T, np.float64), config.input_quant)
+    w = n - m + 1
+    config = config.shrink_to(w)
+    S, W = config.band, config.chunk
+    dt = canonical_dtype(config.dtype)
+    pw = _padded_width(w, S, W)
+
+    Tb, mub, invb, finb = _stack_stats(T, m, pw, dt)
+    grid = make_job_grid(w, S, W)
+    with x64_scope(needs_x64(dt)):
+        vals, idxs = _run_mstamp_jobs(
+            jnp.asarray(Tb), jnp.asarray(mub), jnp.asarray(invb),
+            jnp.asarray(finb),
+            jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+            S=S, W=W, m=m, w=w, excl=m // 4, dt=str(dt),
+        )
+        PMP = np.asarray(vals)
+        PMPI = np.asarray(idxs)
+    return MultiProfile(PMP=PMP, PMPI=PMPI)
+
+
+def multidim_motif(profile: MultiProfile, k: int) -> tuple[int, int, float]:
+    """The best k-dimensional motif pair from an mSTAMP result:
+    ``(i, j, distance)`` with i the argmin of the k-dim profile."""
+    P, I = profile.PMP[k - 1], profile.PMPI[k - 1]
+    i = int(np.nanargmin(np.where(np.isfinite(P), P, np.nan)))
+    return i, int(I[i]), float(P[i])

@@ -1,0 +1,161 @@
+"""mSTAMP multi-dimensional profiles vs a brute-force oracle, the k=1..d
+semantics, the d=1 equivalence with the standard profile, and the
+zero-variance contract."""
+
+import numpy as np
+import pytest
+
+from mpx.config import MatrixProfileConfig
+from mpx.mstamp import compute_multidim_profile, multidim_motif
+from mpx.reference import exclusion_zone
+
+
+def mstamp_oracle(T: np.ndarray, m: int):
+    """O(d n^2 m) reference: per-dim z-norm distances, sorted across
+    dims, prefix-means, min over the non-trivial pairs."""
+    d, n = T.shape
+    w = n - m + 1
+    excl = exclusion_zone(m)
+    # per-dim normalized windows; flat windows -> None (never match)
+    U = np.full((d, w, m), np.nan)
+    flat = np.zeros((d, w), dtype=bool)
+    for t in range(d):
+        for i in range(w):
+            win = T[t, i : i + m].astype(np.float64)
+            c = win - win.mean()
+            ssq = float(c @ c)
+            if ssq <= 1e-13 * float(win @ win) or ssq == 0.0:
+                flat[t, i] = True
+            else:
+                U[t, i] = c / np.sqrt(ssq)
+    PMP = np.full((d, w), np.inf)
+    PMPI = np.full((d, w), -1, np.int64)
+    for i in range(w):
+        for j in range(w):
+            if abs(j - i) < excl:
+                continue
+            dd = np.empty(d)
+            for t in range(d):
+                if flat[t, i] or flat[t, j]:
+                    dd[t] = np.inf
+                else:
+                    p = float(U[t, i] @ U[t, j])
+                    dd[t] = np.sqrt(max(2.0 * m * (1.0 - p), 0.0))
+            dk = np.cumsum(np.sort(dd)) / np.arange(1, d + 1)
+            for k in range(d):
+                if dk[k] < PMP[k, i]:
+                    PMP[k, i] = dk[k]
+                    PMPI[k, i] = j
+    return PMP, PMPI
+
+
+def assert_multiprofile_close(got, want_P, want_I, tol):
+    np.testing.assert_allclose(got.PMP, want_P, rtol=0, atol=tol)
+    # index ties allowed iff equidistant (the 1-D harness rule)
+    mism = got.PMPI != want_I
+    assert (got.PMPI[~np.isfinite(want_P)] == -1).all()
+    if mism.any():
+        assert np.allclose(got.PMP[mism], want_P[mism], atol=tol)
+
+
+@pytest.mark.parametrize("dtype,tol", [("float32", 2e-3), ("float64", 1e-8)])
+def test_mstamp_matches_oracle(dtype, tol):
+    rng = np.random.default_rng(31)
+    d, n, m = 3, 230, 16
+    T = np.cumsum(rng.standard_normal((d, n)), axis=1)
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=32, chunk=64)
+    prof = compute_multidim_profile(T, config=cfg)
+    P, I = mstamp_oracle(T, m)
+    assert prof.PMP.shape == (d, n - m + 1)
+    assert_multiprofile_close(prof, P, I, tol)
+
+
+def test_mstamp_d1_equals_standard_profile():
+    from mpx.reference import compute_matrix_profile_reference
+
+    rng = np.random.default_rng(37)
+    T = np.cumsum(rng.standard_normal(400))
+    m = 24
+    prof = compute_multidim_profile(T[None, :], config=MatrixProfileConfig(
+        m=m, dtype="float64", band=64, chunk=64))
+    MP, MPI = compute_matrix_profile_reference(T, m)
+    np.testing.assert_allclose(prof.PMP[0], MP, atol=1e-8)
+    mism = prof.PMPI[0] != MPI
+    assert np.allclose(prof.PMP[0][mism], MP[mism], atol=1e-8)
+
+
+def test_mstamp_flat_dimension_drops_out():
+    # One dimension entirely constant: its distances are +inf, so the
+    # k=d profile is +inf everywhere (flat windows never match) while
+    # k<d profiles ignore it.
+    rng = np.random.default_rng(41)
+    n, m = 200, 16
+    T = np.stack([np.cumsum(rng.standard_normal(n)),
+                  np.zeros(n)])
+    prof = compute_multidim_profile(T, config=MatrixProfileConfig(
+        m=m, dtype="float64", band=32, chunk=64))
+    assert not np.isfinite(prof.PMP[1]).any()
+    assert (prof.PMPI[1] == -1).all()
+    P, I = mstamp_oracle(T, m)
+    assert_multiprofile_close(prof, P, I, 1e-8)
+
+
+def test_mstamp_input_validation_and_quant():
+    rng = np.random.default_rng(43)
+    with pytest.raises(ValueError, match="transpose"):
+        compute_multidim_profile(rng.standard_normal((50, 3)), m=8)
+    # ap16 config == running on the pre-quantized series
+    from mpx.io.apfixed import quantize
+
+    T = np.cumsum(rng.standard_normal((2, 220)), axis=1) * 0.01
+    m = 16
+    q = compute_multidim_profile(T, config=MatrixProfileConfig(
+        m=m, dtype="ap16", band=32, chunk=64))
+    e = compute_multidim_profile(quantize(T, "ap16"),
+                                 config=MatrixProfileConfig(
+                                     m=m, dtype="float32",
+                                     band=32, chunk=64))
+    np.testing.assert_array_equal(q.PMP, e.PMP)
+    np.testing.assert_array_equal(q.PMPI, e.PMPI)
+
+
+def test_multidim_motif_helper():
+    rng = np.random.default_rng(47)
+    d, n, m = 2, 240, 16
+    T = np.cumsum(rng.standard_normal((d, n)), axis=1)
+    # plant a 2-d motif
+    pat = np.cumsum(rng.standard_normal((d, m)), axis=1)
+    T[:, 30 : 30 + m] = pat
+    T[:, 150 : 150 + m] = pat
+    prof = compute_multidim_profile(T, config=MatrixProfileConfig(
+        m=m, dtype="float64", band=32, chunk=64))
+    i, j, dist = multidim_motif(prof, k=d)
+    assert {i, j} == {30, 150}
+    assert dist < 1e-6
+
+
+def test_cli_mstamp(tmp_path, capsys):
+    from mpx.cli import main
+    from mpx.io.tsb import write_binary
+
+    rng = np.random.default_rng(53)
+    T = np.cumsum(rng.standard_normal((2, 300)), axis=1)
+    paths = []
+    for t in range(2):
+        p = str(tmp_path / f"dim{t}.tsb")
+        write_binary(p, T[t], "double")
+        paths.append(p)
+    out = str(tmp_path / "res")
+    rc = main(["mstamp", "-i", paths[0], "-i", paths[1], "-m", "16",
+               "-o", out, "--dtype", "float64"])
+    assert rc == 0
+    assert "k, best k-dimensional motif" in capsys.readouterr().out
+    z = np.load(out + ".mstamp.npz")
+    prof = compute_multidim_profile(T, config=MatrixProfileConfig(
+        m=16, dtype="float64"))
+    np.testing.assert_array_equal(z["PMP"], prof.PMP)
+    np.testing.assert_array_equal(z["PMPI"], prof.PMPI)
+    # unequal dimension lengths -> clean error
+    short = str(tmp_path / "short.tsb")
+    write_binary(short, T[0, :200], "double")
+    assert main(["mstamp", "-i", paths[0], "-i", short, "-m", "16"]) == 1
