@@ -61,7 +61,14 @@ Q = T[100 : 100 + m]
 hits = mpx.match(Q, T, max_matches=3)
 print(f"query occurrences: {[(r.index, round(r.distance, 3)) for r in hits]}")
 
-# --- 9. fixed-point input tier (the reference's ap_fixed dtypes) -------------
+# --- 9. multi-dimensional profiles (mSTAMP) ----------------------------------
+rng = np.random.default_rng(0)
+T2 = np.stack([T, np.roll(T, 3) + rng.standard_normal(T.size) * 0.1])
+mprof = mpx.compute_multidim_profile(T2, m=m)
+i, j, dist = mpx.multidim_motif(mprof, k=2)
+print(f"best 2-dimensional motif: ({i}, {j}) d={dist:.3f}")
+
+# --- 10. fixed-point input tier (the reference's ap_fixed dtypes) ------------
 cfg16 = mpx.MatrixProfileConfig(m=m, dtype="ap16")   # quantize to 2^-11 grid
 MPq, _ = mpx.compute_matrix_profile(T / np.abs(T).max() * 8, config=cfg16)
 print(f"ap16 tier: profile on the quantized input, min d={np.asarray(MPq).min():.4f}")

@@ -85,12 +85,11 @@ def _panels(Tb, mub, invb, o, count: int, m: int):
     return (U - mu[:, :, None]) * inv[:, :, None]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("S", "W", "m", "w", "excl", "dt"),
-)
-def _run_mstamp_jobs(Tb, mub, invb, finb, r0s, k0s, *,
-                     S: int, W: int, m: int, w: int, excl: int, dt):
+def _scan_jobs(Tb, mub, invb, finb, r0s, k0s, *,
+               S: int, W: int, m: int, w: int, excl: int, dt):
+    """The shared job-scan body: lax.scan over (r0, k0) jobs, min-merging
+    each job's per-k tile aggregates into carried (d, L) arrays.  Traced
+    by both the single-device jit and each shard of the mesh runner."""
     d = Tb.shape[0]
     L = w + S + W  # same padded length as driver._agg_length
     dtype = jnp.dtype(dt)
@@ -152,7 +151,60 @@ def _run_mstamp_jobs(Tb, mub, invb, finb, r0s, k0s, *,
         return (vals, idxs), None
 
     (vals, idxs), _ = jax.lax.scan(body, (vals0, idxs0), (r0s, k0s))
+    return vals, idxs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("S", "W", "m", "w", "excl", "dt"),
+)
+def _run_mstamp_jobs(Tb, mub, invb, finb, r0s, k0s, *,
+                     S: int, W: int, m: int, w: int, excl: int, dt):
+    vals, idxs = _scan_jobs(Tb, mub, invb, finb, r0s, k0s,
+                            S=S, W=W, m=m, w=w, excl=excl, dt=dt)
     return vals[:, :w], idxs[:, :w]
+
+
+def _run_mstamp_sharded(Tb, mub, invb, finb, grid, *,
+                        num_shards: int, S: int, W: int, m: int, w: int,
+                        excl: int, dt, mesh=None):
+    """Job-sharded mSTAMP over a 1-D device mesh — the same round-robin
+    job split + stacked-partial merge as mpx.parallel.sharding, with a
+    MIN/argmin (distance-space) merge over the device axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from mpx.config import pad_job_grid
+    from mpx.parallel.mesh import default_mesh
+
+    if mesh is None:
+        mesh = default_mesh(num_shards)
+    grid = pad_job_grid(grid, num_shards, dummy_r0=w)
+    per_dev = grid.r0.shape[0] // num_shards
+    order = np.arange(grid.r0.shape[0]).reshape(per_dev, num_shards).T.reshape(-1)
+    r0s = jnp.asarray(grid.r0[order].reshape(num_shards, per_dev))
+    k0s = jnp.asarray(grid.k0[order].reshape(num_shards, per_dev))
+
+    def local(Tb, mub, invb, finb, r, k):
+        vals, idxs = _scan_jobs(Tb, mub, invb, finb, r[0], k[0],
+                                S=S, W=W, m=m, w=w, excl=excl, dt=dt)
+        return vals[None], idxs[None]
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("jobs"), P("jobs")),
+        out_specs=P("jobs"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def merged(Tb, mub, invb, finb, r, k):
+        vals, idxs = shard_fn(Tb, mub, invb, finb, r, k)  # (ndev, d, L)
+        best = jnp.argmin(vals, axis=0)  # first (lowest-rank) minimum
+        v = jnp.take_along_axis(vals, best[None], axis=0)[0]
+        i = jnp.take_along_axis(idxs, best[None], axis=0)[0]
+        return v[:, :w], i[:, :w]
+
+    return merged(Tb, mub, invb, finb, r0s, k0s)
 
 
 def compute_multidim_profile(
@@ -200,13 +252,22 @@ def compute_multidim_profile(
 
     Tb, mub, invb, finb = _stack_stats(T, m, pw, dt)
     grid = make_job_grid(w, S, W)
+    num_shards = config.num_shards or 1
     with x64_scope(needs_x64(dt)):
-        vals, idxs = _run_mstamp_jobs(
-            jnp.asarray(Tb), jnp.asarray(mub), jnp.asarray(invb),
-            jnp.asarray(finb),
-            jnp.asarray(grid.r0), jnp.asarray(grid.k0),
-            S=S, W=W, m=m, w=w, excl=m // 4, dt=str(dt),
-        )
+        if num_shards > 1:
+            vals, idxs = _run_mstamp_sharded(
+                jnp.asarray(Tb), jnp.asarray(mub), jnp.asarray(invb),
+                jnp.asarray(finb), grid,
+                num_shards=num_shards,
+                S=S, W=W, m=m, w=w, excl=m // 4, dt=str(dt),
+            )
+        else:
+            vals, idxs = _run_mstamp_jobs(
+                jnp.asarray(Tb), jnp.asarray(mub), jnp.asarray(invb),
+                jnp.asarray(finb),
+                jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                S=S, W=W, m=m, w=w, excl=m // 4, dt=str(dt),
+            )
         PMP = np.asarray(vals)
         PMPI = np.asarray(idxs)
     return MultiProfile(PMP=PMP, PMPI=PMPI)

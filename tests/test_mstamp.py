@@ -159,3 +159,18 @@ def test_cli_mstamp(tmp_path, capsys):
     short = str(tmp_path / "short.tsb")
     write_binary(short, T[0, :200], "double")
     assert main(["mstamp", "-i", paths[0], "-i", short, "-m", "16"]) == 1
+
+
+def test_mstamp_sharded_matches_single_device():
+    # Job-sharded mSTAMP over the virtual mesh == single-device result
+    # (indices may differ only on equidistant ties).
+    rng = np.random.default_rng(59)
+    d, n, m = 3, 260, 16
+    T = np.cumsum(rng.standard_normal((d, n)), axis=1)
+    one = compute_multidim_profile(T, config=MatrixProfileConfig(
+        m=m, dtype="float32", band=32, chunk=64))
+    shd = compute_multidim_profile(T, config=MatrixProfileConfig(
+        m=m, dtype="float32", band=32, chunk=64, num_shards=4))
+    np.testing.assert_array_equal(shd.PMP, one.PMP)
+    mism = shd.PMPI != one.PMPI
+    assert np.array_equal(shd.PMP[mism], one.PMP[mism])
