@@ -8,8 +8,11 @@ is attributable.  Usage: python scripts/probe_small_fused.py [repeats]
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
