@@ -270,6 +270,14 @@ SUITE = [
         "band": 4096, "chunk": 16384,
     },
     {
+        # multi-dimensional (mSTAMP) tier: d-batched MXU tiles +
+        # cross-dim sort; metric = dimension-pairs/s (no reference
+        # analog — the HLS design is strictly 1-D)
+        "name": "mstamp-f32-d4-131072",
+        "mstamp": True, "n": 1 << 17, "m": 256, "d": 4,
+        "dtype": "float32", "band": 2048, "chunk": 4096,
+    },
+    {
         # BASELINE item 5, executed: the 16M-point pod-scale workload on
         # ONE chip (1.4e14 pairs, ~50 min).  kernel=mxu pinned: the O(n)
         # aggregate state streams 2.1M jobs through grouped dispatches,
@@ -419,6 +427,79 @@ def run_topk_benchmark(n: int, m: int, k: int, dtype: str = "double",
     }
 
 
+def run_mstamp_benchmark(n: int, m: int, d: int, dtype: str = "float32",
+                         band: int = 4096, chunk: int = 4096,
+                         seed: int = 0, validate: int = 8,
+                         verbose: bool = False):
+    """Multi-dimensional (mSTAMP) benchmark.  Metric = dimension-pairs/s
+    (d z-norm distances per subsequence pair: the sweep is a d-batched
+    MXU matmul, so useful work scales with d).  Validation: ``validate``
+    sampled rows fully recomputed by a blocked host oracle (per-dim
+    distances -> cross-dim sort -> prefix means) across ALL k."""
+    import time
+
+    from mpx.mstamp import compute_multidim_profile
+    from mpx.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(seed)
+    T = np.cumsum(rng.standard_normal((d, n)), axis=1)
+    w = n - m + 1
+    pairs = d * w * (w - 1) / 2
+    from mpx import MatrixProfileConfig
+
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=band, chunk=chunk)
+    prof = compute_multidim_profile(T, config=cfg)  # warmup/compile
+    t0 = time.time()
+    prof = compute_multidim_profile(T, config=cfg)
+    np.asarray(prof.PMP)
+    wall = time.time() - t0
+
+    val = None
+    if validate:
+        tol = 1e-8 if dtype in ("double", "float64") else 2e-3
+        excl = m // 4
+        rows = np.random.default_rng(seed + 1).choice(
+            w, size=min(validate, w), replace=False)
+        # per-dim unit windows, built once (blocked views, f64)
+        wins = [np.lib.stride_tricks.sliding_window_view(
+            T[t].astype(np.float64), m) for t in range(d)]
+        U = []
+        for t in range(d):
+            c = wins[t] - wins[t].mean(axis=1, keepdims=True)
+            U.append(c / np.sqrt((c * c).sum(axis=1, keepdims=True)))
+        maxerr = 0.0
+        for i in rows:
+            dist = np.empty((d, w))
+            for t in range(d):
+                p = U[t] @ U[t][i]
+                dist[t] = np.sqrt(np.maximum(2.0 * m * (1.0 - p), 0.0))
+            dist[:, max(0, i - excl + 1) : i + excl] = np.inf
+            dk = np.cumsum(np.sort(dist, axis=0), axis=0) \
+                / np.arange(1, d + 1)[:, None]
+            exp = dk.min(axis=1)
+            got = np.asarray(prof.PMP[:, i], np.float64)
+            fin = np.isfinite(exp)
+            err = np.abs(got[fin] - exp[fin]).max() if fin.any() else 0.0
+            maxerr = max(maxerr, float(err))
+            if err > tol:
+                raise ValidationError(
+                    f"mstamp sampled-row {i} FAILED: max err {err:.3e}")
+        val = {"rows": int(rows.size), "max_abs_err": maxerr, "tol": tol}
+        if verbose:
+            print(f"# validated {rows.size} rows x {d} k-levels: "
+                  f"max err {maxerr:.2e}", file=sys.stderr)
+
+    return {
+        "validation": val,
+        "n": n, "m": m, "d": d, "dtype": dtype,
+        "pairs": pairs,
+        "wall_s": wall,
+        "pairs_per_sec": pairs / wall,
+        "mp_head": np.asarray(prof.PMP[:2, :2], np.float64).tolist(),
+    }
+
+
 def run_suite(names=None, verbose: bool = False) -> list:
     """Run the benchmark suite; returns a list of result dicts (one per
     config) each including vs_baseline against the U250 roofline."""
@@ -429,7 +510,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
         if cfg.get("huge") and not names:
             continue  # hour-scale rows run only when named via --only
         kwargs = {k: v for k, v in cfg.items()
-                  if k not in ("name", "input", "streaming", "huge", "topk")}
+                  if k not in ("name", "input", "streaming", "huge",
+                               "topk", "mstamp")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 
@@ -441,6 +523,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
                 res = run_streaming_benchmark(verbose=verbose, **kwargs)
             elif cfg.get("topk"):
                 res = run_topk_benchmark(verbose=verbose, **kwargs)
+            elif cfg.get("mstamp"):
+                res = run_mstamp_benchmark(verbose=verbose, **kwargs)
             else:
                 res = run_benchmark(verbose=verbose, **kwargs)
         except Exception as e:  # noqa: BLE001 - a flaky relay row must
