@@ -44,7 +44,11 @@ from mpx.analysis import (
     top_motifs,
     unanchored_chain,
 )
-from mpx.mstamp import compute_multidim_profile, multidim_motif
+from mpx.mstamp import (
+    compute_multidim_profile,
+    multidim_discord,
+    multidim_motif,
+)
 from mpx.pan import compute_pan_profile, pan_m_range
 from mpx.snippets import snippets
 from mpx.topk import compute_topk_profile
@@ -61,6 +65,7 @@ __all__ = [
     "compute_pan_profile",
     "compute_multidim_profile",
     "multidim_motif",
+    "multidim_discord",
     "pan_m_range",
     "snippets",
     "compute_matrix_profile",

@@ -398,6 +398,12 @@ def _add_mstamp(sub):
     p.add_argument("-o", "--output",
                    help="writes <o>.mstamp.npz (PMP, PMPI)")
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--include", type=int, action="append", default=None,
+                   help="dimension index that must be in every k-subset "
+                        "(repeatable; constrained mSTAMP search)")
+    p.add_argument("--discords", action="store_true",
+                   help="average the k LARGEST per-dim distances "
+                        "(multi-dimensional discord search)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -405,7 +411,11 @@ def _add_mstamp(sub):
 def _cmd_mstamp(args) -> int:
     from mpx.config import MatrixProfileConfig
     from mpx.io.tsb import read_series
-    from mpx.mstamp import compute_multidim_profile, multidim_motif
+    from mpx.mstamp import (
+        compute_multidim_profile,
+        multidim_discord,
+        multidim_motif,
+    )
 
     Logger.verbose = args.verbose
     series = [read_series(p) for p in args.input]
@@ -415,19 +425,27 @@ def _cmd_mstamp(args) -> int:
             f"dimension series differ in length: {sorted(lengths)}")
     T = np.stack(series)
     prof = compute_multidim_profile(
-        T, config=MatrixProfileConfig(m=args.m, dtype=args.dtype))
+        T, config=MatrixProfileConfig(m=args.m, dtype=args.dtype),
+        include=args.include, discords=args.discords)
     if args.output:
         np.savez_compressed(args.output + ".mstamp.npz",
                             PMP=prof.PMP, PMPI=prof.PMPI)
         Logger.info(f"wrote {args.output}.mstamp.npz "
                     f"({prof.PMP.shape[0]} x {prof.PMP.shape[1]})")
-    print("k, best k-dimensional motif (i, j, distance):")
+    if args.discords:
+        print("k, strongest k-dimensional discord (i, distance):")
+    else:
+        print("k, best k-dimensional motif (i, j, distance):")
     for k in range(1, T.shape[0] + 1):
         if not np.isfinite(prof.PMP[k - 1]).any():
             print(f"  {k:3d} (no valid pairs)")
             continue
-        i, j, dist = multidim_motif(prof, k)
-        print(f"  {k:3d} ({i}, {j}) d={dist:.4f}")
+        if args.discords:
+            i, dist = multidim_discord(prof, k)
+            print(f"  {k:3d} ({i}) d={dist:.4f}")
+        else:
+            i, j, dist = multidim_motif(prof, k)
+            print(f"  {k:3d} ({i}, {j}) d={dist:.4f}")
     return 0
 
 

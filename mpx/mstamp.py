@@ -85,8 +85,34 @@ def _panels(Tb, mub, invb, o, count: int, m: int):
     return (U - mu[:, :, None]) * inv[:, :, None]
 
 
+def _order_dims(dist, include: tuple, discords: bool):
+    """Per-pair dimension ordering for the prefix means.
+
+    Default: ascending sort (k-dim distance = mean of the k smallest).
+    ``discords=True``: descending (mean of the k LARGEST — the mSTAMP
+    discord-search variant).  ``include``: those dimensions are forced
+    to the front (always part of the chosen k-subset; the constrained
+    search of the mSTAMP paper), each group sorted internally."""
+    d = dist.shape[0]
+
+    def srt(x):
+        s = jnp.sort(x, axis=0)
+        return s[::-1] if discords else s
+
+    if not include:
+        return srt(dist)
+    inc = np.asarray(include, np.int32)
+    rest = np.asarray([t for t in range(d) if t not in set(include)],
+                      np.int32)
+    parts = [srt(dist[inc])]
+    if rest.size:
+        parts.append(srt(dist[rest]))
+    return jnp.concatenate(parts, axis=0)
+
+
 def _scan_jobs(Tb, mub, invb, finb, r0s, k0s, *,
-               S: int, W: int, m: int, w: int, excl: int, dt):
+               S: int, W: int, m: int, w: int, excl: int, dt,
+               include: tuple = (), discords: bool = False):
     """The shared job-scan body: lax.scan over (r0, k0) jobs, min-merging
     each job's per-k tile aggregates into carried (d, L) arrays.  Traced
     by both the single-device jit and each shard of the mesh runner."""
@@ -126,9 +152,10 @@ def _scan_jobs(Tb, mub, invb, finb, r0s, k0s, *,
         dist = jnp.sqrt(jnp.maximum(2.0 * m * (1.0 - P), 0.0))
         dist = jnp.where(fr[:, :, None] & fc[:, None, :], dist, inf)
 
-        # Sort dimensions per pair (major axis) and prefix-average:
-        # Dk[k-1] = mean of the k smallest per-dim distances.
-        Dk = jnp.cumsum(jnp.sort(dist, axis=0), axis=0) / kdiv
+        # Order dimensions per pair (major axis) and prefix-average:
+        # Dk[k-1] = mean of the k best per-dim distances (see
+        # _order_dims for the include/discords variants).
+        Dk = jnp.cumsum(_order_dims(dist, include, discords), axis=0) / kdiv
 
         rows = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]
         cols = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -156,18 +183,22 @@ def _scan_jobs(Tb, mub, invb, finb, r0s, k0s, *,
 
 @partial(
     jax.jit,
-    static_argnames=("S", "W", "m", "w", "excl", "dt"),
+    static_argnames=("S", "W", "m", "w", "excl", "dt", "include",
+                     "discords"),
 )
 def _run_mstamp_jobs(Tb, mub, invb, finb, r0s, k0s, *,
-                     S: int, W: int, m: int, w: int, excl: int, dt):
+                     S: int, W: int, m: int, w: int, excl: int, dt,
+                     include: tuple = (), discords: bool = False):
     vals, idxs = _scan_jobs(Tb, mub, invb, finb, r0s, k0s,
-                            S=S, W=W, m=m, w=w, excl=excl, dt=dt)
+                            S=S, W=W, m=m, w=w, excl=excl, dt=dt,
+                            include=include, discords=discords)
     return vals[:, :w], idxs[:, :w]
 
 
 def _run_mstamp_sharded(Tb, mub, invb, finb, grid, *,
                         num_shards: int, S: int, W: int, m: int, w: int,
-                        excl: int, dt, mesh=None):
+                        excl: int, dt, mesh=None,
+                        include: tuple = (), discords: bool = False):
     """Job-sharded mSTAMP over a 1-D device mesh — the same round-robin
     job split + stacked-partial merge as mpx.parallel.sharding, with a
     MIN/argmin (distance-space) merge over the device axis."""
@@ -186,7 +217,8 @@ def _run_mstamp_sharded(Tb, mub, invb, finb, grid, *,
 
     def local(Tb, mub, invb, finb, r, k):
         vals, idxs = _scan_jobs(Tb, mub, invb, finb, r[0], k[0],
-                                S=S, W=W, m=m, w=w, excl=excl, dt=dt)
+                                S=S, W=W, m=m, w=w, excl=excl, dt=dt,
+                                include=include, discords=discords)
         return vals[None], idxs[None]
 
     shard_fn = jax.shard_map(
@@ -212,6 +244,8 @@ def compute_multidim_profile(
     m: Optional[int] = None,
     *,
     config: Optional[MatrixProfileConfig] = None,
+    include=None,
+    discords: bool = False,
 ) -> MultiProfile:
     """mSTAMP self-join of a (d, n) multi-dimensional series.
 
@@ -221,6 +255,11 @@ def compute_multidim_profile(
     (k=1) equals the best single-dimension profile; row d-1 (k=d) the
     all-dimensions profile.  ``config`` supplies dtype and the
     (band, chunk) schedule; shape knobs follow the 1-D driver.
+
+    ``include``: dimension indices that must be part of every chosen
+    k-subset (the mSTAMP paper's constrained search).  ``discords=True``
+    averages the k LARGEST per-dim distances instead (multi-dimensional
+    discord search: discords = argmax of the resulting profile).
     """
     from mpx.dtypes import canonical_dtype, needs_x64, x64_scope
     from mpx.ops.precompute import _padded_width
@@ -234,6 +273,9 @@ def compute_multidim_profile(
     if d > n:
         raise ValueError(
             f"series is (d={d}, n={n}) — dimensions in rows; transpose?")
+    inc = tuple(sorted(int(t) for t in include)) if include else ()
+    if inc and not all(0 <= t < d for t in inc):
+        raise ValueError(f"include={inc} out of range for d={d}")
     if config is None:
         config = MatrixProfileConfig(m=m if m is not None else 32)
     elif m is not None and m != config.m:
@@ -260,6 +302,7 @@ def compute_multidim_profile(
                 jnp.asarray(finb), grid,
                 num_shards=num_shards,
                 S=S, W=W, m=m, w=w, excl=m // 4, dt=str(dt),
+                include=inc, discords=discords,
             )
         else:
             vals, idxs = _run_mstamp_jobs(
@@ -267,6 +310,7 @@ def compute_multidim_profile(
                 jnp.asarray(finb),
                 jnp.asarray(grid.r0), jnp.asarray(grid.k0),
                 S=S, W=W, m=m, w=w, excl=m // 4, dt=str(dt),
+                include=inc, discords=discords,
             )
         PMP = np.asarray(vals)
         PMPI = np.asarray(idxs)
@@ -279,3 +323,12 @@ def multidim_motif(profile: MultiProfile, k: int) -> tuple[int, int, float]:
     P, I = profile.PMP[k - 1], profile.PMPI[k - 1]
     i = int(np.nanargmin(np.where(np.isfinite(P), P, np.nan)))
     return i, int(I[i]), float(P[i])
+
+
+def multidim_discord(profile: MultiProfile, k: int) -> tuple[int, float]:
+    """The strongest k-dimensional discord from a ``discords=True``
+    mSTAMP result: ``(i, distance)`` with i the argmax of the k-dim
+    profile (the subsequence farthest from its nearest neighbor)."""
+    P = profile.PMP[k - 1]
+    i = int(np.nanargmax(np.where(np.isfinite(P), P, np.nan)))
+    return i, float(P[i])

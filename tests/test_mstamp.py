@@ -10,9 +10,10 @@ from mpx.mstamp import compute_multidim_profile, multidim_motif
 from mpx.reference import exclusion_zone
 
 
-def mstamp_oracle(T: np.ndarray, m: int):
-    """O(d n^2 m) reference: per-dim z-norm distances, sorted across
-    dims, prefix-means, min over the non-trivial pairs."""
+def mstamp_oracle(T: np.ndarray, m: int, include=(), discords=False):
+    """O(d n^2 m) reference: per-dim z-norm distances, ordered across
+    dims (ascending; descending for discords; include-first), prefix-
+    means, min over the non-trivial pairs."""
     d, n = T.shape
     w = n - m + 1
     excl = exclusion_zone(m)
@@ -41,7 +42,15 @@ def mstamp_oracle(T: np.ndarray, m: int):
                 else:
                     p = float(U[t, i] @ U[t, j])
                     dd[t] = np.sqrt(max(2.0 * m * (1.0 - p), 0.0))
-            dk = np.cumsum(np.sort(dd)) / np.arange(1, d + 1)
+            srt = (lambda x: np.sort(x)[::-1]) if discords else np.sort
+            if include:
+                inc = list(include)
+                rest = [t for t in range(d) if t not in set(inc)]
+                dd_o = np.concatenate([srt(dd[inc]), srt(dd[rest])]
+                                      if rest else [srt(dd[inc])])
+            else:
+                dd_o = srt(dd)
+            dk = np.cumsum(dd_o) / np.arange(1, d + 1)
             for k in range(d):
                 if dk[k] < PMP[k, i]:
                     PMP[k, i] = dk[k]
@@ -174,3 +183,35 @@ def test_mstamp_sharded_matches_single_device():
     np.testing.assert_array_equal(shd.PMP, one.PMP)
     mism = shd.PMPI != one.PMPI
     assert np.array_equal(shd.PMP[mism], one.PMP[mism])
+
+
+def test_mstamp_include_dims():
+    rng = np.random.default_rng(61)
+    d, n, m = 4, 200, 16
+    T = np.cumsum(rng.standard_normal((d, n)), axis=1)
+    prof = compute_multidim_profile(T, include=[2], config=MatrixProfileConfig(
+        m=m, dtype="float64", band=32, chunk=64))
+    P, I = mstamp_oracle(T, m, include=(2,))
+    assert_multiprofile_close(prof, P, I, 1e-8)
+    # include=all dims == unconstrained with a fixed front group
+    with pytest.raises(ValueError, match="out of range"):
+        compute_multidim_profile(T, include=[5], config=MatrixProfileConfig(
+            m=m, dtype="float64", band=32, chunk=64))
+
+
+def test_mstamp_discords_mode():
+    from mpx.mstamp import multidim_discord
+
+    rng = np.random.default_rng(67)
+    d, n, m = 3, 220, 16
+    T = np.cumsum(rng.standard_normal((d, n)), axis=1)
+    # plant an anomaly across all dims
+    T[:, 110 : 110 + m] += rng.standard_normal((d, m)) * 12
+    prof = compute_multidim_profile(T, discords=True,
+                                    config=MatrixProfileConfig(
+                                        m=m, dtype="float64",
+                                        band=32, chunk=64))
+    P, I = mstamp_oracle(T, m, discords=True)
+    assert_multiprofile_close(prof, P, I, 1e-8)
+    i, dist = multidim_discord(prof, k=d)
+    assert abs(i - 110) < m  # the planted anomaly is the top discord
