@@ -571,10 +571,16 @@ def suite_table(results: list) -> str:
         "|---|---|---|---|---|---|---|",
     ]
     for r in results:
+        if "append_ms" in r:  # streaming tier: per-append latency
+            wall = f"{r['append_ms']:.0f} ms/append"
+            vs = "(incremental tier)"
+        else:
+            wall = f"{r['wall_s']:.2f}"
+            vs = f"{r['vs_baseline']:.2f}x"
         lines.append(
             f"| {r['name']} | {r['n']:,} | {r['m']} | {r['dtype']} "
-            f"| {r['wall_s']:.2f} | {r['pairs_per_sec']:.3e} "
-            f"| {r['vs_baseline']:.2f}x |"
+            f"| {wall} | {r['pairs_per_sec']:.3e} "
+            f"| {vs} |"
         )
     return "\n".join(lines)
 

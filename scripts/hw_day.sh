@@ -36,6 +36,7 @@ timeout 1800 python bench.py 2> "$OUT/showcase.err" | tee "$OUT/showcase.json"
 log "stage 2: suite refresh"
 timeout 5400 python scripts/refresh_suite.py 2> "$OUT/suite.err" \
     | tee "$OUT/suite_table.md"
+python scripts/sync_docs.py
 
 log "stage 3: pan bench"
 timeout 3600 python scripts/pan_bench.py 20 16 2> "$OUT/pan.err" \

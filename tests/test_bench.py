@@ -79,3 +79,25 @@ def test_sampled_row_validation_catches_corruption():
     bad_idx[123] = (bad_idx[123] + 400) % (n - m + 1)
     with pytest.raises(ValidationError):
         validate_sampled_rows(T, m, MP, bad_idx, k=2048, tol=1e-8)
+
+
+def test_suite_table_renders_artifact():
+    """suite_table must render every row shape the artifact can contain
+    (plain, streaming, topk, mstamp, pod) and sync_docs must consider
+    the committed README current."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from mpx.bench import suite_table
+
+    with open(os.path.join(repo, "BENCH_SUITE.json")) as f:
+        rows = json.load(f)
+    table = suite_table(rows)
+    assert table.count("\n") == len(rows) + 1
+    rc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "sync_docs.py"),
+         "--check"], cwd=repo).returncode
+    assert rc == 0, "README benchmark table is stale vs BENCH_SUITE.json"
