@@ -31,6 +31,7 @@ arithmetic that the TPU compiler rejects.
 from __future__ import annotations
 
 from mpx.abjoin import compute_ab_join
+from mpx.anytime import anytime_matrix_profile, approx_matrix_profile
 from mpx.analysis import (
     all_chains,
     apply_annotation_vector,
@@ -61,6 +62,8 @@ __version__ = "0.2.0"
 __all__ = [
     "MatrixProfileConfig",
     "compute_ab_join",
+    "anytime_matrix_profile",
+    "approx_matrix_profile",
     "compute_topk_profile",
     "compute_pan_profile",
     "compute_multidim_profile",

@@ -46,6 +46,10 @@ def _add_compute(sub):
     p.add_argument("--checkpoint", help="checkpoint file for resumable runs")
     p.add_argument("--left-right", action="store_true",
                    help="emit left/right profiles (<o>.left/.right .mpb/.mpib)")
+    p.add_argument("--approx", type=float, default=None, metavar="FRACTION",
+                   help="anytime tier: sweep only this fraction of the "
+                        "job grid (distances are upper bounds converging "
+                        "to exact at 1.0)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -79,6 +83,9 @@ def _cmd_compute(args) -> int:
     if args.checkpoint and args.shards:
         raise SystemExit("--checkpoint does not support --shards "
                          "(checkpointed runs execute single-device)")
+    if args.approx is not None and (args.checkpoint or args.left_right
+                                    or args.shards):
+        raise SystemExit("--approx is a single-device full-profile mode")
 
     prof = BenchmarkProfile()
     if args.left_right:
@@ -104,6 +111,13 @@ def _cmd_compute(args) -> int:
         from mpx.checkpoint import compute_with_checkpoint
 
         MP, MPI = compute_with_checkpoint(T, cfg, args.checkpoint, profile=prof)
+    elif args.approx is not None:
+        from mpx.anytime import approx_matrix_profile
+
+        MP, MPI, frac = approx_matrix_profile(T, config=cfg,
+                                              fraction=args.approx)
+        Logger.info(f"approximate profile from {frac:.0%} of the job grid "
+                    f"(upper-bound distances)")
     else:
         MP, MPI = compute_matrix_profile(T, config=cfg, profile=prof)
     if args.output:
