@@ -50,6 +50,7 @@ from mpx.mstamp import (
     multidim_discord,
     multidim_motif,
 )
+from mpx.ostinato import ostinato
 from mpx.pan import compute_pan_profile, pan_m_range
 from mpx.snippets import snippets
 from mpx.topk import compute_topk_profile
@@ -69,6 +70,7 @@ __all__ = [
     "compute_multidim_profile",
     "multidim_motif",
     "multidim_discord",
+    "ostinato",
     "pan_m_range",
     "snippets",
     "compute_matrix_profile",

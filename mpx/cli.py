@@ -463,6 +463,33 @@ def _cmd_mstamp(args) -> int:
     return 0
 
 
+def _add_ostinato(sub):
+    p = sub.add_parser(
+        "ostinato",
+        help="consensus motif across several series (one -i each)")
+    p.add_argument("-i", "--input", action="append", required=True,
+                   help="series file; repeat for each series (>= 2)")
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_ostinato(args) -> int:
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series
+    from mpx.ostinato import ostinato
+
+    Logger.verbose = args.verbose
+    series = [read_series(p) for p in args.input]
+    res = ostinato(series, config=MatrixProfileConfig(
+        m=args.m, dtype=args.dtype))
+    print(f"consensus motif: series {res.series} "
+          f"({args.input[res.series]}) @ {res.index}, "
+          f"radius {res.radius:.6f}")
+    return 0
+
+
 def _add_snippets(sub):
     p = sub.add_parser(
         "snippets", help="k most representative L-length segments"
@@ -597,6 +624,7 @@ def main(argv=None) -> int:
     _add_analyze(sub)
     _add_pan(sub)
     _add_mstamp(sub)
+    _add_ostinato(sub)
     _add_snippets(sub)
     _add_query(sub)
     sub.add_parser("datasets", help="list vendored datasets")
@@ -635,6 +663,7 @@ def main(argv=None) -> int:
             "analyze": _cmd_analyze,
             "pan": _cmd_pan,
             "mstamp": _cmd_mstamp,
+            "ostinato": _cmd_ostinato,
             "snippets": _cmd_snippets,
             "query": _cmd_query,
             "datasets": _cmd_datasets,
