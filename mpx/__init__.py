@@ -30,6 +30,7 @@ arithmetic that the TPU compiler rejects.
 
 from __future__ import annotations
 
+from mpx.aamp import compute_aamp_profile
 from mpx.abjoin import compute_ab_join
 from mpx.anytime import anytime_matrix_profile, approx_matrix_profile
 from mpx.analysis import (
@@ -63,6 +64,7 @@ __version__ = "0.2.0"
 __all__ = [
     "MatrixProfileConfig",
     "compute_ab_join",
+    "compute_aamp_profile",
     "anytime_matrix_profile",
     "approx_matrix_profile",
     "compute_topk_profile",

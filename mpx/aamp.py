@@ -1,0 +1,170 @@
+"""Non-normalized (raw Euclidean) matrix profiles — the AAMP variant.
+
+Beyond reference parity: the reference (and mpx's default tiers) use
+z-normalized distances; for signals where amplitude/offset matter (e.g.
+already-detrended or physical-unit data) the community's standard
+alternative is the raw Euclidean profile (AAMP).
+
+TPU-first: with raw windows ``W_r`` and squared norms ``ssq``,
+
+    D^2(r, c) = ssq_r + ssq_c - 2 * (W_r . W_c)
+
+so an (S x W) tile is still ONE MXU matmul of raw window panels.  The
+min-distance reduction folds into the existing max-merge machinery by
+carrying per-row aggregates ``A_row(r) = max_c (2 dot - ssq_c)`` (then
+``D^2 = ssq_r - A_row``) and symmetrically per column — same carried
+(L,) arrays, same iota-min tie rule, one lax.scan over the job grid.
+
+No variance in sight: constant windows are perfectly valid here (their
+raw distance is well-defined), so there is no degenerate-window masking
+— only bounds and the trivial-match exclusion zone.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpx.config import MatrixProfileConfig, make_job_grid
+from mpx.dtypes import AGGREGATE_INIT, canonical_dtype, needs_x64, x64_scope
+from mpx.kernels.mxu import _PRECISION
+
+_BIG_I = np.int32(2**30)
+
+
+def _window_ssq(T64: np.ndarray, m: int) -> np.ndarray:
+    """Centered-free squared window norms, float64 (two-pass blocked)."""
+    w = T64.shape[0] - m + 1
+    wins = np.lib.stride_tricks.sliding_window_view(T64, m)
+    out = np.empty(w, np.float64)
+    blk = 1 << 16
+    for o in range(0, w, blk):
+        v = wins[o : o + blk]
+        out[o : o + blk] = np.einsum("ij,ij->i", v, v)
+    return out
+
+
+def _raw_panel(Tp, o, count: int, m: int):
+    Tseg = jax.lax.dynamic_slice(Tp, (o,), (count + m - 1,))
+    return jnp.stack([Tseg[j : j + count] for j in range(m)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("S", "W", "m", "w", "excl", "dt"))
+def _run_aamp_jobs(Tp, ssq, r0s, k0s, *,
+                   S: int, W: int, m: int, w: int, excl: int, dt):
+    dtype = jnp.dtype(dt)
+    L = w + S + W
+    init = jnp.asarray(AGGREGATE_INIT, dtype)
+    vals0 = jnp.full((L,), init, dtype)
+    idxs0 = jnp.full((L,), -1, jnp.int32)
+
+    def merge(vals, idxs, new_v, new_i, o):
+        size = new_v.shape[0]
+        cur_v = jax.lax.dynamic_slice(vals, (o,), (size,))
+        cur_i = jax.lax.dynamic_slice(idxs, (o,), (size,))
+        take = new_v > cur_v
+        return (
+            jax.lax.dynamic_update_slice(
+                vals, jnp.where(take, new_v, cur_v), (o,)),
+            jax.lax.dynamic_update_slice(
+                idxs, jnp.where(take, new_i, cur_i), (o,)),
+        )
+
+    def body(carry, job):
+        rvals, ridxs, cvals, cidxs = carry
+        r0, k0 = job
+        c0 = r0 + k0
+        Wr = _raw_panel(Tp, r0, S, m)
+        Wc = _raw_panel(Tp, c0, W, m)
+        sr = jax.lax.dynamic_slice(ssq, (r0,), (S,))
+        sc = jax.lax.dynamic_slice(ssq, (c0,), (W,))
+        dot = jax.lax.dot_general(
+            Wr, Wc, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype, precision=_PRECISION,
+        )
+        rows = r0 + jnp.arange(S, dtype=jnp.int32)[:, None]
+        cols = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
+        valid = (cols - rows >= excl) & (rows <= w - 1) & (cols <= w - 1)
+
+        # row side: A(r) = max_c (2 dot - ssq_c)  ->  D^2 = ssq_r - A
+        Mr = jnp.where(valid, 2.0 * dot - sc[None, :], init)
+        row_v = jnp.max(Mr, axis=1)
+        ri = jnp.min(jnp.where(Mr == row_v[:, None], cols, _BIG_I), axis=1)
+        row_i = jnp.where(row_v > init, ri.astype(jnp.int32), jnp.int32(-1))
+        # column side: A(c) = max_r (2 dot - ssq_r)
+        Mc = jnp.where(valid, 2.0 * dot - sr[:, None], init)
+        col_v = jnp.max(Mc, axis=0)
+        ci = jnp.min(jnp.where(Mc == col_v[None, :], rows, _BIG_I), axis=0)
+        col_i = jnp.where(col_v > init, ci.astype(jnp.int32), jnp.int32(-1))
+
+        rvals, ridxs = merge(rvals, ridxs, row_v, row_i, r0)
+        cvals, cidxs = merge(cvals, cidxs, col_v, col_i, c0)
+        return (rvals, ridxs, cvals, cidxs), None
+
+    (rvals, ridxs, cvals, cidxs), _ = jax.lax.scan(
+        body, (vals0, idxs0, vals0, idxs0), (r0s, k0s))
+
+    # final row/col merge and distance conversion, all on device
+    better = cvals[:w] > rvals[:w]
+    A = jnp.where(better, cvals[:w], rvals[:w])
+    I = jnp.where(better, cidxs[:w], ridxs[:w])
+    D2 = jnp.where(A > init, ssq[:w] - A, jnp.inf)
+    return jnp.sqrt(jnp.maximum(D2, 0.0)), I
+
+
+def compute_aamp_profile(
+    T,
+    m: Optional[int] = None,
+    *,
+    config: Optional[MatrixProfileConfig] = None,
+):
+    """Raw-Euclidean (non-normalized) self-join profile of ``T``.
+
+    Returns (D, I): ``D[i]`` = the smallest raw Euclidean distance from
+    window i to any window outside the exclusion zone, ``I[i]`` its
+    index.  Same job schedule/config knobs as the z-normalized driver.
+    """
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32)
+    elif m is not None and m != config.m:
+        raise ValueError(f"m={m} conflicts with config.m={config.m}")
+    m = config.m
+    T = np.asarray(T)
+    n = T.shape[0]
+    config.validate_series(n, T)
+    if config.input_quant is not None:
+        from mpx.io.apfixed import quantize
+
+        T = quantize(np.asarray(T, np.float64), config.input_quant)
+    w = n - m + 1
+    config = config.shrink_to(w)
+    S, W = config.band, config.chunk
+    dt = canonical_dtype(config.dtype)
+
+    from mpx.ops.precompute import _padded_width
+
+    pw = _padded_width(w, S, W)
+    # Raw Euclidean distance is invariant under a global constant shift
+    # (both windows move together), so center the series in f64 BEFORE
+    # the compute-dtype cast: products become O(local deviation) instead
+    # of O(m * amplitude^2) and the f32 tier stays conditioned on long
+    # drifting series (same hazard class as kernels/common.py:seed_qt).
+    T64 = np.asarray(T, np.float64)
+    T64 = T64 - T64.mean()
+    ssq = np.zeros(pw, dt)
+    ssq[:w] = _window_ssq(T64, m).astype(dt)
+    Tp = np.zeros(pw + m - 1, dt)
+    Tp[:n] = T64.astype(dt)
+
+    grid = make_job_grid(w, S, W)
+    with x64_scope(needs_x64(dt)):
+        D, I = _run_aamp_jobs(
+            jnp.asarray(Tp), jnp.asarray(ssq),
+            jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+            S=S, W=W, m=m, w=w, excl=m // 4, dt=str(dt),
+        )
+        return np.asarray(D), np.asarray(I)

@@ -50,6 +50,9 @@ def _add_compute(sub):
                    help="anytime tier: sweep only this fraction of the "
                         "job grid (distances are upper bounds converging "
                         "to exact at 1.0)")
+    p.add_argument("--raw", action="store_true",
+                   help="non-normalized (raw Euclidean) profile — the "
+                        "AAMP variant; amplitude/offset-sensitive")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -86,6 +89,9 @@ def _cmd_compute(args) -> int:
     if args.approx is not None and (args.checkpoint or args.left_right
                                     or args.shards):
         raise SystemExit("--approx is a single-device full-profile mode")
+    if args.raw and (args.checkpoint or args.left_right or args.shards
+                     or args.approx is not None):
+        raise SystemExit("--raw is a single-device full-profile mode")
 
     prof = BenchmarkProfile()
     if args.left_right:
@@ -118,6 +124,10 @@ def _cmd_compute(args) -> int:
                                               fraction=args.approx)
         Logger.info(f"approximate profile from {frac:.0%} of the job grid "
                     f"(upper-bound distances)")
+    elif args.raw:
+        from mpx.aamp import compute_aamp_profile
+
+        MP, MPI = compute_aamp_profile(T, config=cfg)
     else:
         MP, MPI = compute_matrix_profile(T, config=cfg, profile=prof)
     if args.output:
