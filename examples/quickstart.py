@@ -68,6 +68,21 @@ mprof = mpx.compute_multidim_profile(T2, m=m)
 i, j, dist = mpx.multidim_motif(mprof, k=2)
 print(f"best 2-dimensional motif: ({i}, {j}) d={dist:.3f}")
 
+# --- 9b. anytime tier: monotone upper-bound profiles -------------------------
+cfg_small = mpx.MatrixProfileConfig(m=m, band=64, chunk=64)
+for MPa, _, frac in mpx.anytime_matrix_profile(T, config=cfg_small,
+                                               batches=3):
+    print(f"anytime @ {frac:.0%}: mean dist bound {MPa.mean():.4f}")
+
+# --- 9c. raw (non-normalized) Euclidean profile — AAMP -----------------------
+Draw, _ = mpx.compute_aamp_profile(T, m=m)
+print(f"raw-Euclidean profile: min d={Draw.min():.4f} (amplitude-sensitive)")
+
+# --- 9d. consensus motif across several series (ostinato) --------------------
+cons = mpx.ostinato([T[:400], T[300:700], T[450:]], m=m)
+print(f"consensus motif: series {cons.series} @ {cons.index} "
+      f"radius {cons.radius:.3f}")
+
 # --- 10. fixed-point input tier (the reference's ap_fixed dtypes) ------------
 cfg16 = mpx.MatrixProfileConfig(m=m, dtype="ap16")   # quantize to 2^-11 grid
 MPq, _ = mpx.compute_matrix_profile(T / np.abs(T).max() * 8, config=cfg16)
