@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpx.config import MatrixProfileConfig, make_job_grid
-from mpx.dtypes import AGGREGATE_INIT, canonical_dtype, needs_x64, x64_scope
+from mpx.dtypes import canonical_dtype, needs_x64, x64_scope
 from mpx.kernels.mxu import _PRECISION
 
 _BIG_I = np.int32(2**30)
@@ -56,26 +56,25 @@ def _raw_panel(Tp, o, count: int, m: int):
 @partial(jax.jit, static_argnames=("S", "W", "m", "w", "excl", "dt"))
 def _run_aamp_jobs(Tp, ssq, r0s, k0s, *,
                    S: int, W: int, m: int, w: int, excl: int, dt):
+    from mpx.ops.aggregates import (
+        init_aggregates,
+        merge_aggregates,
+        merge_window,
+    )
+    from mpx.types import Aggregates
+
     dtype = jnp.dtype(dt)
     L = w + S + W
-    init = jnp.asarray(AGGREGATE_INIT, dtype)
-    vals0 = jnp.full((L,), init, dtype)
-    idxs0 = jnp.full((L,), -1, jnp.int32)
-
-    def merge(vals, idxs, new_v, new_i, o):
-        size = new_v.shape[0]
-        cur_v = jax.lax.dynamic_slice(vals, (o,), (size,))
-        cur_i = jax.lax.dynamic_slice(idxs, (o,), (size,))
-        take = new_v > cur_v
-        return (
-            jax.lax.dynamic_update_slice(
-                vals, jnp.where(take, new_v, cur_v), (o,)),
-            jax.lax.dynamic_update_slice(
-                idxs, jnp.where(take, new_i, cur_i), (o,)),
-        )
+    # The aggregate floor must be -inf: raw-space values 2*dot - ssq_c
+    # are unbounded below (unlike correlations in [-1, 1]), so the
+    # z-norm tiers' -1e12 sentinel would clobber valid large-amplitude
+    # pairs.  merge_window's strict-> rule keeps dummy jobs inert.
+    init = -jnp.inf
+    rows_g = init_aggregates(L, dtype, init)
+    cols_g = init_aggregates(L, dtype, init)
 
     def body(carry, job):
-        rvals, ridxs, cvals, cidxs = carry
+        rows_g, cols_g = carry
         r0, k0 = job
         c0 = r0 + k0
         Wr = _raw_panel(Tp, r0, S, m)
@@ -91,29 +90,32 @@ def _run_aamp_jobs(Tp, ssq, r0s, k0s, *,
         valid = (cols - rows >= excl) & (rows <= w - 1) & (cols <= w - 1)
 
         # row side: A(r) = max_c (2 dot - ssq_c)  ->  D^2 = ssq_r - A
-        Mr = jnp.where(valid, 2.0 * dot - sc[None, :], init)
+        Mr = jnp.where(valid, 2.0 * dot - sc[None, :], -jnp.inf)
         row_v = jnp.max(Mr, axis=1)
         ri = jnp.min(jnp.where(Mr == row_v[:, None], cols, _BIG_I), axis=1)
-        row_i = jnp.where(row_v > init, ri.astype(jnp.int32), jnp.int32(-1))
+        row_i = jnp.where(jnp.isfinite(row_v), ri.astype(jnp.int32),
+                          jnp.int32(-1))
         # column side: A(c) = max_r (2 dot - ssq_r)
-        Mc = jnp.where(valid, 2.0 * dot - sr[:, None], init)
+        Mc = jnp.where(valid, 2.0 * dot - sr[:, None], -jnp.inf)
         col_v = jnp.max(Mc, axis=0)
         ci = jnp.min(jnp.where(Mc == col_v[None, :], rows, _BIG_I), axis=0)
-        col_i = jnp.where(col_v > init, ci.astype(jnp.int32), jnp.int32(-1))
+        col_i = jnp.where(jnp.isfinite(col_v), ci.astype(jnp.int32),
+                          jnp.int32(-1))
 
-        rvals, ridxs = merge(rvals, ridxs, row_v, row_i, r0)
-        cvals, cidxs = merge(cvals, cidxs, col_v, col_i, c0)
-        return (rvals, ridxs, cvals, cidxs), None
+        rows_g = merge_window(rows_g, Aggregates(row_v, row_i), r0)
+        cols_g = merge_window(cols_g, Aggregates(col_v, col_i), c0)
+        return (rows_g, cols_g), None
 
-    (rvals, ridxs, cvals, cidxs), _ = jax.lax.scan(
-        body, (vals0, idxs0, vals0, idxs0), (r0s, k0s))
+    (rows_g, cols_g), _ = jax.lax.scan(body, (rows_g, cols_g), (r0s, k0s))
 
     # final row/col merge and distance conversion, all on device
-    better = cvals[:w] > rvals[:w]
-    A = jnp.where(better, cvals[:w], rvals[:w])
-    I = jnp.where(better, cidxs[:w], ridxs[:w])
-    D2 = jnp.where(A > init, ssq[:w] - A, jnp.inf)
-    return jnp.sqrt(jnp.maximum(D2, 0.0)), I
+    merged = merge_aggregates(
+        Aggregates(rows_g.value[:w], rows_g.index[:w]),
+        Aggregates(cols_g.value[:w], cols_g.index[:w]),
+    )
+    D2 = jnp.where(jnp.isfinite(merged.value),
+                   ssq[:w] - merged.value, jnp.inf)
+    return jnp.sqrt(jnp.maximum(D2, 0.0)), merged.index.astype(jnp.int32)
 
 
 def compute_aamp_profile(
@@ -133,6 +135,12 @@ def compute_aamp_profile(
     elif m is not None and m != config.m:
         raise ValueError(f"m={m} conflicts with config.m={config.m}")
     m = config.m
+    if config.num_shards and config.num_shards > 1:
+        raise ValueError("the raw-distance (AAMP) tier is single-device; "
+                         "drop num_shards")
+    if config.kernel not in ("auto", "mxu"):
+        raise ValueError("the raw-distance (AAMP) tier has one kernel "
+                         "(raw-windows matmul); use kernel='auto'")
     T = np.asarray(T)
     n = T.shape[0]
     config.validate_series(n, T)

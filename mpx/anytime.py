@@ -56,6 +56,7 @@ def anytime_matrix_profile(
     batches: int = 16,
     order: str = "shuffled",
     seed: int = 0,
+    _first_jobs: Optional[int] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
     """Yield successively better (MP, MPI, fraction) approximations.
 
@@ -64,6 +65,10 @@ def anytime_matrix_profile(
     equals :func:`mpx.compute_matrix_profile` on the same schedule (the
     job set is identical — only the order differs, and max-merges are
     order-independent up to equidistant ties).
+
+    ``_first_jobs`` (internal, used by :func:`approx_matrix_profile`)
+    forces the first batch to exactly that many jobs; the remainder is
+    split over the remaining batches.
     """
     from mpx.driver import run_jobs
 
@@ -72,6 +77,10 @@ def anytime_matrix_profile(
     elif m is not None and m != config.m:
         raise ValueError(f"m={m} conflicts with config.m={config.m}")
     m = config.m
+    if config.num_shards and config.num_shards > 1:
+        raise ValueError("the anytime tier is single-device; drop "
+                         "num_shards (run the full sharded profile or "
+                         "sweep fractions per device yourself)")
     T = np.asarray(T)
     n = T.shape[0]
     config.validate_series(n, T)
@@ -93,7 +102,14 @@ def anytime_matrix_profile(
     grid = make_job_grid(w, S, W)
     perm = _job_order(grid, order, seed)
     num = perm.shape[0]
-    splits = np.array_split(perm, min(batches, num))
+    if _first_jobs is not None:
+        first = min(max(1, _first_jobs), num)
+        splits = [perm[:first]]
+        if first < num:
+            splits += list(np.array_split(
+                perm[first:], min(max(1, batches - 1), num - first)))
+    else:
+        splits = np.array_split(perm, min(batches, num))
 
     with x64_scope(needs_x64(dt)):
         stats = precompute_statistics(T, m, band=S, chunk=W, dtype=dt)
@@ -134,11 +150,24 @@ def approx_matrix_profile(
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError("fraction must be in (0, 1]")
-    # one batch sized to the requested coverage, then stop
+    # The first batch is sized to EXACTLY ceil(fraction * num_jobs) —
+    # quantizing to 1/round(1/fraction) could deliver ~2x more or less
+    # coverage than requested (e.g. 0.7 -> a full run).
+    import math
+
     gen = anytime_matrix_profile(
-        T, m, config=config, order=order, seed=seed,
-        batches=max(1, round(1.0 / fraction)),
+        T, m, config=config, order=order, seed=seed, batches=2,
+        _first_jobs=max(1, math.ceil(
+            fraction * _num_jobs(np.asarray(T).shape[0], m, config))),
     )
     MP, MPI, frac = next(gen)
     gen.close()
     return MP, MPI, frac
+
+
+def _num_jobs(n: int, m: Optional[int],
+              config: Optional[MatrixProfileConfig]) -> int:
+    cfg = config or MatrixProfileConfig(m=m if m is not None else 32)
+    w = n - cfg.m + 1
+    cfg = cfg.shrink_to(w)
+    return make_job_grid(w, cfg.band, cfg.chunk).r0.shape[0]

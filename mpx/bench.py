@@ -527,6 +527,11 @@ def run_suite(names=None, verbose: bool = False) -> list:
                 res = run_mstamp_benchmark(verbose=verbose, **kwargs)
             else:
                 res = run_benchmark(verbose=verbose, **kwargs)
+        except ValidationError:
+            # Numerically corrupt results must FAIL the suite — stale
+            # prior rows silently persisting in the published artifact
+            # would be worse than no row.
+            raise
         except Exception as e:  # noqa: BLE001 - a flaky relay row must
             # not discard every row already measured; refresh_suite
             # keeps the prior artifact row for skipped names.

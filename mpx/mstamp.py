@@ -281,7 +281,11 @@ def compute_multidim_profile(
     elif m is not None and m != config.m:
         raise ValueError(f"m={m} conflicts with config.m={config.m}")
     m = config.m
-    config.validate_series(n, T[0])
+    if config.kernel not in ("auto", "mxu"):
+        raise ValueError("mSTAMP has one kernel (batched windows matmul); "
+                         "use kernel='auto'")
+    for t in range(d):  # NaN/inf in ANY dimension poisons correlations
+        config.validate_series(n, T[t])
     if config.input_quant is not None:
         from mpx.io.apfixed import quantize
 
@@ -321,6 +325,10 @@ def multidim_motif(profile: MultiProfile, k: int) -> tuple[int, int, float]:
     """The best k-dimensional motif pair from an mSTAMP result:
     ``(i, j, distance)`` with i the argmin of the k-dim profile."""
     P, I = profile.PMP[k - 1], profile.PMPI[k - 1]
+    if not np.isfinite(P).any():
+        raise ValueError(
+            f"the k={k} profile has no valid pairs (a flat dimension "
+            "makes the all-dimensions profile +inf; see docs/numerics.md)")
     i = int(np.nanargmin(np.where(np.isfinite(P), P, np.nan)))
     return i, int(I[i]), float(P[i])
 
@@ -330,5 +338,9 @@ def multidim_discord(profile: MultiProfile, k: int) -> tuple[int, float]:
     mSTAMP result: ``(i, distance)`` with i the argmax of the k-dim
     profile (the subsequence farthest from its nearest neighbor)."""
     P = profile.PMP[k - 1]
+    if not np.isfinite(P).any():
+        raise ValueError(
+            f"the k={k} profile has no valid pairs (a flat dimension "
+            "masks pairs entirely in discord mode; see docs/numerics.md)")
     i = int(np.nanargmax(np.where(np.isfinite(P), P, np.nan)))
     return i, float(P[i])

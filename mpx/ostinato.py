@@ -28,7 +28,7 @@ class ConsensusMotif(NamedTuple):
     series: int      # which series holds the consensus motif
     index: int       # subsequence start within that series
     radius: float    # max distance to its nearest neighbor per other series
-    radii: np.ndarray  # per-series radius profiles, object-free: list below
+    radii: list      # per-series radius profiles (ragged: one array per series)
 
 
 def ostinato(
@@ -41,6 +41,10 @@ def ostinato(
     arrays, lengths may differ).  Returns the best (series, index,
     radius) plus each series' full radius profile (``radii[i][p]`` =
     radius of window p of series i; inspect it for runner-up motifs).
+
+    Cost note: each of the C(k,2) AB-joins re-stages both operands'
+    O(n) statistics; that overhead is dominated by the O(n^2) join
+    sweeps themselves, so stats are not cached across pairs.
     """
     if config is None:
         config = MatrixProfileConfig(m=m if m is not None else 32)

@@ -90,3 +90,28 @@ def test_cli_raw(tmp_path):
     np.testing.assert_allclose(D, eD, atol=1e-9)
     with pytest.raises(SystemExit):
         main(["compute", "-i", src, "-m", "24", "--raw", "--approx", "0.5"])
+
+
+def test_aamp_large_amplitude_regression():
+    # Regression: the z-norm tiers' -1e12 aggregate floor clobbered
+    # valid raw-space values 2*dot - ssq_c on large-amplitude data,
+    # yielding spurious inf/-1 profile entries.
+    rng = np.random.default_rng(127)
+    n, m = 300, 16
+    T = rng.standard_normal(n) * 1e6
+    D, I = compute_aamp_profile(T, m, config=MatrixProfileConfig(
+        m=m, dtype="float64", band=32, chunk=64))
+    assert np.isfinite(D).all() and (I >= 0).all()
+    eD, eI = aamp_oracle(T, m)
+    np.testing.assert_allclose(D, eD, rtol=1e-10)
+
+
+def test_aamp_rejects_ignored_knobs():
+    rng = np.random.default_rng(131)
+    T = rng.standard_normal(200)
+    with pytest.raises(ValueError, match="single-device"):
+        compute_aamp_profile(T, 16, config=MatrixProfileConfig(
+            m=16, num_shards=4))
+    with pytest.raises(ValueError, match="one kernel"):
+        compute_aamp_profile(T, 16, config=MatrixProfileConfig(
+            m=16, kernel="pallas"))

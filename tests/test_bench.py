@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 
 def test_bench_json_line(capsys):
     from mpx.bench import main
@@ -101,3 +103,21 @@ def test_suite_table_renders_artifact():
         [sys.executable, os.path.join(repo, "scripts", "sync_docs.py"),
          "--check"], cwd=repo).returncode
     assert rc == 0, "README benchmark table is stale vs BENCH_SUITE.json"
+
+
+def test_suite_reraises_validation_errors(monkeypatch):
+    """Relay flakiness is skippable; numeric corruption is NOT."""
+    import mpx.bench as B
+
+    def corrupt(**kw):
+        raise B.ValidationError("sampled-row validation FAILED")
+
+    monkeypatch.setattr(B, "run_benchmark", corrupt)
+    with pytest.raises(B.ValidationError):
+        B.run_suite(names=["vanilla-f32-8192"])
+
+    def flaky(**kw):
+        raise RuntimeError("remote_compile: Broken pipe")
+
+    monkeypatch.setattr(B, "run_benchmark", flaky)
+    assert B.run_suite(names=["vanilla-f32-8192"]) == []

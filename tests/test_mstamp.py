@@ -215,3 +215,31 @@ def test_mstamp_discords_mode():
     assert_multiprofile_close(prof, P, I, 1e-8)
     i, dist = multidim_discord(prof, k=d)
     assert abs(i - 110) < m  # the planted anomaly is the top discord
+
+
+def test_mstamp_validates_every_dimension():
+    # Regression: NaN in a non-zero dimension silently poisoned results
+    # instead of raising like dimension 0.
+    rng = np.random.default_rng(137)
+    T = np.cumsum(rng.standard_normal((2, 120)), axis=1)
+    T[1, 60] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        compute_multidim_profile(T, config=MatrixProfileConfig(
+            m=16, band=32, chunk=64))
+
+
+def test_motif_helpers_reject_all_inf_profile():
+    from mpx.mstamp import multidim_discord
+
+    rng = np.random.default_rng(139)
+    T = np.stack([np.cumsum(rng.standard_normal(150)), np.zeros(150)])
+    prof = compute_multidim_profile(T, config=MatrixProfileConfig(
+        m=16, dtype="float64", band=32, chunk=64))
+    with pytest.raises(ValueError, match="no valid pairs"):
+        multidim_motif(prof, k=2)
+    dprof = compute_multidim_profile(T, discords=True,
+                                     config=MatrixProfileConfig(
+                                         m=16, dtype="float64",
+                                         band=32, chunk=64))
+    with pytest.raises(ValueError, match="no valid pairs"):
+        multidim_discord(dprof, k=2)
