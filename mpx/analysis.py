@@ -229,7 +229,7 @@ class Match(NamedTuple):
     distance: float
 
 
-def mass(Q, T, method: str = "auto") -> np.ndarray:
+def mass(Q, T, method: str = "auto", normalize: bool = True) -> np.ndarray:
     """Distance profile of query ``Q`` against every window of ``T``
     (MASS: Mueen's algorithm for similarity search) — z-normalized
     Euclidean distances, float64, length ``len(T) - len(Q) + 1``.
@@ -244,6 +244,10 @@ def mass(Q, T, method: str = "auto") -> np.ndarray:
     Zero-variance handling matches the framework contract
     (mpx/ops/precompute.py): flat windows of T get distance +inf (they
     never match in z-norm space); a flat query raises.
+
+    ``normalize=False`` returns RAW Euclidean distances (the AAMP-tier
+    analog, mass_absolute): amplitude/offset-sensitive, flat windows
+    and flat queries are valid.
     """
     from mpx.ops.precompute import ZERO_VARIANCE_REL, precompute_statistics_numpy
 
@@ -259,6 +263,8 @@ def mass(Q, T, method: str = "auto") -> np.ndarray:
     if method not in ("auto", "fft", "direct"):
         raise ValueError(f"unknown method {method!r}")
     w = n - m + 1
+    if not normalize:
+        return _mass_raw(Q, T, m, n, w)
 
     s = precompute_statistics_numpy(T, m)
     mu, inv = s["mu"], s["inv"]
@@ -295,6 +301,26 @@ def mass(Q, T, method: str = "auto") -> np.ndarray:
     with np.errstate(invalid="ignore"):
         D = np.sqrt(np.maximum(2.0 * m * (1.0 - np.clip(P, -1.0, 1.0)), 0.0))
     return np.where(np.isfinite(inv), D, np.inf)
+
+
+def _mass_raw(Q, T, m, n, w):
+    """Raw (non-normalized) Euclidean distance profile — the AAMP-tier
+    analog of MASS.  Blocked sliding-window norm recurrence + BLAS dots;
+    distances are shift-sensitive, so no centering trick applies to the
+    VALUES — but the dot products are computed on globally f64-centered
+    copies purely for conditioning (D^2 = ssq_q + ssq_w - 2 dot is
+    invariant when BOTH operands shift together)."""
+    mu = float(np.concatenate([Q, T]).mean())
+    Qc, Tc = Q - mu, T - mu
+    ssq_q = float(Qc @ Qc)
+    sq = np.concatenate([[0.0], np.cumsum(Tc * Tc)])
+    ssq_w = sq[m:] - sq[:-m]
+    wins = np.lib.stride_tricks.sliding_window_view(Tc, m)
+    dot = np.empty(w, np.float64)
+    blk = 1 << 16
+    for o in range(0, w, blk):
+        dot[o : o + blk] = wins[o : o + blk] @ Qc
+    return np.sqrt(np.maximum(ssq_q + ssq_w - 2.0 * dot, 0.0))
 
 
 def match(Q, T, *, max_distance=None, max_matches: Optional[int] = None,

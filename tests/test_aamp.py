@@ -115,3 +115,21 @@ def test_aamp_rejects_ignored_knobs():
     with pytest.raises(ValueError, match="one kernel"):
         compute_aamp_profile(T, 16, config=MatrixProfileConfig(
             m=16, kernel="pallas"))
+
+
+def test_mass_raw_profile():
+    # mass(normalize=False): the AAMP analog of query search.
+    from mpx.analysis import mass
+
+    rng = np.random.default_rng(149)
+    T = np.cumsum(rng.standard_normal(800)) + 100.0
+    m = 32
+    Q = T[200 : 200 + m].copy()
+    D = mass(Q, T, normalize=False)
+    wins = np.lib.stride_tricks.sliding_window_view(T, m)
+    exact = np.sqrt(((wins - Q) ** 2).sum(axis=1))
+    np.testing.assert_allclose(D, exact, atol=1e-9 * exact.max())
+    assert D[200] < 1e-9
+    # flat query is VALID in raw space (it raises under z-norm)
+    Dflat = mass(np.full(m, 3.0), T, normalize=False)
+    assert np.isfinite(Dflat).all()
