@@ -38,14 +38,17 @@ from mpx.analysis import (
     apply_annotation_vector,
     complexity_annotation,
     corrected_arc_curve,
+    extract_regimes,
     mass,
     match,
     mpdist,
+    one_directional_cac,
     regimes,
     top_discords,
     top_motifs,
     unanchored_chain,
 )
+from mpx.floss import Floss
 from mpx.mstamp import (
     compute_multidim_profile,
     multidim_discord,
@@ -80,7 +83,10 @@ __all__ = [
     "top_motifs",
     "top_discords",
     "corrected_arc_curve",
+    "one_directional_cac",
+    "extract_regimes",
     "regimes",
+    "Floss",
     "apply_annotation_vector",
     "complexity_annotation",
     "all_chains",

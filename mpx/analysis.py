@@ -88,11 +88,51 @@ def corrected_arc_curve(MPI, m: int) -> np.ndarray:
     return cac
 
 
-def regimes(MPI, m: int, k: int = 1) -> List[int]:
-    """k regime-change locations: the k lowest CAC valleys, each
-    suppressing a 5*m zone (the FLUSS extraction rule)."""
-    cac = corrected_arc_curve(MPI, m).copy()
-    w = cac.shape[0]
+def one_directional_cac(MPI_right, m: int) -> np.ndarray:
+    """One-directional corrected arc curve (the FLOSS variant) from the
+    RIGHT profile index: every arc points from a window to its nearest
+    LATER neighbor, so the curve can be maintained over a growing /
+    sliding stream (see :class:`mpx.floss.Floss`).
+
+    The idealized (boundary-free) crossing count is asymmetric for
+    right-only arcs.  Under the null model — each source j points to a
+    uniformly random destination in (j, w-1] — the expected number of
+    arcs spanning position i is exact and cheap:
+
+        E[c_i] = sum_{j<=i} P(dst > i | src=j)
+               = (w-1-i) * (H_{w-1} - H_{w-2-i}),   H_k = sum_{t<=k} 1/t
+
+    (1 at the left edge, ~0.35*w mid-series, ~ln(w) at the right edge —
+    the skewed shape the FLOSS paper derives empirically; here computed
+    analytically so the curve is deterministic).  Windows without a
+    right neighbor (MPI_right < 0, always the trailing exclusion zone)
+    contribute no arc.  The first/last m positions are pinned to 1."""
+    MPI_right = np.asarray(MPI_right)
+    w = MPI_right.shape[0]
+    delta = np.zeros(w + 1, np.float64)
+    src = np.nonzero(MPI_right > np.arange(w))[0]
+    dst = MPI_right[src]
+    np.add.at(delta, src, 1.0)
+    np.add.at(delta, dst, -1.0)
+    crossings = np.cumsum(delta[:-1])
+    # exact harmonic-sum IAC: H[k] = sum_{t=1..k} 1/t, H[0] = 0
+    H = np.concatenate([[0.0], np.cumsum(1.0 / np.arange(1, w, dtype=np.float64))])
+    i = np.arange(w)
+    r = w - 1 - i
+    ideal = r * (H[w - 1] - H[np.maximum(r - 1, 0)])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cac = np.where(ideal > 0, crossings / ideal, 1.0)
+    cac = np.minimum(cac, 1.0)
+    edge = min(m, w // 2)
+    cac[:edge] = 1.0
+    cac[w - edge:] = 1.0
+    return cac
+
+
+def extract_regimes(cac: np.ndarray, m: int, k: int = 1) -> List[int]:
+    """k regime-change locations from a corrected arc curve: the k
+    lowest valleys, each suppressing a 5*m zone (the FLUSS rule)."""
+    cac = np.asarray(cac, np.float64).copy()
     zone = 5 * m
     out: List[int] = []
     while len(out) < k:
@@ -103,6 +143,12 @@ def regimes(MPI, m: int, k: int = 1) -> List[int]:
         lo = max(0, i - zone)
         cac[lo : i + zone + 1] = np.inf
     return out
+
+
+def regimes(MPI, m: int, k: int = 1) -> List[int]:
+    """k regime-change locations: the k lowest CAC valleys, each
+    suppressing a 5*m zone (the FLUSS extraction rule)."""
+    return extract_regimes(corrected_arc_curve(MPI, m), m, k=k)
 
 
 def apply_annotation_vector(MP, AV, mode: str = "motif") -> np.ndarray:

@@ -529,6 +529,63 @@ def _cmd_snippets(args) -> int:
     return 0
 
 
+def _add_floss(sub):
+    p = sub.add_parser(
+        "floss",
+        help="online semantic segmentation (streaming FLOSS)",
+        description="Stream a series through the FLOSS online "
+        "segmenter: the file is replayed in --step chunks against a "
+        "--window sliding window (the deployment shape for a live "
+        "feed), printing the strongest regime boundaries seen.",
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-m", type=int, required=True,
+                   help="subsequence length")
+    p.add_argument("--window", type=int, default=None,
+                   help="retained points (default: whole series)")
+    p.add_argument("--init", type=int, default=None,
+                   help="warmup points before streaming (default 4*m)")
+    p.add_argument("--step", type=int, default=256,
+                   help="points per append chunk")
+    p.add_argument("-k", type=int, default=1, help="boundaries to report")
+    p.add_argument("--threshold", type=float, default=0.45,
+                   help="only report boundaries with CAC below this")
+    p.add_argument("--dtype", default="float32")
+    return p
+
+
+def _cmd_floss(args) -> int:
+    import time
+
+    from mpx.floss import Floss
+    from mpx.io.tsb import read_series
+
+    T = read_series(args.input)
+    init = args.init if args.init else max(4 * args.m, args.m + args.m // 4)
+    if init >= T.shape[0]:
+        raise ValueError(f"--init {init} consumes the whole series ({T.shape[0]})")
+    fl = Floss(T[:init], m=args.m, window=args.window, dtype=args.dtype)
+    t0 = time.perf_counter()
+    for start in range(init, T.shape[0], args.step):
+        fl.append(T[start : start + args.step])
+    elapsed = time.perf_counter() - t0
+    streamed = T.shape[0] - init
+    cac = fl.cac()
+    print(f"streamed {streamed} points in {elapsed:.3f}s "
+          f"({streamed / max(elapsed, 1e-9):.0f} points/s), "
+          f"window [{fl.offset}, {fl.offset + fl.series.shape[0]})")
+    found = [(r, cac[r - fl.offset]) for r in fl.regimes(k=args.k)
+             if cac[r - fl.offset] < args.threshold]
+    if not found:
+        print(f"no boundary below CAC {args.threshold} "
+              f"(min {cac.min():.3f})")
+    else:
+        print("regime boundaries (position, CAC):")
+        for r, c in found:
+            print(f"  {r:8d} {c:.3f}")
+    return 0
+
+
 def _add_golden(sub):
     p = sub.add_parser("golden", help="golden MP/MPI via the numpy oracle")
     p.add_argument("-i", "--input", required=True)
@@ -636,6 +693,7 @@ def main(argv=None) -> int:
     _add_mstamp(sub)
     _add_ostinato(sub)
     _add_snippets(sub)
+    _add_floss(sub)
     _add_query(sub)
     sub.add_parser("datasets", help="list vendored datasets")
     bench_p = sub.add_parser("bench", help="run the benchmark harness")
@@ -675,6 +733,7 @@ def main(argv=None) -> int:
             "mstamp": _cmd_mstamp,
             "ostinato": _cmd_ostinato,
             "snippets": _cmd_snippets,
+            "floss": _cmd_floss,
             "query": _cmd_query,
             "datasets": _cmd_datasets,
             "bench": _cmd_bench,

@@ -42,10 +42,10 @@ def _bucket(k: int) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("m", "excl", "S", "cap"))
+@partial(jax.jit, static_argnames=("m", "excl", "S", "cap", "right"))
 def _append_step(
     T_dev, mu_dev, inv_dev, val_dev, idx_dev,
-    new_T, new_mu, new_inv, r_off, w, *, m, excl, S, cap
+    new_T, new_mu, new_inv, r_off, w, *, m, excl, S, cap, right=False
 ):
     """One device-resident append: write the new tail, sweep the S_pad
     new rows against all ``cap`` columns (true extents masked via the
@@ -86,14 +86,24 @@ def _append_step(
     )
     rows = r_off + rows_l[:, None]
     cols = cols_g[None, :]
-    valid = (jnp.abs(cols - rows) >= excl) & fin_a[:, None] & fin_b[None, :]
-    Pm = jnp.where(valid, P, init_v)
+    fin = fin_a[:, None] & fin_b[None, :]
+    if right:
+        # one-directional (FLOSS) state: a new row's own neighbors lie
+        # to its RIGHT (cols - rows >= excl), while it can only improve
+        # columns to its LEFT (rows - cols >= excl) — two masked views
+        # of the same panel instead of the symmetric |cols - rows| one
+        valid_row = ((cols - rows) >= excl) & fin
+        valid_col = ((rows - cols) >= excl) & fin
+    else:
+        valid_row = valid_col = (jnp.abs(cols - rows) >= excl) & fin
+    Pr = jnp.where(valid_row, P, init_v)
+    Pc = jnp.where(valid_col, P, init_v)
 
     big = np.int32(2**30)
-    rv = jnp.max(Pm, axis=1)
-    ri = jnp.min(jnp.where(Pm == rv[:, None], cols, big), axis=1).astype(jnp.int32)
-    cv = jnp.max(Pm, axis=0)
-    ci = jnp.min(jnp.where(Pm == cv[None, :], rows, big), axis=0).astype(jnp.int32)
+    rv = jnp.max(Pr, axis=1)
+    ri = jnp.min(jnp.where(Pr == rv[:, None], cols, big), axis=1).astype(jnp.int32)
+    cv = jnp.max(Pc, axis=0)
+    ci = jnp.min(jnp.where(Pc == cv[None, :], rows, big), axis=0).astype(jnp.int32)
 
     # New rows own their aggregate slots; columns max-merge globally.
     ri = jnp.where(rv > init_v, ri, jnp.int32(INDEX_INIT))
@@ -113,15 +123,21 @@ class StreamingMatrixProfile:
     >>> MP, MPI = smp.profile()
     """
 
-    def __init__(self, T, m: int, dtype: str = "float32"):
+    def __init__(self, T, m: int, dtype: str = "float32",
+                 mode: str = "full"):
         from mpx.ops.precompute import precompute_statistics_numpy
 
+        if mode not in ("full", "right"):
+            raise ValueError("mode must be 'full' or 'right'")
         self.m = m
+        self.mode = mode
         self.dtype = canonical_dtype(dtype)
         self._T = np.asarray(T, np.float64).copy()
         if self._T.shape[0] < m + m // 4:
             raise ValueError("initial series too short for a self-join")
         self._excl = m // 4
+        # stream position of self._T[0] / window 0 (advanced by trim_head)
+        self.offset = 0
         s = precompute_statistics_numpy(self._T, m)
         self._mu = s["mu"]
         self._inv = s["inv"]
@@ -166,7 +182,13 @@ class StreamingMatrixProfile:
             # the streaming state is device-resident; stay on the strict
             # device kernels (the hybrid tier returns host arrays)
             cfg = MatrixProfileConfig(m=self.m, dtype="float64", kernel="mxu")
-        MP, MPI = compute_matrix_profile(self._T, config=cfg)
+        if self.mode == "right":
+            _, _, MPr, MPIr = compute_matrix_profile(
+                self._T, config=cfg, left_right=True
+            )
+            MP, MPI = MPr, MPIr
+        else:
+            MP, MPI = compute_matrix_profile(self._T, config=cfg)
         d = np.asarray(MP, np.float64)
         idx = np.asarray(MPI, np.int32)
         # Convert distances back to Pearson space for merging:
@@ -265,9 +287,44 @@ class StreamingMatrixProfile:
                 jnp.asarray(new_T), jnp.asarray(new_mu), jnp.asarray(new_inv),
                 jnp.int32(r_off), jnp.int32(w),
                 m=m, excl=self._excl, S=S, cap=self._cap,
+                right=(self.mode == "right"),
             )
         (self._T_dev, self._mu_dev, self._inv_dev,
          self._val_dev, self._idx_dev) = out
+
+    def trim_head(self, drop: int):
+        """Drop the ``drop`` oldest points (= the ``drop`` oldest
+        windows) and rebase the state — the sliding-window egress step.
+
+        Only valid in ``mode='right'``: right arcs point from older to
+        newer windows, so discarding the head can never orphan a
+        surviving window's neighbor (the bidirectional profile has no
+        such property — an old window may BE a survivor's nearest
+        neighbor, so trimming it would require a recompute).  Costs one
+        O(n - drop) device restage; callers amortize by trimming with
+        slack (see :class:`mpx.floss.Floss`).  ``self.offset`` keeps
+        absolute stream positions recoverable."""
+        if self.mode != "right":
+            raise ValueError(
+                "trim_head requires mode='right' (bidirectional arcs may "
+                "point at the discarded head)"
+            )
+        if drop <= 0:
+            return
+        w = self._w
+        if self._T.shape[0] - drop < self.m + self._excl:
+            raise ValueError(
+                f"trim_head({drop}) would leave fewer than m + m//4 = "
+                f"{self.m + self._excl} points of the current {self._T.shape[0]}"
+            )
+        val = np.asarray(self._val_dev[drop:w])
+        idx = np.asarray(self._idx_dev[drop:w]).astype(np.int64)
+        idx = np.where(idx >= 0, idx - drop, idx).astype(np.int32)
+        self._T = self._T[drop:]
+        self._mu = self._mu[drop:]
+        self._inv = self._inv[drop:]
+        self.offset += drop
+        self._init_device_state(val, idx)
 
     def profile(self):
         """Current (MP, MPI) as numpy arrays (reference distance units)."""
