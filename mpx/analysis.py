@@ -68,17 +68,22 @@ def corrected_arc_curve(MPI, m: int) -> np.ndarray:
     to 1 (edge arcs are structurally sparse there)."""
     MPI = np.asarray(MPI)
     w = MPI.shape[0]
-    delta = np.zeros(w + 1, np.float64)
-    valid = MPI >= 0
-    src = np.nonzero(valid)[0]
+    src = np.nonzero(MPI >= 0)[0]
     dst = MPI[src]
-    lo = np.minimum(src, dst)
-    hi = np.maximum(src, dst)
+    i = np.arange(w, dtype=np.float64)
+    ideal = 2.0 * i * (w - i) / w
+    return _arc_curve(np.minimum(src, dst), np.maximum(src, dst),
+                      ideal, m, w)
+
+
+def _arc_curve(lo, hi, ideal, m: int, w: int) -> np.ndarray:
+    """Shared CAC scaffolding: count arcs [lo, hi) spanning each position
+    with a +1/-1 delta sweep, normalize by the null-model ``ideal``
+    curve, cap at 1, and pin the first/last min(m, w//2) positions."""
+    delta = np.zeros(w + 1, np.float64)
     np.add.at(delta, lo, 1.0)
     np.add.at(delta, hi, -1.0)
     crossings = np.cumsum(delta[:-1])
-    i = np.arange(w, dtype=np.float64)
-    ideal = 2.0 * i * (w - i) / w
     with np.errstate(divide="ignore", invalid="ignore"):
         cac = np.where(ideal > 0, crossings / ideal, 1.0)
     cac = np.minimum(cac, 1.0)
@@ -109,24 +114,13 @@ def one_directional_cac(MPI_right, m: int) -> np.ndarray:
     contribute no arc.  The first/last m positions are pinned to 1."""
     MPI_right = np.asarray(MPI_right)
     w = MPI_right.shape[0]
-    delta = np.zeros(w + 1, np.float64)
     src = np.nonzero(MPI_right > np.arange(w))[0]
     dst = MPI_right[src]
-    np.add.at(delta, src, 1.0)
-    np.add.at(delta, dst, -1.0)
-    crossings = np.cumsum(delta[:-1])
     # exact harmonic-sum IAC: H[k] = sum_{t=1..k} 1/t, H[0] = 0
     H = np.concatenate([[0.0], np.cumsum(1.0 / np.arange(1, w, dtype=np.float64))])
-    i = np.arange(w)
-    r = w - 1 - i
+    r = w - 1 - np.arange(w)
     ideal = r * (H[w - 1] - H[np.maximum(r - 1, 0)])
-    with np.errstate(divide="ignore", invalid="ignore"):
-        cac = np.where(ideal > 0, crossings / ideal, 1.0)
-    cac = np.minimum(cac, 1.0)
-    edge = min(m, w // 2)
-    cac[:edge] = 1.0
-    cac[w - edge:] = 1.0
-    return cac
+    return _arc_curve(src, dst, ideal, m, w)
 
 
 def extract_regimes(cac: np.ndarray, m: int, k: int = 1) -> List[int]:

@@ -560,11 +560,21 @@ def _cmd_floss(args) -> int:
     from mpx.floss import Floss
     from mpx.io.tsb import read_series
 
+    if args.step < 1:
+        raise ValueError(f"--step must be >= 1 (got {args.step})")
     T = read_series(args.input)
-    init = args.init if args.init else max(4 * args.m, args.m + args.m // 4)
+    init = args.init if args.init is not None else 4 * args.m
+    if init < args.m + args.m // 4:
+        raise ValueError(
+            f"--init {init} < m + m//4 = {args.m + args.m // 4} "
+            "(too short for a self-join warmup)"
+        )
     if init >= T.shape[0]:
         raise ValueError(f"--init {init} consumes the whole series ({T.shape[0]})")
-    fl = Floss(T[:init], m=args.m, window=args.window, dtype=args.dtype)
+    # default window = the WHOLE series (Floss itself defaults to the
+    # warmup length, which would retain only a tail sliver here)
+    window = args.window if args.window is not None else T.shape[0]
+    fl = Floss(T[:init], m=args.m, window=window, dtype=args.dtype)
     t0 = time.perf_counter()
     for start in range(init, T.shape[0], args.step):
         fl.append(T[start : start + args.step])
@@ -574,8 +584,13 @@ def _cmd_floss(args) -> int:
     print(f"streamed {streamed} points in {elapsed:.3f}s "
           f"({streamed / max(elapsed, 1e-9):.0f} points/s), "
           f"window [{fl.offset}, {fl.offset + fl.series.shape[0]})")
-    found = [(r, cac[r - fl.offset]) for r in fl.regimes(k=args.k)
-             if cac[r - fl.offset] < args.threshold]
+    from mpx.analysis import extract_regimes
+
+    # reuse the curve already fetched above (fl.regimes() would refetch
+    # the device profile and re-sweep the CAC)
+    found = [(fl.offset + r, cac[r])
+             for r in extract_regimes(cac, args.m, k=args.k)
+             if cac[r] < args.threshold]
     if not found:
         print(f"no boundary below CAC {args.threshold} "
               f"(min {cac.min():.3f})")

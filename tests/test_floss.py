@@ -155,6 +155,31 @@ def test_floss_sliding_window_absolute_positions():
     )
 
 
+def test_floss_cli(tmp_path, capsys):
+    from mpx.cli import main
+    from mpx.io.tsb import write_binary
+
+    T = two_regime_series(n=1200, split=600, seed=7)
+    inp = str(tmp_path / "ts.tsb")
+    write_binary(inp, T, "double")
+    # default --window must retain the WHOLE series, not the warmup
+    rc = main(["floss", "-i", inp, "-m", "32", "--step", "128",
+               "--dtype", "float64", "--threshold", "0.45"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "window [0, 1200)" in out
+    assert "regime boundaries" in out
+    pos = int(out.split("CAC):")[1].split()[0])
+    assert abs(pos - 600) <= 64
+    # argument validation (main catches ValueError -> nonzero rc)
+    assert main(["floss", "-i", inp, "-m", "32", "--step", "0"]) != 0
+    assert "--step" in capsys.readouterr().err
+    assert main(["floss", "-i", inp, "-m", "32", "--init", "0"]) != 0
+    assert "--init" in capsys.readouterr().err
+    assert main(["floss", "-i", inp, "-m", "32", "--init", "1200"]) != 0
+    assert "whole series" in capsys.readouterr().err
+
+
 def test_floss_init_longer_than_window():
     T = two_regime_series(n=1000, split=500, seed=17)
     fl = Floss(T, m=32, window=800)
