@@ -49,6 +49,7 @@ from mpx.analysis import (
     unanchored_chain,
 )
 from mpx.floss import Floss
+from mpx.cluster import cluster_series, hierarchical_cluster, mpdist_matrix
 from mpx.mstamp import (
     compute_multidim_profile,
     multidim_discord,
@@ -87,6 +88,9 @@ __all__ = [
     "extract_regimes",
     "regimes",
     "Floss",
+    "cluster_series",
+    "hierarchical_cluster",
+    "mpdist_matrix",
     "apply_annotation_vector",
     "complexity_annotation",
     "all_chains",

@@ -500,6 +500,52 @@ def _cmd_ostinato(args) -> int:
     return 0
 
 
+def _add_cluster(sub):
+    p = sub.add_parser(
+        "cluster",
+        help="cluster several series by MPdist (one -i each)",
+        description="Pairwise MPdist matrix from MXU AB-joins, then "
+        "hierarchical agglomerative clustering on the host; prints the "
+        "distance matrix, per-series labels, and each cluster's medoid.",
+    )
+    p.add_argument("-i", "--input", action="append", required=True,
+                   help="series file; repeat for each series (>= 2)")
+    p.add_argument("-m", type=int, required=True,
+                   help="subsequence length")
+    p.add_argument("-k", "--clusters", type=int, default=2)
+    p.add_argument("--linkage", default="average",
+                   choices=("single", "complete", "average"))
+    p.add_argument("--threshold", type=float, default=0.05,
+                   help="MPdist quantile threshold")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_cluster(args) -> int:
+    from mpx.cluster import cluster_series
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series
+
+    Logger.verbose = args.verbose
+    series = [read_series(p) for p in args.input]
+    res = cluster_series(
+        series, n_clusters=args.clusters, linkage=args.linkage,
+        threshold=args.threshold,
+        config=MatrixProfileConfig(m=args.m, dtype=args.dtype),
+    )
+    k = len(series)
+    print(f"MPdist matrix ({k}x{k}, m={args.m}, "
+          f"threshold={args.threshold}):")
+    for row in res.distances:
+        print("  " + " ".join(f"{d:8.4f}" for d in row))
+    for c in res.clusters:
+        names = ", ".join(args.input[i] for i in c.members)
+        print(f"cluster {c.label}: medoid {args.input[c.medoid]} "
+              f"radius {c.radius:.4f} :: {names}")
+    return 0
+
+
 def _add_snippets(sub):
     p = sub.add_parser(
         "snippets", help="k most representative L-length segments"
@@ -707,6 +753,7 @@ def main(argv=None) -> int:
     _add_pan(sub)
     _add_mstamp(sub)
     _add_ostinato(sub)
+    _add_cluster(sub)
     _add_snippets(sub)
     _add_floss(sub)
     _add_query(sub)
@@ -747,6 +794,7 @@ def main(argv=None) -> int:
             "pan": _cmd_pan,
             "mstamp": _cmd_mstamp,
             "ostinato": _cmd_ostinato,
+            "cluster": _cmd_cluster,
             "snippets": _cmd_snippets,
             "floss": _cmd_floss,
             "query": _cmd_query,
