@@ -49,6 +49,7 @@ from mpx.analysis import (
     unanchored_chain,
 )
 from mpx.floss import Floss
+from mpx.batch import compute_batch_profiles
 from mpx.cluster import cluster_series, hierarchical_cluster, mpdist_matrix
 from mpx.mstamp import (
     compute_multidim_profile,
@@ -89,6 +90,7 @@ __all__ = [
     "regimes",
     "Floss",
     "cluster_series",
+    "compute_batch_profiles",
     "hierarchical_cluster",
     "mpdist_matrix",
     "apply_annotation_vector",

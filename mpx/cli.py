@@ -500,6 +500,62 @@ def _cmd_ostinato(args) -> int:
     return 0
 
 
+def _add_batch(sub):
+    p = sub.add_parser(
+        "batch",
+        help="profiles for a fleet of equal-length series (one -i each)",
+        description="Batched small-series tier: one vmapped fused "
+        "dispatch per group computes every series' profile; writes "
+        "<out>.<stem>.mpb/.mpib per input.",
+    )
+    p.add_argument("-i", "--input", action="append", required=True,
+                   help="series file; repeat for each series (>= 1)")
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("-o", "--output",
+                   help="output prefix (default: print per-series minima)")
+    p.add_argument("--group", type=int, default=None,
+                   help="series per dispatch (default: auto-sized)")
+    p.add_argument("--shards", type=int, default=None, help="device count")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_batch(args) -> int:
+    from mpx.batch import compute_batch_profiles
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series, write_results
+
+    Logger.verbose = args.verbose
+    series = [read_series(p) for p in args.input]
+    lengths = {s.shape[0] for s in series}
+    if len(lengths) != 1:
+        raise ValueError(
+            f"batch requires equal-length series, got lengths "
+            f"{sorted(lengths)}"
+        )
+    cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype,
+                              num_shards=args.shards)
+    MP, MPI = compute_batch_profiles(
+        np.stack(series), config=cfg, group=args.group
+    )
+    if args.output:
+        for b, path in enumerate(args.input):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            mpb, mpib = write_results(
+                f"{args.output}.{stem}", MP[b], MPI[b]
+            )
+            Logger.verbose_log(f"wrote {mpb}, {mpib}")
+        print(f"wrote {len(args.input)} profile pairs to "
+              f"{args.output}.*.mpb/.mpib")
+    else:
+        print("series  min-dist  @motif-pair")
+        for b, path in enumerate(args.input):
+            i = int(MP[b].argmin())
+            print(f"  {path}: {MP[b][i]:.6f} @ ({i}, {MPI[b][i]})")
+    return 0
+
+
 def _add_cluster(sub):
     p = sub.add_parser(
         "cluster",
@@ -754,6 +810,7 @@ def main(argv=None) -> int:
     _add_mstamp(sub)
     _add_ostinato(sub)
     _add_cluster(sub)
+    _add_batch(sub)
     _add_snippets(sub)
     _add_floss(sub)
     _add_query(sub)
@@ -795,6 +852,7 @@ def main(argv=None) -> int:
             "mstamp": _cmd_mstamp,
             "ostinato": _cmd_ostinato,
             "cluster": _cmd_cluster,
+            "batch": _cmd_batch,
             "snippets": _cmd_snippets,
             "floss": _cmd_floss,
             "query": _cmd_query,
