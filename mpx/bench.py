@@ -278,6 +278,14 @@ SUITE = [
         "dtype": "float32", "band": 2048, "chunk": 4096,
     },
     {
+        # fleet tier: 256 small series per vmapped fused dispatch group
+        # (the small-problem regime batched the TPU way; contrast
+        # series_ms with the single-series fused dispatch latency)
+        "name": "batch-f32-256x8192",
+        "batch": True, "n": 8192, "m": 64, "b": 256,
+        "dtype": "float32", "band": 1024, "chunk": 1024,
+    },
+    {
         # BASELINE item 5, executed: the 16M-point pod-scale workload on
         # ONE chip (1.4e14 pairs, ~50 min).  kernel=mxu pinned: the O(n)
         # aggregate state streams 2.1M jobs through grouped dispatches,
@@ -500,6 +508,60 @@ def run_mstamp_benchmark(n: int, m: int, d: int, dtype: str = "float32",
     }
 
 
+def run_batch_benchmark(n: int, m: int, b: int, dtype: str = "float32",
+                        band: int = 1024, chunk: int = 1024,
+                        seed: int = 0, validate: int = 4,
+                        verbose: bool = False):
+    """Fleet tier benchmark: B equal-length series through the vmapped
+    fused path (mpx/batch.py).  Metric = total pairs/s across the fleet;
+    ``series_ms`` is the amortized per-series wall to contrast with the
+    single-series fused dispatch latency.  Validation: ``validate``
+    sampled series spot-checked row-wise against the exact f64 oracle."""
+    import time
+
+    from mpx import MatrixProfileConfig
+    from mpx.batch import compute_batch_profiles
+    from mpx.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(seed)
+    batch = np.cumsum(rng.standard_normal((b, n)), axis=1)
+    w = n - m + 1
+    pairs = b * w * (w - 1) / 2
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=band, chunk=chunk)
+
+    MP, MPI = compute_batch_profiles(batch, config=cfg)  # warmup/compile
+    t0 = time.time()
+    MP, MPI = compute_batch_profiles(batch, config=cfg)
+    wall = time.time() - t0
+
+    val = None
+    if validate:
+        tol = 1e-8 if dtype in ("double", "float64") else 2e-3
+        picks = np.random.default_rng(seed + 1).choice(
+            b, size=min(validate, b), replace=False)
+        worst = 0.0
+        for s in picks:
+            v = validate_sampled_rows(batch[s], m, MP[s], MPI[s], k=16,
+                                      seed=seed + 2, tol=tol)
+            worst = max(worst, v["max_abs_err"])
+        val = {"series": int(picks.size), "rows_each": 16,
+               "max_abs_err": worst, "tol": tol}
+        if verbose:
+            print(f"# validated {picks.size} fleet series: "
+                  f"max err {worst:.2e}", file=sys.stderr)
+
+    return {
+        "validation": val,
+        "n": n, "m": m, "b": b, "dtype": dtype,
+        "pairs": pairs,
+        "wall_s": wall,
+        "series_ms": wall / b * 1e3,
+        "pairs_per_sec": pairs / wall,
+        "mp_head": np.asarray(MP[0, :4], np.float64).tolist(),
+    }
+
+
 def run_suite(names=None, verbose: bool = False) -> list:
     """Run the benchmark suite; returns a list of result dicts (one per
     config) each including vs_baseline against the U250 roofline."""
@@ -511,7 +573,7 @@ def run_suite(names=None, verbose: bool = False) -> list:
             continue  # hour-scale rows run only when named via --only
         kwargs = {k: v for k, v in cfg.items()
                   if k not in ("name", "input", "streaming", "huge",
-                               "topk", "mstamp")}
+                               "topk", "mstamp", "batch")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 
@@ -525,6 +587,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
                 res = run_topk_benchmark(verbose=verbose, **kwargs)
             elif cfg.get("mstamp"):
                 res = run_mstamp_benchmark(verbose=verbose, **kwargs)
+            elif cfg.get("batch"):
+                res = run_batch_benchmark(verbose=verbose, **kwargs)
             else:
                 res = run_benchmark(verbose=verbose, **kwargs)
         except ValidationError:

@@ -38,6 +38,18 @@ def test_bench_suite_smoke(capsys, tmp_path):
     assert json.load(open(out)) == results
 
 
+def test_batch_benchmark_smoke():
+    """The fleet row's harness validates and reports total + per-series
+    throughput (tiny shapes here; the suite row is 256x8192)."""
+    from mpx.bench import run_batch_benchmark
+
+    r = run_batch_benchmark(n=512, m=16, b=6, band=128, chunk=128,
+                            validate=2)
+    assert r["pairs_per_sec"] > 0 and r["series_ms"] > 0
+    assert r["validation"]["series"] == 2
+    assert r["validation"]["max_abs_err"] <= r["validation"]["tol"]
+
+
 def test_suite_covers_baseline_configs():
     """Every BASELINE.md:37-39 tier is represented."""
     from mpx.bench import SUITE
