@@ -53,9 +53,13 @@ def compute_batch_profiles(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Self-join profiles of a (B, n) batch of equal-length series.
 
-    Returns ``(MP, MPI)`` with shape (B, n - m + 1): row b is exactly
-    ``compute_matrix_profile(batch[b])`` through the same fused kernel
-    tier (one dispatch per group instead of one-plus per series).
+    Returns ``(MP, MPI)`` with shape (B, n - m + 1): row b equals
+    ``compute_matrix_profile(batch[b])`` through the same fused one-pass
+    kernel tier (one dispatch per group instead of one-plus per
+    series).  Note the fleet always uses the one-pass kernels: dtypes
+    the per-series path routes to the multi-dispatch hybrid tier
+    (float64, large-w float32) agree within the dtype tolerance, not
+    bit-for-bit.
 
     ``group`` bounds series per dispatch (default: auto-sized from the
     kernel tier's measured rate so one dispatch stays under the relay
@@ -73,13 +77,13 @@ def compute_batch_profiles(
     m = config.m
 
     batch = np.asarray(batch, np.float64)
-    if batch.ndim != 2:
+    if batch.ndim != 2 or batch.shape[0] < 1:
         raise ValueError(
-            f"batch must be 2-D (B, n) of equal-length series, got "
+            f"batch must be 2-D (B >= 1, n) of equal-length series, got "
             f"shape {batch.shape}; pad or truncate ragged fleets first"
         )
     B, n = batch.shape
-    config.validate_series(n, batch[0])
+    config.validate_series(n, batch)  # finiteness check covers every row
     if config.input_quant is not None:
         from mpx.io.apfixed import quantize
 
@@ -90,6 +94,12 @@ def compute_batch_profiles(
     dt = canonical_dtype(config.dtype)
     # one fused dispatch per group: the hybrid tier (multi-dispatch,
     # host rescore) cannot batch — route its dtypes to one-pass kernels
+    if config.kernel == "hybrid":
+        raise ValueError(
+            "kernel='hybrid' cannot batch (it is a multi-dispatch tier "
+            "ending in a host rescore); use kernel='auto' — the fleet "
+            "runs the one-pass kernels at full dtype accuracy"
+        )
     kernel = resolve_kernel(config.kernel, dt, m, allow_hybrid=False, w=w)
 
     cap = (SMALL_FUSED_MAX_W_F64 if dt == np.dtype(np.float64)
@@ -115,6 +125,13 @@ def compute_batch_profiles(
         group = max(1, int(rate * 60 * shards) // per_series)
     if group < 1:
         raise ValueError("group must be >= 1")
+    # the vmapped group materializes group-many per-series working sets
+    # at once — bound the dominant one (the windows matrix when used,
+    # else the sweep panel) by the same budget the per-series path uses
+    per_series_bytes = max(
+        pw * m * dt.itemsize if use_windows else 0, S * W * dt.itemsize
+    )
+    group = max(1, min(group, WINDOWS_BUDGET // per_series_bytes))
     group = min(group, B)
     # pad the group to the mesh so the batch axis splits evenly
     group = ((group + shards - 1) // shards) * shards

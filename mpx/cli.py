@@ -540,8 +540,14 @@ def _cmd_batch(args) -> int:
         np.stack(series), config=cfg, group=args.group
     )
     if args.output:
-        for b, path in enumerate(args.input):
-            stem = os.path.splitext(os.path.basename(path))[0]
+        stems = [os.path.splitext(os.path.basename(p))[0]
+                 for p in args.input]
+        # same-named inputs from different directories must not
+        # overwrite each other's outputs — disambiguate with the index
+        dup = {s for s in stems if stems.count(s) > 1}
+        stems = [f"{s}.{b}" if s in dup else s
+                 for b, s in enumerate(stems)]
+        for b, stem in enumerate(stems):
             mpb, mpib = write_results(
                 f"{args.output}.{stem}", MP[b], MPI[b]
             )

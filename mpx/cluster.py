@@ -26,7 +26,6 @@ from typing import List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
-from mpx.analysis import mpdist_from_profiles
 from mpx.config import MatrixProfileConfig
 
 
@@ -44,7 +43,7 @@ def mpdist_matrix(
         config = MatrixProfileConfig(m=m if m is not None else 32)
     elif m is not None and m != config.m:
         raise ValueError(f"m={m} conflicts with config.m={config.m}")
-    from mpx.abjoin import compute_ab_join
+    from mpx.analysis import mpdist
 
     k = len(series)
     if k < 2:
@@ -53,13 +52,10 @@ def mpdist_matrix(
     D = np.zeros((k, k), np.float64)
     for i in range(k):
         for j in range(i + 1, k):
-            res = compute_ab_join(series[i], series[j], config=config)
-            d = mpdist_from_profiles(
-                res.mp_a, res.mp_b,
-                series[i].shape[0], series[j].shape[0],
-                threshold=threshold,
+            D[i, j] = D[j, i] = mpdist(
+                series[i], series[j], config.m,
+                threshold=threshold, config=config,
             )
-            D[i, j] = D[j, i] = d
     return D
 
 

@@ -43,7 +43,7 @@ def test_batch_group_invariance():
         np.testing.assert_array_equal(got[1], base[1])
 
 
-def test_batch_sharded_matches_single(eight_cpu_devices=None):
+def test_batch_sharded_matches_single():
     import jax
 
     if len(jax.devices()) < 4:
@@ -65,6 +65,15 @@ def test_batch_validation():
         compute_batch_profiles(big, config=cfg)
     with pytest.raises(ValueError, match="group"):
         compute_batch_profiles(make_batch(2, 100), 8, group=0)
+    with pytest.raises(ValueError, match="2-D"):
+        compute_batch_profiles(np.empty((0, 100)), 8)
+    bad = make_batch(3, 100)
+    bad[1, 50] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        compute_batch_profiles(bad, 8)
+    with pytest.raises(ValueError, match="cannot batch"):
+        cfg = MatrixProfileConfig(m=8, kernel="hybrid")
+        compute_batch_profiles(make_batch(2, 100), config=cfg)
 
 
 def test_batch_cli(tmp_path, capsys):
@@ -82,6 +91,16 @@ def test_batch_cli(tmp_path, capsys):
     MPe, _ = compute_matrix_profile_reference(batch[1], 16)
     got = read_binary(str(tmp_path / "out.s1.mpb"), "double")
     np.testing.assert_allclose(got, MPe, atol=2e-3)
+    # duplicate basenames are disambiguated, not overwritten
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    dup = str(sub / "s0.tsb")
+    write_binary(dup, batch[2], "double")
+    assert main(["batch", "-m", "16", "-o", str(tmp_path / "dup"),
+                 "-i", str(tmp_path / "s0.tsb"), "-i", dup]) == 0
+    a = read_binary(str(tmp_path / "dup.s0.0.mpb"), "double")
+    b = read_binary(str(tmp_path / "dup.s0.1.mpb"), "double")
+    assert not np.array_equal(a, b)
     # unequal lengths rejected
     short = str(tmp_path / "short.tsb")
     write_binary(short, batch[0][:200], "double")
