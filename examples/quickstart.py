@@ -83,6 +83,25 @@ cons = mpx.ostinato([T[:400], T[300:700], T[450:]], m=m)
 print(f"consensus motif: series {cons.series} @ {cons.index} "
       f"radius {cons.radius:.3f}")
 
+# --- 9e. online segmentation (FLOSS): stream against a sliding window --------
+fl = mpx.Floss(T[:300], m=m, window=len(T))
+for start in range(300, len(T), 128):
+    fl.append(T[start : start + 128])
+print(f"floss: min CAC {fl.score:.3f}, boundary candidates {fl.regimes(k=1)}")
+
+# --- 9f. cluster whole series by MPdist ---------------------------------------
+rng = np.random.default_rng(0)
+walk = np.cumsum(rng.standard_normal(500)) * 0.2
+res = mpx.cluster_series([T[:500], T[200:700], walk], m=48, n_clusters=2)
+print(f"mpdist clusters: labels {res.labels.tolist()}, "
+      f"medoids {[c.medoid for c in res.clusters]}")
+
+# --- 9g. fleet of small series: all profiles in one vmapped dispatch ---------
+fleet = np.cumsum(rng.standard_normal((8, 400)), axis=1)
+MPb, MPIb = mpx.compute_batch_profiles(fleet, m=32)
+print(f"batch tier: {MPb.shape[0]} profiles, per-series min "
+      f"{MPb.min(axis=1).round(3).tolist()}")
+
 # --- 10. fixed-point input tier (the reference's ap_fixed dtypes) ------------
 cfg16 = mpx.MatrixProfileConfig(m=m, dtype="ap16")   # quantize to 2^-11 grid
 MPq, _ = mpx.compute_matrix_profile(T / np.abs(T).max() * 8, config=cfg16)
