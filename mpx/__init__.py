@@ -57,7 +57,7 @@ from mpx.mstamp import (
     multidim_motif,
 )
 from mpx.ostinato import ostinato
-from mpx.pan import compute_pan_profile, pan_m_range
+from mpx.pan import compute_pan_profile, pan_discords, pan_m_range, pan_motifs
 from mpx.snippets import snippets
 from mpx.topk import compute_topk_profile
 from mpx.config import MatrixProfileConfig
@@ -79,6 +79,8 @@ __all__ = [
     "multidim_discord",
     "ostinato",
     "pan_m_range",
+    "pan_motifs",
+    "pan_discords",
     "snippets",
     "compute_matrix_profile",
     "matrix_profile",

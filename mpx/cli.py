@@ -380,6 +380,10 @@ def _add_pan(sub):
                    choices=("auto", "fused", "exact"),
                    help="fused = all window sizes in one sweep (f32); "
                         "exact = one exact run per m")
+    p.add_argument("--motifs", type=int, default=None, metavar="K",
+                   help="also print the K best variable-length motifs")
+    p.add_argument("--discords", type=int, default=None, metavar="K",
+                   help="also print the K strongest variable-length discords")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -387,7 +391,8 @@ def _add_pan(sub):
 def _cmd_pan(args) -> int:
     from mpx.config import MatrixProfileConfig
     from mpx.io.tsb import read_series
-    from mpx.pan import compute_pan_profile, pan_m_range
+    from mpx.pan import (compute_pan_profile, pan_discords, pan_m_range,
+                         pan_motifs)
 
     Logger.verbose = args.verbose
     T = read_series(args.input)
@@ -395,6 +400,16 @@ def _cmd_pan(args) -> int:
     cfg = MatrixProfileConfig(m=int(ms[0]), dtype=args.dtype,
                               kernel=args.kernel)
     pan = compute_pan_profile(T, ms, config=cfg, method=args.method)
+    if args.motifs:
+        print("variable-length motifs (m, a, b, dist, score):")
+        for mo in pan_motifs(pan, k=args.motifs):
+            print(f"  {mo.m:6d} {mo.a:8d} {mo.b:8d} "
+                  f"{mo.distance:.4f} {mo.score:.4f}")
+    if args.discords:
+        print("variable-length discords (m, index, nn, dist, score):")
+        for di in pan_discords(pan, k=args.discords):
+            print(f"  {di.m:6d} {di.a:8d} {di.b:8d} "
+                  f"{di.distance:.4f} {di.score:.4f}")
     if args.output:
         np.savez_compressed(
             args.output + ".pan.npz", ms=pan.ms, PMP=pan.PMP, PMPI=pan.PMPI

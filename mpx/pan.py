@@ -16,7 +16,7 @@ all rows are exact.)
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -133,3 +133,70 @@ def compute_pan_profile(
         PMP[r, :wm] = np.asarray(MP, np.float64)
         PMPI[r, :wm] = np.asarray(MPI, np.int32)
     return PanProfile(ms=ms_arr, PMP=PMP, PMPI=PMPI)
+
+
+class PanMotif(NamedTuple):
+    m: int            # window size the motif was found at
+    a: int            # earlier occurrence start
+    b: int            # later occurrence start
+    distance: float   # raw z-normalized distance at that m
+    score: float      # SKIMP-normalized distance (comparable across m)
+
+
+def _suppress_span(score: np.ndarray, ms: np.ndarray, pos: int, span: int):
+    """Mask every (row, start) whose window overlaps [pos, pos+span):
+    window [s, s+m_r) overlaps iff s in (pos - m_r, pos + span)."""
+    w = score.shape[1]
+    for r in range(score.shape[0]):
+        lo = max(0, pos - int(ms[r]) + 1)
+        score[r, lo : min(w, pos + span)] = np.inf
+
+
+def pan_motifs(pan: PanProfile, k: int = 3) -> List[PanMotif]:
+    """k best VARIABLE-LENGTH motifs from a pan surface (the SKIMP
+    payoff): global minima of the cross-m normalized surface, each
+    suppressing every window — at every length — overlapping either
+    occurrence, so successive motifs are disjoint spans (possibly at
+    different window sizes)."""
+    norm = pan.normalized
+    score = np.where(np.isnan(norm), np.inf, norm)
+    out: List[PanMotif] = []
+    w = score.shape[1]
+    while len(out) < k:
+        flat = int(score.argmin())
+        r, i = divmod(flat, w)
+        if not np.isfinite(score[r, i]):
+            break
+        m_r = int(pan.ms[r])
+        j = int(pan.PMPI[r, i])
+        a, b = (i, j) if i <= j else (j, i)
+        out.append(PanMotif(m_r, a, b, float(pan.PMP[r, i]),
+                            float(norm[r, i])))
+        _suppress_span(score, pan.ms, a, m_r)
+        _suppress_span(score, pan.ms, b, m_r)
+    return out
+
+
+def pan_discords(pan: PanProfile, k: int = 3) -> List[PanMotif]:
+    """k strongest variable-length discords: maxima of the normalized
+    surface (windows far from EVERY other window at that length), with
+    the same cross-length overlap suppression.  Returned as PanMotif
+    records with ``b = PMPI`` (the nearest neighbor it is far from)."""
+    norm = pan.normalized
+    score = np.where(np.isnan(norm), -np.inf, norm)
+    out: List[PanMotif] = []
+    w = score.shape[1]
+    while len(out) < k:
+        flat = int(score.argmax())
+        r, i = divmod(flat, w)
+        if not np.isfinite(score[r, i]):
+            break
+        m_r = int(pan.ms[r])
+        out.append(PanMotif(m_r, i, int(pan.PMPI[r, i]),
+                            float(pan.PMP[r, i]), float(norm[r, i])))
+        # suppress only the discord span itself (its neighbor is not an
+        # anomaly) — mirror of the 1-D discord rule, across all lengths
+        sc = np.where(np.isneginf(score), np.inf, score)
+        _suppress_span(sc, pan.ms, i, m_r)
+        score = np.where(np.isposinf(sc), -np.inf, sc)
+    return out

@@ -147,3 +147,69 @@ def test_pan_fused_multiblock_panels():
         wm = 1600 - m + 1
         assert_profile_close(T, m, pan.PMP[r, :wm], pan.PMPI[r, :wm],
                              MPg, MPIg, eps=2e-3)
+
+
+def test_pan_motifs_variable_length():
+    """A strong motif planted at one length must be found at (about)
+    that length, and the second motif must not overlap the first."""
+    rng = np.random.default_rng(21)
+    T = rng.standard_normal(900)
+    # non-periodic pattern: a smooth random walk, so the only strong
+    # match is CROSS-occurrence (a periodic pattern would legitimately
+    # motif against itself within one occurrence)
+    pat = np.cumsum(rng.standard_normal(60))
+    pat = (pat - pat.mean()) / pat.std() * 3
+    T[100:160] += pat
+    T[500:560] += pat
+    from mpx.pan import pan_motifs
+
+    cfg = MatrixProfileConfig(m=16, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=64)
+    pan = compute_pan_profile(T, [16, 32, 56], config=cfg)
+    mos = pan_motifs(pan, k=3)
+    top = mos[0]
+    # the planted pair dominates at SOME length: both occurrences lie
+    # inside the planted spans and are phase-aligned (offset 400)
+    assert 95 <= top.a and top.a + top.m <= 165
+    assert abs((top.b - top.a) - 400) <= 4
+    # later motifs never overlap an earlier one's spans (any length)
+    spans = [(top.a, top.a + top.m), (top.b, top.b + top.m)]
+    for mo in mos[1:]:
+        for s in (mo.a, mo.b):
+            for lo, hi in spans:
+                assert s + mo.m <= lo or s >= hi
+
+
+def test_pan_discords_variable_length():
+    rng = np.random.default_rng(22)
+    T = np.sin(np.arange(900) / 7.0) + 0.05 * rng.standard_normal(900)
+    T[400:440] += np.linspace(0, 6, 40)  # one anomalous ramp
+    from mpx.pan import pan_discords
+
+    cfg = MatrixProfileConfig(m=16, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=64)
+    pan = compute_pan_profile(T, [16, 32], config=cfg)
+    dis = pan_discords(pan, k=2)
+    # strongest discord window intersects the planted anomaly
+    assert dis[0].a < 440 and dis[0].a + dis[0].m > 400
+    # second does not overlap the first
+    assert (dis[1].a + dis[1].m <= dis[0].a
+            or dis[1].a >= dis[0].a + dis[0].m)
+
+
+def test_pan_cli_motif_discord_flags(tmp_path, capsys):
+    from mpx.io.tsb import write_binary
+
+    rng = np.random.default_rng(23)
+    T = rng.standard_normal(600)
+    pat = np.sin(np.linspace(0, 3 * np.pi, 40)) * 3
+    T[50:90] += pat
+    T[300:340] += pat
+    inp = str(tmp_path / "t.tsb")
+    write_binary(inp, T, "double")
+    assert main(["pan", "-i", inp, "--m-lo", "16", "--m-hi", "36",
+                 "--count", "3", "--motifs", "1", "--discords", "1",
+                 "--method", "exact", "--dtype", "float64"]) == 0
+    out = capsys.readouterr().out
+    assert "variable-length motifs" in out
+    assert "variable-length discords" in out
