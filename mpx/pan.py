@@ -161,6 +161,7 @@ def pan_motifs(pan: PanProfile, k: int = 3) -> List[PanMotif]:
     norm = pan.normalized
     score = np.where(np.isnan(norm), np.inf, norm)
     out: List[PanMotif] = []
+    claimed: List[tuple] = []
     w = score.shape[1]
     while len(out) < k:
         flat = int(score.argmin())
@@ -169,11 +170,19 @@ def pan_motifs(pan: PanProfile, k: int = 3) -> List[PanMotif]:
             break
         m_r = int(pan.ms[r])
         j = int(pan.PMPI[r, i])
+        # the source cell is unsuppressed, but its PARTNER may still
+        # point into a claimed span (suppression masks sources only);
+        # such a candidate is part of an already-extracted pattern —
+        # drop the cell and keep scanning
+        if any(j < hi and j + m_r > lo for lo, hi in claimed):
+            score[r, i] = np.inf
+            continue
         a, b = (i, j) if i <= j else (j, i)
         out.append(PanMotif(m_r, a, b, float(pan.PMP[r, i]),
                             float(norm[r, i])))
         _suppress_span(score, pan.ms, a, m_r)
         _suppress_span(score, pan.ms, b, m_r)
+        claimed += [(a, a + m_r), (b, b + m_r)]
     return out
 
 

@@ -135,7 +135,90 @@ def round_checkpoint(rng, seed, tmpdir="/tmp/fuzz_ckpt"):
     return f"checkpoint n={n} m={m} {dtype}: ok"
 
 
-ROUNDS = [round_ring, round_mstamp, round_topk, round_checkpoint]
+def round_batch(rng, seed):
+    from mpx.batch import compute_batch_profiles
+
+    B = int(rng.integers(2, 9))
+    n = int(rng.integers(200, 700))
+    m = int(rng.integers(8, 40))
+    dtype = str(rng.choice(["float32", "float64"]))
+    shards = int(rng.choice([1, 2, 4]))
+    group = int(rng.integers(1, B + 1))
+    batch = np.cumsum(
+        np.random.default_rng(seed).standard_normal((B, n)), axis=1)
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=32, chunk=64,
+                              tile_rows=8, tile_cols=16,
+                              num_shards=shards)
+    MP, MPI = compute_batch_profiles(batch, config=cfg, group=group)
+    tol = 1e-8 if dtype == "float64" else 2e-3
+    worst = 0.0
+    for b in range(B):
+        worst = max(worst, check_profile(
+            batch[b], m, MP[b], MPI[b], tol,
+            f"batch[{b}] n={n} m={m} {dtype}"))
+    return (f"batch B={B} n={n} m={m} {dtype} shards={shards} "
+            f"group={group}: err={worst:.2e}")
+
+
+def round_floss(rng, seed):
+    from mpx.analysis import one_directional_cac
+    from mpx.floss import Floss
+
+    n = int(rng.integers(500, 1200))
+    m = int(rng.integers(8, 40))
+    window = int(rng.integers(max(300, 5 * m), n))
+    step = int(rng.integers(16, 200))
+    init = max(4 * m, m + m // 4 + 1)
+    T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
+    fl = Floss(T[:init], m=m, window=window, dtype="float64")
+    for s in range(init, n, step):
+        fl.append(T[s : s + step])
+    # oracle: batch right profile of the retained window
+    mu_w = T[fl.offset:]
+    W = np.lib.stride_tricks.sliding_window_view(mu_w, m).astype(np.float64)
+    c = W - W.mean(axis=1, keepdims=True)
+    nrm = np.sqrt((c * c).sum(axis=1, keepdims=True))
+    U = np.divide(c, nrm, out=np.zeros_like(c), where=nrm > 0)
+    P = U @ U.T
+    wlen = mu_w.shape[0] - m + 1
+    i = np.arange(wlen)
+    valid = (i[None, :] - i[:, None]) >= m // 4
+    D2 = np.where(valid, 2 * m * (1 - np.clip(P, -1, 1)), np.inf)
+    has = np.isfinite(D2).any(axis=1)
+    MPI_exp = np.where(has, D2.argmin(axis=1), -1).astype(np.int32)
+    cac_exp = one_directional_cac(MPI_exp, m)
+    err = np.abs(fl.cac() - cac_exp).max()
+    assert err < 0.05, f"floss CAC off oracle by {err}"
+    return (f"floss n={n} m={m} window={window} step={step} "
+            f"offset={fl.offset}: cac err={err:.2e}")
+
+
+def round_pan_extract(rng, seed):
+    from mpx.pan import compute_pan_profile, pan_discords, pan_motifs
+
+    n = int(rng.integers(400, 900))
+    ms = sorted(set(int(x) for x in rng.integers(8, 64, size=3)))
+    T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
+    cfg = MatrixProfileConfig(m=ms[0], dtype="float64", band=32,
+                              chunk=64, tile_rows=8, tile_cols=16)
+    pan = compute_pan_profile(T, ms, config=cfg)
+    mos = pan_motifs(pan, k=3)
+    spans = []
+    for mo in mos:
+        for s in (mo.a, mo.b):
+            for lo, hi in spans:
+                assert s + mo.m <= lo or s >= hi, "motif overlap"
+        spans += [(mo.a, mo.a + mo.m), (mo.b, mo.b + mo.m)]
+    dis = pan_discords(pan, k=2)
+    for a, b in ((0, 1),):
+        if len(dis) == 2:
+            assert (dis[b].a + dis[b].m <= dis[a].a
+                    or dis[b].a >= dis[a].a + dis[a].m), "discord overlap"
+    return f"pan-extract n={n} ms={ms}: {len(mos)} motifs {len(dis)} discords"
+
+
+ROUNDS = [round_ring, round_mstamp, round_topk, round_checkpoint,
+          round_batch, round_floss, round_pan_extract]
 
 
 def main() -> int:
