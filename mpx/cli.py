@@ -515,6 +515,27 @@ def _cmd_ostinato(args) -> int:
     return 0
 
 
+def _add_serve(sub):
+    p = sub.add_parser(
+        "serve",
+        help="persistent NDJSON request loop (stdin -> stdout)",
+        description="Serving mode: one JSON request per stdin line, one "
+        "JSON response per stdout line; compiled executables, the "
+        "persistent compile cache, and streaming/FLOSS sessions stay "
+        "warm for the process lifetime. See mpx/serve.py for the "
+        "protocol.",
+    )
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_serve(args) -> int:
+    from mpx.serve import Server
+
+    Logger.verbose = args.verbose
+    return Server().run()
+
+
 def _add_batch(sub):
     p = sub.add_parser(
         "batch",
@@ -832,6 +853,7 @@ def main(argv=None) -> int:
     _add_ostinato(sub)
     _add_cluster(sub)
     _add_batch(sub)
+    _add_serve(sub)
     _add_snippets(sub)
     _add_floss(sub)
     _add_query(sub)
@@ -874,6 +896,7 @@ def main(argv=None) -> int:
             "ostinato": _cmd_ostinato,
             "cluster": _cmd_cluster,
             "batch": _cmd_batch,
+            "serve": _cmd_serve,
             "snippets": _cmd_snippets,
             "floss": _cmd_floss,
             "query": _cmd_query,

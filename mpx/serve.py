@@ -1,0 +1,230 @@
+"""Serving mode: a persistent NDJSON request loop.
+
+The reference is a one-shot batch binary (host/MatrixProfileHost.cpp:
+54-160: load -> one kernel sequence -> store -> exit); production use
+of a TPU framework is the opposite shape — a long-lived process that
+pays compilation once and then answers many requests against warm
+executables.  ``mpx serve`` reads one JSON request per line on stdin
+and writes one JSON response per line on stdout, so it composes with
+anything (a socket via socat/inetd, a subprocess pipe, a container
+entrypoint).  State that benefits from residency — the jit cache, the
+persistent compile cache, streaming/FLOSS sessions — lives for the
+process lifetime.
+
+Protocol (one object per line; every response carries "id" if the
+request had one, and either the result or {"error": msg}):
+
+  {"op":"ping"}                          -> {"ok":true,"devices":N}
+  {"op":"compute","series":[...],"m":64,
+   "dtype"?,"kernel"?}                   -> {"mp":[...],"mpi":[...]}
+  {"op":"batch","series":[[...],...],"m":64}
+                                         -> {"mp":[[..]],"mpi":[[..]]}
+  {"op":"motifs","series":[...],"m":64,"k"?}   -> {"motifs":[...]}
+  {"op":"discords","series":[...],"m":64,"k"?} -> {"discords":[...]}
+  {"op":"query","series":[...],"q":[...],"k"?} -> {"matches":[...]}
+  {"op":"stream.create","sid":"s1","series":[...],"m":64,
+   "mode":"full"|"floss","window"?}      -> {"ok":true}
+  {"op":"stream.append","sid":"s1","points":[...]}
+       full  -> {"n":N}
+       floss -> {"n":N,"score":c,"regimes":[...]}
+  {"op":"stream.profile","sid":"s1"}     -> {"mp":[...],"mpi":[...]}
+  {"op":"stream.drop","sid":"s1"}        -> {"ok":true}
+  {"op":"shutdown"}                      -> {"ok":true} (then exits)
+
+Malformed lines and failed requests answer {"error": ...} and the loop
+continues — a serving process must not die on one bad request.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+from mpx.config import MatrixProfileConfig
+
+
+def _cfg(req: dict) -> MatrixProfileConfig:
+    kw = {"m": int(req["m"])}
+    for key in ("dtype", "kernel", "band", "chunk"):
+        if key in req:
+            kw[key] = req[key]
+    return MatrixProfileConfig(**kw)
+
+
+class Server:
+    """Request dispatcher; one instance per process holds all warm state."""
+
+    def __init__(self):
+        self._streams: Dict[str, object] = {}
+        self._shutdown = False
+
+    # -- one-shot ops ------------------------------------------------------
+
+    def _op_ping(self, req):
+        import jax
+
+        return {"ok": True, "devices": len(jax.devices()),
+                "streams": sorted(self._streams)}
+
+    def _op_compute(self, req):
+        from mpx.driver import compute_matrix_profile
+
+        T = np.asarray(req["series"], np.float64)
+        MP, MPI = compute_matrix_profile(T, config=_cfg(req))
+        return {"mp": np.asarray(MP, np.float64).tolist(),
+                "mpi": np.asarray(MPI, np.int64).tolist()}
+
+    def _op_batch(self, req):
+        from mpx.batch import compute_batch_profiles
+
+        B = np.asarray(req["series"], np.float64)
+        MP, MPI = compute_batch_profiles(B, config=_cfg(req))
+        return {"mp": np.asarray(MP, np.float64).tolist(),
+                "mpi": np.asarray(MPI, np.int64).tolist()}
+
+    def _op_motifs(self, req):
+        from mpx.analysis import top_motifs
+        from mpx.driver import compute_matrix_profile
+
+        T = np.asarray(req["series"], np.float64)
+        m = int(req["m"])
+        MP, MPI = compute_matrix_profile(T, config=_cfg(req))
+        mos = top_motifs(np.asarray(MP), np.asarray(MPI), m,
+                         k=int(req.get("k", 3)))
+        return {"motifs": [{"a": mo.a, "b": mo.b,
+                            "distance": mo.distance} for mo in mos]}
+
+    def _op_discords(self, req):
+        from mpx.analysis import top_discords
+        from mpx.driver import compute_matrix_profile
+
+        T = np.asarray(req["series"], np.float64)
+        m = int(req["m"])
+        MP, MPI = compute_matrix_profile(T, config=_cfg(req))
+        dis = top_discords(np.asarray(MP), np.asarray(MPI), m,
+                           k=int(req.get("k", 3)))
+        return {"discords": [{"index": d.index,
+                              "distance": d.distance} for d in dis]}
+
+    def _op_query(self, req):
+        from mpx.analysis import match
+
+        hits = match(np.asarray(req["q"], np.float64),
+                     np.asarray(req["series"], np.float64),
+                     max_matches=int(req.get("k", 3)),
+                     max_distance=req.get("max_distance"))
+        return {"matches": [{"index": h.index,
+                             "distance": h.distance} for h in hits]}
+
+    # -- streaming sessions --------------------------------------------------
+
+    def _op_stream_create(self, req):
+        sid = str(req["sid"])
+        if sid in self._streams:
+            raise ValueError(f"stream {sid!r} already exists")
+        mode = req.get("mode", "full")
+        T = np.asarray(req["series"], np.float64)
+        m = int(req["m"])
+        if mode == "floss":
+            from mpx.floss import Floss
+
+            self._streams[sid] = Floss(
+                T, m=m, window=req.get("window"),
+                dtype=req.get("dtype", "float32"),
+            )
+        elif mode == "full":
+            from mpx.streaming import StreamingMatrixProfile
+
+            self._streams[sid] = StreamingMatrixProfile(
+                T, m=m, dtype=req.get("dtype", "float32"))
+        else:
+            raise ValueError(f"unknown stream mode {mode!r}")
+        return {"ok": True}
+
+    def _stream(self, req):
+        sid = str(req["sid"])
+        if sid not in self._streams:
+            raise KeyError(f"no stream {sid!r}")
+        return self._streams[sid]
+
+    def _op_stream_append(self, req):
+        from mpx.floss import Floss
+
+        s = self._stream(req)
+        s.append(np.asarray(req["points"], np.float64))
+        n = s.series.shape[0] if isinstance(s, Floss) else s._T.shape[0]
+        out = {"n": int(n)}
+        if isinstance(s, Floss):
+            out["score"] = s.score
+            out["regimes"] = [int(r) for r in
+                              s.regimes(k=int(req.get("k", 1)))]
+        return out
+
+    def _op_stream_profile(self, req):
+        MP, MPI = self._stream(req).profile()
+        return {"mp": np.asarray(MP, np.float64).tolist(),
+                "mpi": np.asarray(MPI, np.int64).tolist()}
+
+    def _op_stream_drop(self, req):
+        sid = str(req["sid"])
+        if self._streams.pop(sid, None) is None:
+            raise KeyError(f"no stream {sid!r}")
+        return {"ok": True}
+
+    def _op_shutdown(self, req):
+        self._shutdown = True
+        return {"ok": True}
+
+    # -- loop ----------------------------------------------------------------
+
+    _OPS = {
+        "ping": _op_ping,
+        "compute": _op_compute,
+        "batch": _op_batch,
+        "motifs": _op_motifs,
+        "discords": _op_discords,
+        "query": _op_query,
+        "stream.create": _op_stream_create,
+        "stream.append": _op_stream_append,
+        "stream.profile": _op_stream_profile,
+        "stream.drop": _op_stream_drop,
+        "shutdown": _op_shutdown,
+    }
+
+    def handle(self, line: str) -> Optional[dict]:
+        """One request line -> one response dict (never raises)."""
+        rid = None
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+            rid = req.get("id")
+            op = self._OPS.get(req.get("op"))
+            if op is None:
+                raise ValueError(f"unknown op {req.get('op')!r}")
+            resp = op(self, req)
+        except Exception as e:  # noqa: BLE001 - the loop must survive
+            resp = {"error": f"{type(e).__name__}: {e}"}
+        if rid is not None:
+            resp["id"] = rid
+        return resp
+
+    def run(self, infile=None, outfile=None) -> int:
+        """Blocking NDJSON loop until EOF or a shutdown request."""
+        from mpx.runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        infile = infile if infile is not None else sys.stdin
+        outfile = outfile if outfile is not None else sys.stdout
+        for line in infile:
+            if not line.strip():
+                continue
+            resp = self.handle(line)
+            outfile.write(json.dumps(resp) + "\n")
+            outfile.flush()
+            if self._shutdown:
+                break
+        return 0

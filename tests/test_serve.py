@@ -1,0 +1,125 @@
+"""Serving mode (mpx/serve.py): protocol handling, warm streaming
+sessions, error resilience, and the real stdin/stdout subprocess loop."""
+
+import io
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mpx.reference import compute_matrix_profile_reference
+from mpx.serve import Server
+from tests.conftest import REPO_ROOT, random_walk
+
+
+def rpc(server, **req):
+    return server.handle(json.dumps(req))
+
+
+def test_compute_and_ping():
+    s = Server()
+    assert rpc(s, op="ping")["ok"] is True
+    T = random_walk(300, seed=1)
+    r = rpc(s, op="compute", series=T.tolist(), m=16, dtype="float64",
+            id=7)
+    assert r["id"] == 7
+    MPe, _ = compute_matrix_profile_reference(T, 16)
+    np.testing.assert_allclose(r["mp"], MPe, atol=1e-8)
+
+
+def test_batch_motifs_discords_query():
+    s = Server()
+    fleet = np.cumsum(
+        np.random.default_rng(2).standard_normal((3, 200)), axis=1)
+    r = rpc(s, op="batch", series=fleet.tolist(), m=16)
+    assert np.asarray(r["mp"]).shape == (3, 185)
+    T = random_walk(400, seed=3)
+    mo = rpc(s, op="motifs", series=T.tolist(), m=16, k=2)["motifs"]
+    assert len(mo) == 2 and mo[0]["distance"] <= mo[1]["distance"]
+    di = rpc(s, op="discords", series=T.tolist(), m=16, k=1)["discords"]
+    assert len(di) == 1
+    q = T[50:70]
+    hits = rpc(s, op="query", series=T.tolist(), q=q.tolist(),
+               k=2)["matches"]
+    assert hits[0]["index"] == 50 and hits[0]["distance"] < 1e-6
+
+
+def test_streaming_sessions():
+    s = Server()
+    T = random_walk(700, seed=4)
+    assert rpc(s, op="stream.create", sid="a", series=T[:400].tolist(),
+               m=16, dtype="float64")["ok"]
+    r = rpc(s, op="stream.append", sid="a", points=T[400:].tolist())
+    assert r["n"] == 700
+    prof = rpc(s, op="stream.profile", sid="a")
+    MPe, _ = compute_matrix_profile_reference(T, 16)
+    np.testing.assert_allclose(prof["mp"], MPe, atol=1e-8)
+    # floss session reports score + regimes on append
+    assert rpc(s, op="stream.create", sid="f", series=T[:300].tolist(),
+               m=16, mode="floss", window=700)["ok"]
+    r = rpc(s, op="stream.append", sid="f", points=T[300:].tolist())
+    assert 0.0 <= r["score"] <= 1.0 and len(r["regimes"]) == 1
+    assert rpc(s, op="stream.drop", sid="f")["ok"]
+    assert "error" in rpc(s, op="stream.profile", sid="f")
+    assert rpc(s, op="ping")["streams"] == ["a"]
+
+
+def test_error_resilience():
+    s = Server()
+    assert "error" in s.handle("this is not json")
+    assert "error" in s.handle("[1, 2, 3]")
+    assert "error" in rpc(s, op="nope")
+    assert "error" in rpc(s, op="compute", series=[1, 2], m=64)
+    # the id echoes back even on failure
+    r = rpc(s, op="nope", id="x")
+    assert r["id"] == "x" and "error" in r
+    # loop survives: a good request after the bad ones still works
+    assert rpc(s, op="ping")["ok"] is True
+
+
+def test_run_loop_in_memory():
+    T = random_walk(200, seed=5)
+    lines = [
+        json.dumps({"op": "ping", "id": 1}),
+        "garbage",
+        json.dumps({"op": "compute", "series": T.tolist(), "m": 16,
+                    "id": 2}),
+        json.dumps({"op": "shutdown", "id": 3}),
+        json.dumps({"op": "ping", "id": 4}),  # after shutdown: unread
+    ]
+    out = io.StringIO()
+    rc = Server().run(infile=io.StringIO("\n".join(lines)), outfile=out)
+    assert rc == 0
+    resp = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert [r.get("id") for r in resp] == [1, None, 2, 3]
+    assert resp[0]["ok"] and "error" in resp[1] and "mp" in resp[2]
+
+
+def test_serve_subprocess_pipe():
+    """The real `mpx serve` process over a pipe (CPU backend)."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=2")
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from mpx.cli import main; raise SystemExit(main(['serve']))")
+    T = random_walk(200, seed=6)
+    reqs = "\n".join([
+        json.dumps({"op": "ping", "id": 1}),
+        json.dumps({"op": "compute", "series": T.tolist(), "m": 16,
+                    "id": 2}),
+        json.dumps({"op": "shutdown", "id": 3}),
+    ]) + "\n"
+    proc = subprocess.run(
+        [sys.executable, "-c", code], input=reqs, env=env, cwd=REPO_ROOT,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    resp = [json.loads(ln) for ln in proc.stdout.splitlines()]
+    assert resp[0]["ok"] is True
+    MPe, _ = compute_matrix_profile_reference(T, 16)
+    np.testing.assert_allclose(resp[1]["mp"], MPe, atol=2e-3)
+    assert resp[2]["ok"] is True
