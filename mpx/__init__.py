@@ -51,6 +51,7 @@ from mpx.analysis import (
 from mpx.floss import Floss
 from mpx.batch import compute_batch_profiles
 from mpx.cluster import cluster_series, hierarchical_cluster, mpdist_matrix
+from mpx.missing import compute_matrix_profile_masked, missing_window_mask
 from mpx.mstamp import (
     compute_multidim_profile,
     multidim_discord,
@@ -93,6 +94,8 @@ __all__ = [
     "Floss",
     "cluster_series",
     "compute_batch_profiles",
+    "compute_matrix_profile_masked",
+    "missing_window_mask",
     "hierarchical_cluster",
     "mpdist_matrix",
     "apply_annotation_vector",

@@ -53,6 +53,10 @@ def _add_compute(sub):
     p.add_argument("--raw", action="store_true",
                    help="non-normalized (raw Euclidean) profile — the "
                         "AAMP variant; amplitude/offset-sensitive")
+    p.add_argument("--allow-missing", action="store_true",
+                   help="masked-gap semantics: windows overlapping a "
+                        "NaN/inf sample are excluded from both sides of "
+                        "the join (default: non-finite input is rejected)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -92,10 +96,18 @@ def _cmd_compute(args) -> int:
     if args.raw and (args.checkpoint or args.left_right or args.shards
                      or args.approx is not None):
         raise SystemExit("--raw is a single-device full-profile mode")
+    if args.allow_missing and (args.checkpoint or args.approx is not None
+                               or args.raw):
+        raise SystemExit("--allow-missing supports the plain and "
+                         "--left-right/--shards profile modes only")
 
     prof = BenchmarkProfile()
+    if args.allow_missing:
+        from mpx.missing import compute_matrix_profile_masked as _compute
+    else:
+        _compute = compute_matrix_profile
     if args.left_right:
-        mpl, mpli, mpr, mpri = compute_matrix_profile(
+        mpl, mpli, mpr, mpri = _compute(
             T, config=cfg, profile=prof, left_right=True
         )
         if args.output:
@@ -129,7 +141,7 @@ def _cmd_compute(args) -> int:
 
         MP, MPI = compute_aamp_profile(T, config=cfg)
     else:
-        MP, MPI = compute_matrix_profile(T, config=cfg, profile=prof)
+        MP, MPI = _compute(T, config=cfg, profile=prof)
     if args.output:
         mpb, mpib = write_results(args.output, np.asarray(MP), np.asarray(MPI))
         Logger.info(f"wrote {mpb}, {mpib}")
