@@ -56,6 +56,7 @@ from mpx.mstamp import (
     compute_multidim_profile,
     multidim_discord,
     multidim_motif,
+    multidim_subspace,
 )
 from mpx.ostinato import ostinato
 from mpx.pan import compute_pan_profile, pan_discords, pan_m_range, pan_motifs
@@ -77,6 +78,7 @@ __all__ = [
     "compute_pan_profile",
     "compute_multidim_profile",
     "multidim_motif",
+    "multidim_subspace",
     "multidim_discord",
     "ostinato",
     "pan_m_range",

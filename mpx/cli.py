@@ -466,6 +466,7 @@ def _cmd_mstamp(args) -> int:
         compute_multidim_profile,
         multidim_discord,
         multidim_motif,
+        multidim_subspace,
     )
 
     Logger.verbose = args.verbose
@@ -484,19 +485,23 @@ def _cmd_mstamp(args) -> int:
         Logger.info(f"wrote {args.output}.mstamp.npz "
                     f"({prof.PMP.shape[0]} x {prof.PMP.shape[1]})")
     if args.discords:
-        print("k, strongest k-dimensional discord (i, distance):")
+        print("k, strongest k-dimensional discord (i, distance, dims):")
     else:
-        print("k, best k-dimensional motif (i, j, distance):")
+        print("k, best k-dimensional motif (i, j, distance, dims):")
     for k in range(1, T.shape[0] + 1):
         if not np.isfinite(prof.PMP[k - 1]).any():
             print(f"  {k:3d} (no valid pairs)")
             continue
         if args.discords:
             i, dist = multidim_discord(prof, k)
-            print(f"  {k:3d} ({i}) d={dist:.4f}")
+            dims = multidim_subspace(T, args.m, i, int(prof.PMPI[k - 1, i]),
+                                     k, include=args.include, discords=True)
+            print(f"  {k:3d} ({i}) d={dist:.4f} dims={dims.tolist()}")
         else:
             i, j, dist = multidim_motif(prof, k)
-            print(f"  {k:3d} ({i}, {j}) d={dist:.4f}")
+            dims = multidim_subspace(T, args.m, i, j, k,
+                                     include=args.include)
+            print(f"  {k:3d} ({i}, {j}) d={dist:.4f} dims={dims.tolist()}")
     return 0
 
 

@@ -344,3 +344,51 @@ def multidim_discord(profile: MultiProfile, k: int) -> tuple[int, float]:
             "masks pairs entirely in discord mode; see docs/numerics.md)")
     i = int(np.nanargmax(np.where(np.isfinite(P), P, np.nan)))
     return i, float(P[i])
+
+
+def multidim_subspace(T, m: int, i: int, j: int, k: int,
+                      include=None, discords: bool = False) -> np.ndarray:
+    """WHICH k dimensions form the motif (or discord) pair ``(i, j)``:
+    the mSTAMP subspace — per-dimension z-norm distances between
+    subsequences ``i`` and ``j``, sorted ascending (descending for
+    discord mode), with any ``include`` dimensions pinned first; the
+    first k dimension indices are returned (the subset whose MEAN is
+    exactly the k-dim profile value at ``i``).
+
+    Host-side O(d*m): two subsequences only — no sweep.  Flat
+    (zero-variance) subsequences get +inf distance and therefore sort
+    last (first in discord mode they sort last as well — an undefined
+    correlation can never justify a subspace).
+    """
+    T = np.asarray(T, np.float64)
+    if T.ndim == 1:
+        T = T[None, :]
+    d, n = T.shape
+    if not (1 <= k <= d):
+        raise ValueError(f"k={k} out of range for d={d}")
+    for p in (i, j):
+        if not (0 <= p <= n - m):
+            raise ValueError(f"subsequence {p} out of range (w={n - m + 1})")
+    inc = tuple(sorted(int(t) for t in include)) if include else ()
+    if inc and (not all(0 <= t < d for t in inc) or len(inc) > k):
+        raise ValueError(f"include={inc} invalid for d={d}, k={k}")
+
+    dist = np.full(d, np.inf)
+    for t in range(d):
+        a, b = T[t, i : i + m], T[t, j : j + m]
+        ca, cb = a - a.mean(), b - b.mean()
+        na, nb = np.sqrt(ca @ ca), np.sqrt(cb @ cb)
+        if na > 0 and nb > 0:
+            p = np.clip((ca @ cb) / (na * nb), -1.0, 1.0)
+            dist[t] = np.sqrt(2.0 * m * (1.0 - p))
+
+    fin = np.isfinite(dist)
+    key = np.where(fin, -dist if discords else dist, np.inf)
+    order = np.argsort(key, kind="stable")
+    if inc:
+        # mirror _order_dims: include dims first (sorted internally),
+        # then the rest
+        inc_sorted = sorted(inc, key=lambda t: key[t])
+        rest = [t for t in order if t not in set(inc)]
+        order = np.asarray(inc_sorted + rest)
+    return order[:k].astype(np.int64)

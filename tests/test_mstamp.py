@@ -243,3 +243,41 @@ def test_motif_helpers_reject_all_inf_profile():
                                          band=32, chunk=64))
     with pytest.raises(ValueError, match="no valid pairs"):
         multidim_discord(dprof, k=2)
+
+
+def test_multidim_subspace():
+    """The returned k-subset's mean per-dim distance equals the k-dim
+    profile value at the motif, and planted dimensions are recovered."""
+    from mpx.mstamp import multidim_subspace
+
+    rng = np.random.default_rng(41)
+    d, n, m = 4, 500, 32
+    T = rng.standard_normal((d, n))
+    pat = np.cumsum(rng.standard_normal(m))
+    pat = (pat - pat.mean()) / pat.std() * 3
+    # plant the motif in dims 1 and 3 only
+    for t in (1, 3):
+        T[t, 50:50 + m] += pat
+        T[t, 300:300 + m] += pat
+    cfg = MatrixProfileConfig(m=m, dtype="float64", band=64, chunk=64,
+                              tile_rows=8, tile_cols=64)
+    prof = compute_multidim_profile(T, config=cfg)
+    i, j, dist = multidim_motif(prof, k=2)
+    dims = multidim_subspace(T, m, i, j, k=2)
+    assert set(dims.tolist()) == {1, 3}
+    # subset mean reproduces the profile value exactly
+    per = []
+    for t in dims:
+        a, b = T[t, i:i + m], T[t, j:j + m]
+        ca, cb = a - a.mean(), b - b.mean()
+        p = (ca @ cb) / np.sqrt((ca @ ca) * (cb @ cb))
+        per.append(np.sqrt(2 * m * (1 - min(1.0, p))))
+    assert abs(np.mean(per) - dist) < 1e-6
+    # include pinning forces a dimension into the subset
+    dims_inc = multidim_subspace(T, m, i, j, k=2, include=[0])
+    assert dims_inc[0] == 0 and len(dims_inc) == 2
+    # validation
+    with pytest.raises(ValueError, match="out of range"):
+        multidim_subspace(T, m, n, 0, k=2)
+    with pytest.raises(ValueError, match="k="):
+        multidim_subspace(T, m, i, j, k=9)
