@@ -46,6 +46,12 @@ import numpy as np
 from mpx.config import MatrixProfileConfig
 
 
+def _series(x) -> np.ndarray:
+    """JSON list -> float64 array; null elements become NaN (the JSON
+    spelling of a gap — Python's json also accepts the NaN literal)."""
+    return np.asarray([np.nan if v is None else v for v in x], np.float64)
+
+
 def _cfg(req: dict) -> MatrixProfileConfig:
     kw = {"m": int(req["m"])}
     for key in ("dtype", "kernel", "band", "chunk"):
@@ -70,10 +76,13 @@ class Server:
                 "streams": sorted(self._streams)}
 
     def _op_compute(self, req):
-        from mpx.driver import compute_matrix_profile
+        if req.get("allow_missing"):
+            from mpx.missing import compute_matrix_profile_masked as fn
+        else:
+            from mpx.driver import compute_matrix_profile as fn
 
-        T = np.asarray(req["series"], np.float64)
-        MP, MPI = compute_matrix_profile(T, config=_cfg(req))
+        T = _series(req["series"])
+        MP, MPI = fn(T, config=_cfg(req))
         return {"mp": np.asarray(MP, np.float64).tolist(),
                 "mpi": np.asarray(MPI, np.int64).tolist()}
 

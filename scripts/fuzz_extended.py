@@ -217,8 +217,51 @@ def round_pan_extract(rng, seed):
     return f"pan-extract n={n} ms={ms}: {len(mos)} motifs {len(dis)} discords"
 
 
+def round_missing(rng, seed):
+    from mpx.missing import compute_matrix_profile_masked, missing_window_mask
+
+    n = int(rng.integers(300, 900))
+    m = int(rng.integers(8, 40))
+    dtype = str(rng.choice(["float32", "float64"]))
+    T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
+    # plant 1-3 gaps of random width
+    for _ in range(int(rng.integers(1, 4))):
+        g = int(rng.integers(0, n - 5))
+        T[g : g + int(rng.integers(1, 12))] = np.nan
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=32, chunk=64,
+                              tile_rows=8, tile_cols=16)
+    MP, MPI = compute_matrix_profile_masked(T, config=cfg)
+    MP = np.asarray(MP, np.float64)
+    MPI = np.asarray(MPI)
+    bad = missing_window_mask(T, m)
+    assert (MPI[bad] == -1).all(), "gap window joined"
+    assert not np.isin(MPI[MPI >= 0], np.nonzero(bad)[0]).any(), (
+        "gap window chosen as neighbor")
+    # oracle on the good windows
+    Tf = np.where(np.isfinite(T), T, 0.0)
+    w = n - m + 1
+    W = np.lib.stride_tricks.sliding_window_view(Tf, m)
+    c = W - W.mean(axis=1, keepdims=True)
+    nrm = np.sqrt((c * c).sum(axis=1))
+    good = ~bad & (nrm > 0)
+    U = np.divide(c, nrm[:, None], out=np.zeros_like(c),
+                  where=nrm[:, None] > 0)
+    P = U @ U.T
+    i = np.arange(w)
+    valid = (np.abs(i[None, :] - i[:, None]) >= m // 4)
+    valid &= good[:, None] & good[None, :]
+    D2 = np.where(valid, 2 * m * (1 - np.clip(P, -1, 1)), np.inf)
+    has = np.isfinite(D2).any(axis=1)
+    exp = np.sqrt(D2[i, np.clip(D2.argmin(axis=1), 0, w - 1)])
+    tol = 1e-8 if dtype == "float64" else 2e-3
+    err = np.abs(MP[has] - exp[has]).max() if has.any() else 0.0
+    assert err <= tol, f"masked profile off oracle by {err}"
+    return (f"missing n={n} m={m} {dtype} gaps={int(bad.sum())}: "
+            f"err={err:.2e}")
+
+
 ROUNDS = [round_ring, round_mstamp, round_topk, round_checkpoint,
-          round_batch, round_floss, round_pan_extract]
+          round_batch, round_floss, round_pan_extract, round_missing]
 
 
 def main() -> int:

@@ -123,3 +123,19 @@ def test_serve_subprocess_pipe():
     MPe, _ = compute_matrix_profile_reference(T, 16)
     np.testing.assert_allclose(resp[1]["mp"], MPe, atol=2e-3)
     assert resp[2]["ok"] is True
+
+
+def test_compute_allow_missing_with_nulls():
+    """JSON null gaps + allow_missing route to the masked tier."""
+    s = Server()
+    T = random_walk(300, seed=8).tolist()
+    T[150] = None
+    r = rpc(s, op="compute", series=T, m=16, allow_missing=True,
+            dtype="float64")
+    assert "mp" in r
+    from mpx.missing import missing_window_mask
+    bad = missing_window_mask(
+        np.asarray([np.nan if v is None else v for v in T]), 16)
+    assert all(r["mpi"][int(i)] == -1 for i in np.nonzero(bad)[0])
+    # without the flag: clean error, not a crash
+    assert "error" in rpc(s, op="compute", series=T, m=16)
