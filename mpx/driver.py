@@ -344,6 +344,12 @@ def compute_matrix_profile(
 
         if left_right:
             raise ValueError("ring sharding does not support --left-right")
+        if stats is not None:
+            raise ValueError(
+                "ring sharding restages statistics internally and cannot "
+                "take externally-provided stats (they would be silently "
+                "ignored)"
+            )
         Th = T if isinstance(T, np.ndarray) else np.asarray(T)
         if dt == np.dtype(np.float64):
             # The flagship dtype over sharded inputs: the hybrid

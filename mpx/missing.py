@@ -26,7 +26,7 @@ the standard job path (f64 via the strict kernels).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -49,8 +49,10 @@ def compute_matrix_profile_masked(
     *,
     profile=None,
     left_right: bool = False,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Self-join matrix profile of a series WITH gaps.
+) -> tuple:
+    """Self-join matrix profile of a series WITH gaps: ``(MP, MPI)``,
+    or the 4-tuple ``(MP_left, MPI_left, MP_right, MPI_right)`` with
+    ``left_right=True``.
 
     Finite input short-circuits to the standard driver (all tiers).
     Otherwise windows overlapping a gap are excluded from both sides of
@@ -80,6 +82,12 @@ def compute_matrix_profile_masked(
         raise ValueError(
             "ap_fixed input tiers cannot carry gaps (the quantizer "
             "range-checks every sample); fill or drop gaps first"
+        )
+    if config.shard_mode == "ring":
+        raise ValueError(
+            "masked gaps do not support shard_mode='ring' (the ring "
+            "tier restages statistics internally and would rejoin gap "
+            "windows); use the default 'jobs' sharding"
         )
     config.validate_series(n)  # shape checks only (T has known gaps)
     w = n - m + 1

@@ -370,16 +370,22 @@ def multidim_subspace(T, m: int, i: int, j: int, k: int,
         if not (0 <= p <= n - m):
             raise ValueError(f"subsequence {p} out of range (w={n - m + 1})")
     inc = tuple(sorted(int(t) for t in include)) if include else ()
-    if inc and (not all(0 <= t < d for t in inc) or len(inc) > k):
-        raise ValueError(f"include={inc} invalid for d={d}, k={k}")
+    if inc and not all(0 <= t < d for t in inc):
+        raise ValueError(f"include={inc} out of range for d={d}")
+    # len(inc) may exceed k: like the device ordering, the prefix then
+    # takes the k closest INCLUDE dimensions
+
+    from mpx.ops.precompute import ZERO_VARIANCE_REL
 
     dist = np.full(d, np.inf)
     for t in range(d):
         a, b = T[t, i : i + m], T[t, j : j + m]
         ca, cb = a - a.mean(), b - b.mean()
-        na, nb = np.sqrt(ca @ ca), np.sqrt(cb @ cb)
-        if na > 0 and nb > 0:
-            p = np.clip((ca @ cb) / (na * nb), -1.0, 1.0)
+        sa, sb = ca @ ca, cb @ cb
+        # the kernels' RELATIVE zero-variance clamp, so a numerically-
+        # constant dimension the profile masked never enters the subspace
+        if sa > ZERO_VARIANCE_REL * (a @ a) and sb > ZERO_VARIANCE_REL * (b @ b):
+            p = np.clip((ca @ cb) / np.sqrt(sa * sb), -1.0, 1.0)
             dist[t] = np.sqrt(2.0 * m * (1.0 - p))
 
     fin = np.isfinite(dist)

@@ -16,7 +16,9 @@ request had one, and either the result or {"error": msg}):
 
   {"op":"ping"}                          -> {"ok":true,"devices":N}
   {"op":"compute","series":[...],"m":64,
-   "dtype"?,"kernel"?}                   -> {"mp":[...],"mpi":[...]}
+   "dtype"?,"kernel"?,"allow_missing"?}  -> {"mp":[...],"mpi":[...]}
+       (allow_missing: null/NaN series elements become gaps with
+        masked-join semantics — see mpx/missing.py)
   {"op":"batch","series":[[...],...],"m":64}
                                          -> {"mp":[[..]],"mpi":[[..]]}
   {"op":"motifs","series":[...],"m":64,"k"?}   -> {"motifs":[...]}
@@ -163,13 +165,25 @@ class Server:
         from mpx.floss import Floss
 
         s = self._stream(req)
-        s.append(np.asarray(req["points"], np.float64))
-        n = s.series.shape[0] if isinstance(s, Floss) else s._T.shape[0]
-        out = {"n": int(n)}
+        points = _series(req["points"])
+        if not np.isfinite(points).all():
+            raise ValueError(
+                "streaming appends cannot carry gaps (no masked "
+                "semantics for incremental state); fill them first"
+            )
+        s.append(points)
+        out = {"n": int(s.series.shape[0])}
         if isinstance(s, Floss):
-            out["score"] = s.score
-            out["regimes"] = [int(r) for r in
-                              s.regimes(k=int(req.get("k", 1)))]
+            from mpx.analysis import extract_regimes
+
+            # one CAC evaluation feeds both fields (score/regimes each
+            # refetch the device profile if called separately)
+            cac = s.cac()
+            out["score"] = float(cac.min())
+            out["regimes"] = [
+                int(s.offset + r)
+                for r in extract_regimes(cac, s.m, k=int(req.get("k", 1)))
+            ]
         return out
 
     def _op_stream_profile(self, req):

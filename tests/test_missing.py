@@ -134,3 +134,20 @@ def test_masked_cli(tmp_path, capsys):
     got = read_binary(out + ".mpb", "double")
     ok = MPIe >= 0
     np.testing.assert_allclose(got[ok], MPe[ok], atol=1e-8)
+
+
+def test_masked_rejects_ring_mode():
+    T = gapped_series()
+    cfg = MatrixProfileConfig(m=16, shard_mode="ring")
+    with pytest.raises(ValueError, match="ring"):
+        compute_matrix_profile_masked(T, config=cfg)
+    # driver-level guard: external stats + ring is an error everywhere
+    from mpx.driver import compute_matrix_profile
+    from mpx.ops.precompute import precompute_statistics
+
+    clean = random_walk(200, seed=1)
+    cfg2 = MatrixProfileConfig(m=16, shard_mode="ring", band=32, chunk=64)
+    stats = precompute_statistics(clean, 16, band=32, chunk=64,
+                                  dtype="float32")
+    with pytest.raises(ValueError, match="externally-provided stats"):
+        compute_matrix_profile(clean, config=cfg2, stats=stats)

@@ -281,3 +281,20 @@ def test_multidim_subspace():
         multidim_subspace(T, m, n, 0, k=2)
     with pytest.raises(ValueError, match="k="):
         multidim_subspace(T, m, i, j, k=9)
+
+
+def test_subspace_include_larger_than_k_and_flat_dim():
+    from mpx.mstamp import multidim_subspace
+
+    rng = np.random.default_rng(43)
+    T = rng.standard_normal((3, 200))
+    T[1] = 1e6 + 1e-5 * rng.standard_normal(200)  # numerically flat
+    # include larger than k takes the k closest include dims (device rule)
+    dims = multidim_subspace(T, 16, 10, 100, k=1, include=[0, 2])
+    assert dims.shape == (1,) and dims[0] in (0, 2)
+    # the numerically-flat dimension (masked by the kernels' relative
+    # clamp) never enters a subspace
+    dims3 = multidim_subspace(T, 16, 10, 100, k=3)
+    assert 1 == dims3[-1] or 1 not in dims3[:2]
+    dims2 = multidim_subspace(T, 16, 10, 100, k=2)
+    assert 1 not in dims2
