@@ -542,6 +542,14 @@ def _add_serve(sub):
         "warm for the process lifetime. See mpx/serve.py for the "
         "protocol.",
     )
+    p.add_argument("--port", type=int, default=None,
+                   help="serve NDJSON over TCP instead of stdin/stdout "
+                        "(0 picks a free port; state persists across "
+                        "connections)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--ready-file", default=None,
+                   help="with --port: write the bound host:port here "
+                        "once listening")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -550,6 +558,9 @@ def _cmd_serve(args) -> int:
     from mpx.serve import Server
 
     Logger.verbose = args.verbose
+    if args.port is not None:
+        return Server().run_tcp(host=args.host, port=args.port,
+                                ready_file=args.ready_file)
     return Server().run()
 
 

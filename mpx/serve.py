@@ -251,3 +251,43 @@ class Server:
             if self._shutdown:
                 break
         return 0
+
+    def run_tcp(self, host: str = "127.0.0.1", port: int = 0,
+                once: bool = False, ready_file=None) -> int:
+        """TCP server: each connection is an NDJSON session against the
+        SAME warm state (executables, compile cache, streams persist
+        across connections).  Single-threaded accept loop — requests
+        serialize through the one device anyway, so concurrency would
+        only reorder them.  A shutdown request ends the whole server
+        (connection close just ends that session).  ``port=0`` picks a
+        free port; the bound address is printed (and written to
+        ``ready_file`` if given) before accepting."""
+        import socket
+
+        from mpx.runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        srv = socket.create_server((host, port))
+        bound = srv.getsockname()
+        msg = f"mpx serve listening on {bound[0]}:{bound[1]}"
+        print(msg, flush=True)
+        if ready_file:
+            with open(ready_file, "w") as f:
+                f.write(f"{bound[0]}:{bound[1]}\n")
+        try:
+            while not self._shutdown:
+                conn, addr = srv.accept()
+                with conn, conn.makefile("rw", encoding="utf-8") as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        resp = self.handle(line)
+                        f.write(json.dumps(resp) + "\n")
+                        f.flush()
+                        if self._shutdown:
+                            break
+                if once:
+                    break
+        finally:
+            srv.close()
+        return 0

@@ -139,3 +139,54 @@ def test_compute_allow_missing_with_nulls():
     assert all(r["mpi"][int(i)] == -1 for i in np.nonzero(bad)[0])
     # without the flag: clean error, not a crash
     assert "error" in rpc(s, op="compute", series=T, m=16)
+
+
+def test_serve_tcp(tmp_path):
+    """TCP mode: warm state persists ACROSS connections (a stream
+    created on connection 1 is visible on connection 2)."""
+    import socket
+    import threading
+    import time
+
+    from mpx.serve import Server
+
+    s = Server()
+    ready = str(tmp_path / "addr")
+    th = threading.Thread(
+        target=s.run_tcp,
+        kwargs={"port": 0, "ready_file": ready},
+        daemon=True,
+    )
+    th.start()
+    for _ in range(100):
+        if os.path.exists(ready):
+            break
+        time.sleep(0.05)
+    host, port = open(ready).read().strip().split(":")
+
+    def session(reqs):
+        out = []
+        with socket.create_connection((host, int(port))) as c:
+            f = c.makefile("rw", encoding="utf-8")
+            for r in reqs:
+                f.write(json.dumps(r) + "\n")
+                f.flush()
+                out.append(json.loads(f.readline()))
+        return out
+
+    T = random_walk(300, seed=12)
+    r1 = session([
+        {"op": "ping", "id": 1},
+        {"op": "stream.create", "sid": "tcp1",
+         "series": T[:200].tolist(), "m": 16},
+    ])
+    assert r1[0]["ok"] and r1[1]["ok"]
+    # second connection sees the same state, then shuts the server down
+    r2 = session([
+        {"op": "stream.append", "sid": "tcp1",
+         "points": T[200:].tolist()},
+        {"op": "shutdown"},
+    ])
+    assert r2[0]["n"] == 300 and r2[1]["ok"]
+    th.join(timeout=30)
+    assert not th.is_alive()
