@@ -312,6 +312,9 @@ def _add_analyze(sub):
     p.add_argument("--chain", action="store_true",
                    help="also report the unanchored time-series chain "
                         "(needs the time series input, not saved results)")
+    p.add_argument("--av", default=None, choices=("complexity",),
+                   help="guided search: bias motifs/discords by an "
+                        "annotation vector (needs the time series input)")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--kernel", default="auto")
     return p
@@ -354,11 +357,23 @@ def _cmd_analyze(args) -> int:
             MP, MPI = compute_matrix_profile(T, config=cfg)
             MP, MPI = np.asarray(MP), np.asarray(MPI)
 
+    MP_motif = MP_discord = MP
+    if args.av:
+        from mpx.analysis import apply_annotation_vector, complexity_annotation
+
+        if T is None:
+            raise SystemExit("--av needs the raw time series input "
+                             "(the annotation vector is computed from it)")
+        AV = complexity_annotation(T, args.m)
+        MP_motif = apply_annotation_vector(MP, AV, mode="motif")
+        MP_discord = apply_annotation_vector(MP, AV, mode="discord")
+        print(f"annotation vector: {args.av} "
+              f"(mean {AV.mean():.3f}, min {AV.min():.3f})")
     print("motifs (a, b, distance):")
-    for mo in top_motifs(MP, MPI, args.m, k=args.k):
+    for mo in top_motifs(MP_motif, MPI, args.m, k=args.k):
         print(f"  {mo.a:8d} {mo.b:8d} {mo.distance:.6f}")
     print("discords (index, distance):")
-    for d in top_discords(MP, MPI, args.m, k=args.k):
+    for d in top_discords(MP_discord, MPI, args.m, k=args.k):
         print(f"  {d.index:8d} {d.distance:.6f}")
     if args.regimes:
         from mpx.analysis import regimes

@@ -229,3 +229,29 @@ def test_abjoin_mpdist_flag(tmp_path, capsys):
     d = float(out.split("MPdist:")[1].split()[0])
     # B is a verbatim slice of A: the 5th-percentile ABBA distance ~ 0
     assert d < 1e-4
+
+
+def test_analyze_av_flag(tmp_path, capsys):
+    """Guided search: the complexity AV suppresses flat-region motifs."""
+    rng = np.random.default_rng(51)
+    # flat region with a tiny repeated wiggle (would win unguided) plus
+    # a high-complexity repeated pattern
+    T = 0.02 * rng.standard_normal(600)
+    pat = np.cumsum(rng.standard_normal(32))
+    pat = (pat - pat.mean()) / pat.std()
+    T[100:132] += pat
+    T[400:432] += pat
+    inp = str(tmp_path / "av.tsb")
+    write_binary(inp, T, "double")
+    assert main(["analyze", "-i", inp, "-m", "32", "-k", "1",
+                 "--av", "complexity", "--dtype", "double"]) == 0
+    out = capsys.readouterr().out
+    assert "annotation vector: complexity" in out
+    a, b = out.split("motifs (a, b, distance):")[1].split()[:2]
+    assert abs(int(a) - 100) <= 8 and abs(int(b) - 400) <= 8
+    # --av with saved results is rejected (needs the series)
+    from mpx.io.tsb import write_binary as wb
+    res = str(tmp_path / "res")
+    assert main(["compute", "-i", inp, "-m", "32", "-o", res]) == 0
+    with pytest.raises(SystemExit):
+        main(["analyze", "-i", res, "-m", "32", "--av", "complexity"])
