@@ -83,7 +83,13 @@ def compute_batch_profiles(
             f"shape {batch.shape}; pad or truncate ragged fleets first"
         )
     B, n = batch.shape
-    config.validate_series(n, batch)  # finiteness check covers every row
+    config.validate_series(n)  # shape checks (1-D finiteness msg below)
+    if not np.isfinite(batch).all():
+        s, p = np.argwhere(~np.isfinite(batch))[0]
+        raise ValueError(
+            f"batch contains a non-finite value (series {s}, sample "
+            f"{p}); NaN/inf would silently poison every correlation"
+        )
     if config.input_quant is not None:
         from mpx.io.apfixed import quantize
 

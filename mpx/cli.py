@@ -369,12 +369,16 @@ def _cmd_analyze(args) -> int:
         MP_discord = apply_annotation_vector(MP, AV, mode="discord")
         print(f"annotation vector: {args.av} "
               f"(mean {AV.mean():.3f}, min {AV.min():.3f})")
+    # rank on the (possibly AV-biased) profile but PRINT the true
+    # z-norm distance of the reported pair — biased values are ranking
+    # scores, not distances
     print("motifs (a, b, distance):")
     for mo in top_motifs(MP_motif, MPI, args.m, k=args.k):
-        print(f"  {mo.a:8d} {mo.b:8d} {mo.distance:.6f}")
+        true_d = MP[mo.a] if MPI[mo.a] == mo.b else MP[mo.b]
+        print(f"  {mo.a:8d} {mo.b:8d} {true_d:.6f}")
     print("discords (index, distance):")
     for d in top_discords(MP_discord, MPI, args.m, k=args.k):
-        print(f"  {d.index:8d} {d.distance:.6f}")
+        print(f"  {d.index:8d} {MP[d.index]:.6f}")
     if args.regimes:
         from mpx.analysis import regimes
 
@@ -565,6 +569,9 @@ def _add_serve(sub):
     p.add_argument("--ready-file", default=None,
                    help="with --port: write the bound host:port here "
                         "once listening")
+    p.add_argument("--idle-timeout", type=float, default=300.0,
+                   help="with --port: drop a connection silent this "
+                        "long (state persists; the client reconnects)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -575,7 +582,8 @@ def _cmd_serve(args) -> int:
     Logger.verbose = args.verbose
     if args.port is not None:
         return Server().run_tcp(host=args.host, port=args.port,
-                                ready_file=args.ready_file)
+                                ready_file=args.ready_file,
+                                idle_timeout=args.idle_timeout)
     return Server().run()
 
 
@@ -622,10 +630,11 @@ def _cmd_batch(args) -> int:
         stems = [os.path.splitext(os.path.basename(p))[0]
                  for p in args.input]
         # same-named inputs from different directories must not
-        # overwrite each other's outputs — disambiguate with the index
-        dup = {s for s in stems if stems.count(s) > 1}
-        stems = [f"{s}.{b}" if s in dup else s
-                 for b, s in enumerate(stems)]
+        # overwrite each other's outputs; on ANY collision every output
+        # gets its index appended (renaming only the duplicates could
+        # collide again with a stem that literally ends in '.<index>')
+        if len(set(stems)) != len(stems):
+            stems = [f"{s}.{b}" for b, s in enumerate(stems)]
         for b, stem in enumerate(stems):
             mpb, mpib = write_results(
                 f"{args.output}.{stem}", MP[b], MPI[b]

@@ -143,13 +143,15 @@ class PanMotif(NamedTuple):
     score: float      # SKIMP-normalized distance (comparable across m)
 
 
-def _suppress_span(score: np.ndarray, ms: np.ndarray, pos: int, span: int):
-    """Mask every (row, start) whose window overlaps [pos, pos+span):
-    window [s, s+m_r) overlaps iff s in (pos - m_r, pos + span)."""
+def _suppress_span(score: np.ndarray, ms: np.ndarray, pos: int, span: int,
+                   fill: float = np.inf):
+    """Mask (to ``fill``) every (row, start) whose window overlaps
+    [pos, pos+span): window [s, s+m_r) overlaps iff
+    s in (pos - m_r, pos + span)."""
     w = score.shape[1]
     for r in range(score.shape[0]):
         lo = max(0, pos - int(ms[r]) + 1)
-        score[r, lo : min(w, pos + span)] = np.inf
+        score[r, lo : min(w, pos + span)] = fill
 
 
 def pan_motifs(pan: PanProfile, k: int = 3) -> List[PanMotif]:
@@ -205,7 +207,5 @@ def pan_discords(pan: PanProfile, k: int = 3) -> List[PanMotif]:
                             float(pan.PMP[r, i]), float(norm[r, i])))
         # suppress only the discord span itself (its neighbor is not an
         # anomaly) — mirror of the 1-D discord rule, across all lengths
-        sc = np.where(np.isneginf(score), np.inf, score)
-        _suppress_span(sc, pan.ms, i, m_r)
-        score = np.where(np.isposinf(sc), -np.inf, sc)
+        _suppress_span(score, pan.ms, i, m_r, fill=-np.inf)
     return out

@@ -235,13 +235,9 @@ class Server:
             resp["id"] = rid
         return resp
 
-    def run(self, infile=None, outfile=None) -> int:
-        """Blocking NDJSON loop until EOF or a shutdown request."""
-        from mpx.runtime import enable_compilation_cache
-
-        enable_compilation_cache()
-        infile = infile if infile is not None else sys.stdin
-        outfile = outfile if outfile is not None else sys.stdout
+    def _session(self, infile, outfile) -> None:
+        """One NDJSON session: the shared protocol loop for both
+        transports (skip blanks, handle, respond, stop on shutdown)."""
         for line in infile:
             if not line.strip():
                 continue
@@ -250,10 +246,19 @@ class Server:
             outfile.flush()
             if self._shutdown:
                 break
+
+    def run(self, infile=None, outfile=None) -> int:
+        """Blocking NDJSON loop until EOF or a shutdown request."""
+        from mpx.runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        self._session(infile if infile is not None else sys.stdin,
+                      outfile if outfile is not None else sys.stdout)
         return 0
 
     def run_tcp(self, host: str = "127.0.0.1", port: int = 0,
-                once: bool = False, ready_file=None) -> int:
+                once: bool = False, ready_file=None,
+                idle_timeout: float = 300.0) -> int:
         """TCP server: each connection is an NDJSON session against the
         SAME warm state (executables, compile cache, streams persist
         across connections).  Single-threaded accept loop — requests
@@ -261,7 +266,13 @@ class Server:
         only reorder them.  A shutdown request ends the whole server
         (connection close just ends that session).  ``port=0`` picks a
         free port; the bound address is printed (and written to
-        ``ready_file`` if given) before accepting."""
+        ``ready_file`` if given) before accepting.
+
+        ``idle_timeout`` (seconds) bounds how long one connection may
+        sit silent: an abruptly-dropped client (RST after the server's
+        last write consumes the socket error) otherwise blocks the
+        single-threaded loop forever.  Idle-dropped clients simply
+        reconnect — their streams and the warm state persist."""
         import socket
 
         from mpx.runtime import enable_compilation_cache
@@ -277,15 +288,15 @@ class Server:
         try:
             while not self._shutdown:
                 conn, addr = srv.accept()
-                with conn, conn.makefile("rw", encoding="utf-8") as f:
-                    for line in f:
-                        if not line.strip():
-                            continue
-                        resp = self.handle(line)
-                        f.write(json.dumps(resp) + "\n")
-                        f.flush()
-                        if self._shutdown:
-                            break
+                try:
+                    conn.settimeout(idle_timeout)
+                    with conn, conn.makefile("rw", encoding="utf-8") as f:
+                        self._session(f, f)
+                except (OSError, ValueError) as e:
+                    # an abruptly-dropped client (reset, broken pipe)
+                    # ends ITS session only — the server and every warm
+                    # stream must survive
+                    print(f"client {addr} dropped: {e}", file=sys.stderr)
                 if once:
                     break
         finally:

@@ -237,22 +237,12 @@ def round_missing(rng, seed):
     assert (MPI[bad] == -1).all(), "gap window joined"
     assert not np.isin(MPI[MPI >= 0], np.nonzero(bad)[0]).any(), (
         "gap window chosen as neighbor")
-    # oracle on the good windows
-    Tf = np.where(np.isfinite(T), T, 0.0)
-    w = n - m + 1
-    W = np.lib.stride_tricks.sliding_window_view(Tf, m)
-    c = W - W.mean(axis=1, keepdims=True)
-    nrm = np.sqrt((c * c).sum(axis=1))
-    good = ~bad & (nrm > 0)
-    U = np.divide(c, nrm[:, None], out=np.zeros_like(c),
-                  where=nrm[:, None] > 0)
-    P = U @ U.T
-    i = np.arange(w)
-    valid = (np.abs(i[None, :] - i[:, None]) >= m // 4)
-    valid &= good[:, None] & good[None, :]
-    D2 = np.where(valid, 2 * m * (1 - np.clip(P, -1, 1)), np.inf)
-    has = np.isfinite(D2).any(axis=1)
-    exp = np.sqrt(D2[i, np.clip(D2.argmin(axis=1), 0, w - 1)])
+    # the ONE masked brute-force oracle (shared with the test suite so
+    # a semantics change cannot leave the fuzzer validating old rules)
+    from tests.test_missing import masked_oracle
+
+    exp, MPI_exp, _ = masked_oracle(T, m)
+    has = MPI_exp >= 0
     tol = 1e-8 if dtype == "float64" else 2e-3
     err = np.abs(MP[has] - exp[has]).max() if has.any() else 0.0
     assert err <= tol, f"masked profile off oracle by {err}"

@@ -190,3 +190,53 @@ def test_serve_tcp(tmp_path):
     assert r2[0]["n"] == 300 and r2[1]["ok"]
     th.join(timeout=30)
     assert not th.is_alive()
+
+
+def test_serve_tcp_survives_client_drop(tmp_path):
+    """An abruptly-reset client must not kill the server or its warm
+    state (the idle timeout frees the single-threaded loop)."""
+    import socket
+    import struct
+    import threading
+    import time
+
+    from mpx.serve import Server
+
+    s = Server()
+    ready = str(tmp_path / "addr")
+    th = threading.Thread(
+        target=s.run_tcp,
+        kwargs={"port": 0, "ready_file": ready, "idle_timeout": 2.0},
+        daemon=True,
+    )
+    th.start()
+    for _ in range(100):
+        if os.path.exists(ready):
+            break
+        time.sleep(0.05)
+    host, port = open(ready).read().strip().split(":")
+    T = random_walk(120, seed=13)
+    c = socket.create_connection((host, int(port)))
+    f = c.makefile("rw", encoding="utf-8")
+    f.write(json.dumps({"op": "stream.create", "sid": "drop",
+                        "series": T.tolist(), "m": 16}) + "\n")
+    f.flush()
+    assert json.loads(f.readline())["ok"]
+    f.write(json.dumps({"op": "ping"}) + "\n")
+    f.flush()
+    # RST the connection without reading the response
+    c.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                 struct.pack("ii", 1, 0))
+    c.close()
+    # server survives; the stream persists; shutdown still works
+    with socket.create_connection((host, int(port)), timeout=30) as c2:
+        f2 = c2.makefile("rw", encoding="utf-8")
+        f2.write(json.dumps({"op": "ping"}) + "\n")
+        f2.flush()
+        r = json.loads(f2.readline())
+        assert r["ok"] and r["streams"] == ["drop"]
+        f2.write(json.dumps({"op": "shutdown"}) + "\n")
+        f2.flush()
+        assert json.loads(f2.readline())["ok"]
+    th.join(timeout=30)
+    assert not th.is_alive()
