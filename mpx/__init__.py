@@ -51,6 +51,12 @@ from mpx.analysis import (
 from mpx.floss import Floss
 from mpx.batch import compute_batch_profiles
 from mpx.cluster import cluster_series, hierarchical_cluster, mpdist_matrix
+from mpx.contrast import (
+    best_contrast,
+    contrast_profile,
+    pan_contrast_profile,
+    top_contrast_motifs,
+)
 from mpx.missing import compute_matrix_profile_masked, missing_window_mask
 from mpx.mstamp import (
     compute_multidim_profile,
@@ -94,7 +100,11 @@ __all__ = [
     "extract_regimes",
     "regimes",
     "Floss",
+    "best_contrast",
     "cluster_series",
+    "contrast_profile",
+    "pan_contrast_profile",
+    "top_contrast_motifs",
     "compute_batch_profiles",
     "compute_matrix_profile_masked",
     "missing_window_mask",

@@ -269,6 +269,76 @@ def _cmd_abjoin(args) -> int:
     return 0
 
 
+def _add_contrast(sub):
+    p = sub.add_parser(
+        "contrast",
+        help="contrast profile: patterns present in series PLUS and "
+             "absent from series MINUS")
+    p.add_argument("-p", "--plus", required=True,
+                   help="positive series (contains the behavior of interest)")
+    p.add_argument("-n", "--minus", required=True,
+                   help="negative series (does not)")
+    p.add_argument("-m", type=int, default=None,
+                   help="window length; omit with --pan to sweep")
+    p.add_argument("--pan", default=None,
+                   help="comma-separated window lengths (pan contrast "
+                        "profile); reports the best (m, index) pattern")
+    p.add_argument("-k", type=int, default=3,
+                   help="number of contrast motifs to report")
+    p.add_argument("-o", "--output",
+                   help="writes <o>.cp.npy (float64 contrast profile)")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--band", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_contrast(args) -> int:
+    from mpx.config import MatrixProfileConfig
+    from mpx.contrast import (
+        best_contrast,
+        contrast_profile,
+        pan_contrast_profile,
+        top_contrast_motifs,
+    )
+    from mpx.io.tsb import read_series
+    from mpx.utils.profile import BenchmarkProfile
+
+    Logger.verbose = args.verbose
+    Tp = read_series(args.plus)
+    Tm = read_series(args.minus)
+    if args.pan:
+        ms = [int(s) for s in args.pan.split(",") if s.strip()]
+        cfg = MatrixProfileConfig(m=ms[0], dtype=args.dtype,
+                                  band=args.band, chunk=args.chunk)
+        pan = pan_contrast_profile(Tp, Tm, ms, config=cfg)
+        best_m, best_i, score = best_contrast(pan)
+        print(f"pan contrast over m={sorted(set(ms))}")
+        print(f"best contrast: m={best_m} @ {best_i}  score {score:.4f}")
+        if args.output:
+            np.savez(args.output + ".pancp",
+                     **{f"m{mm}": cp for mm, cp in pan})
+            Logger.info(f"wrote {args.output}.pancp.npz")
+        return 0
+    if args.m is None:
+        print("error: -m is required (or pass --pan)", file=sys.stderr)
+        return 1
+    cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype,
+                              band=args.band, chunk=args.chunk)
+    prof = BenchmarkProfile()
+    res = contrast_profile(Tp, Tm, config=cfg, profile=prof)
+    for mot in top_contrast_motifs(res, args.m, k=args.k):
+        print(f"contrast motif @ {mot.index}  (in-class neighbor "
+              f"{mot.neighbor})  score {mot.score:.4f}")
+    if args.output:
+        np.save(args.output + ".cp", res.cp)
+        Logger.info(f"wrote {args.output}.cp.npy")
+    if args.verbose:
+        prof.report(file=sys.stdout)
+    return 0
+
+
 def _add_topk(sub):
     p = sub.add_parser("topk", help="k nearest neighbors per subsequence")
     p.add_argument("-i", "--input", required=True)
@@ -898,6 +968,7 @@ def main(argv=None) -> int:
     _add_tsbin(sub)
     _add_golden(sub)
     _add_abjoin(sub)
+    _add_contrast(sub)
     _add_topk(sub)
     _add_analyze(sub)
     _add_pan(sub)
@@ -941,6 +1012,7 @@ def main(argv=None) -> int:
             "tsbin": _cmd_tsbin,
             "golden": _cmd_golden,
             "abjoin": _cmd_abjoin,
+            "contrast": _cmd_contrast,
             "topk": _cmd_topk,
             "analyze": _cmd_analyze,
             "pan": _cmd_pan,
