@@ -250,8 +250,34 @@ def round_missing(rng, seed):
             f"err={err:.2e}")
 
 
+def round_contrast(rng, seed):
+    from mpx.contrast import brute_force_contrast_profile, contrast_profile
+
+    np_rng = np.random.default_rng(seed)
+    n_p = int(rng.integers(300, 900))
+    n_m = int(rng.integers(300, 900))
+    m = int(rng.integers(8, 48))
+    dtype = str(rng.choice(["float32", "float64"]))
+    Tp = np.cumsum(np_rng.standard_normal(n_p))
+    Tm = np.cumsum(np_rng.standard_normal(n_m))
+    if rng.integers(2):  # sometimes plant a shared pattern (CP ~ 0 there)
+        pat = np.sin(np.linspace(0, 3 * np.pi, m))
+        Tp[: m] += pat
+        Tm[: m] += pat
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=32, chunk=64,
+                              tile_rows=8, tile_cols=16)
+    cp = contrast_profile(Tp, Tm, config=cfg).cp
+    exp = brute_force_contrast_profile(Tp, Tm, m)
+    tol = 1e-8 if dtype == "float64" else 2e-3
+    err = np.abs(cp - exp).max()
+    assert err <= tol, f"contrast off oracle by {err}"
+    assert cp.min() >= 0.0 and cp.max() <= 1.0
+    return f"contrast n+={n_p} n-={n_m} m={m} {dtype}: err={err:.2e}"
+
+
 ROUNDS = [round_ring, round_mstamp, round_topk, round_checkpoint,
-          round_batch, round_floss, round_pan_extract, round_missing]
+          round_batch, round_floss, round_pan_extract, round_missing,
+          round_contrast]
 
 
 def main() -> int:
