@@ -270,6 +270,13 @@ SUITE = [
         "band": 4096, "chunk": 16384,
     },
     {
+        # contrast profile (beyond the reference: class-distinguishing
+        # patterns): one self-join + one AB-join, flagship dtype
+        "name": "contrast-f64-524288",
+        "contrast": True, "n": 1 << 19, "m": 256, "dtype": "double",
+        "band": 4096, "chunk": 32768,
+    },
+    {
         # multi-dimensional (mSTAMP) tier: d-batched MXU tiles +
         # cross-dim sort; metric = dimension-pairs/s (no reference
         # analog — the HLS design is strictly 1-D)
@@ -435,6 +442,83 @@ def run_topk_benchmark(n: int, m: int, k: int, dtype: str = "double",
     }
 
 
+def run_contrast_benchmark(n: int, m: int, dtype: str = "double",
+                           band: int = 4096, chunk: int = 16384,
+                           seed: int = 0, validate: int = 32,
+                           verbose: bool = False):
+    """Contrast-profile benchmark: one self-join + one AB-join at the
+    same n (mpx/contrast.py).  Metric = total distance pairs swept per
+    second (w*(w-1)/2 self pairs + w*w cross pairs).  Validation:
+    ``validate`` sampled rows recomputed exactly on the host (both the
+    self and the AB nearest neighbor via the f64 row-scan oracles) and
+    the CP entry must match to 1e-8 (f64) / 2e-3 (f32)."""
+    import time
+
+    from mpx import MatrixProfileConfig
+    from mpx.contrast import contrast_profile
+    from mpx.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(seed)
+    Tp = np.cumsum(rng.standard_normal(n))
+    Tm = np.cumsum(np.random.default_rng(seed + 7).standard_normal(n))
+    w = n - m + 1
+    pairs = w * (w - 1) / 2 + float(w) * w
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=band, chunk=chunk)
+
+    contrast_profile(Tp, Tm, config=cfg)  # warmup/compile
+    t0 = time.time()
+    res = contrast_profile(Tp, Tm, config=cfg)
+    cp = np.asarray(res.cp)  # host array already; cheap
+    wall = time.time() - t0
+
+    val = None
+    if validate:
+        from mpx.hybrid import _row_scan, _row_scan_ab
+        from mpx.ops.precompute import precompute_statistics_numpy
+        from mpx import native
+
+        Tp64 = np.asarray(Tp, np.float64)
+        Tm64 = np.asarray(Tm, np.float64)
+        pre = (native.precompute if native.is_available()
+               else precompute_statistics_numpy)
+        sp, sm = pre(Tp64, m), pre(Tm64, m)
+        rows = np.sort(np.random.default_rng(seed + 1).choice(
+            w, size=min(validate, w), replace=False)).astype(np.int32)
+        aaP, _ = _row_scan(
+            Tp64, np.asarray(sp["mu"], np.float64),
+            np.asarray(sp["inv"], np.float64), m, w, m // 4, rows)
+        abP, _ = _row_scan_ab(
+            Tp64, np.asarray(sp["mu"], np.float64),
+            np.asarray(sp["inv"], np.float64),
+            Tm64, np.asarray(sm["mu"], np.float64),
+            np.asarray(sm["inv"], np.float64), m, w, rows)
+        d_aa = np.sqrt(np.maximum(2.0 * m * (1.0 - aaP), 0.0))
+        d_ab = np.sqrt(np.maximum(2.0 * m * (1.0 - abP), 0.0))
+        expect = np.clip((d_ab - d_aa) / np.sqrt(2.0 * m), 0.0, 1.0)
+        tol = 1e-8 if dtype in ("double", "float64") else 2e-3
+        err = np.abs(cp[rows] - expect)
+        if err.size and err.max() > tol:
+            raise ValidationError(
+                f"contrast sampled-row validation FAILED: "
+                f"max err {err.max():.3e}")
+        val = {"rows": int(rows.shape[0]),
+               "max_abs_err": float(err.max()) if err.size else 0.0,
+               "tol": tol}
+        if verbose:
+            print(f"# validated {val['rows']} contrast rows: "
+                  f"max err {val['max_abs_err']:.2e}", file=sys.stderr)
+
+    return {
+        "validation": val,
+        "n": n, "m": m, "dtype": dtype,
+        "pairs": pairs,
+        "wall_s": wall,
+        "pairs_per_sec": pairs / wall,
+        "mp_head": cp[:4].tolist(),
+    }
+
+
 def run_mstamp_benchmark(n: int, m: int, d: int, dtype: str = "float32",
                          band: int = 4096, chunk: int = 4096,
                          seed: int = 0, validate: int = 8,
@@ -573,7 +657,7 @@ def run_suite(names=None, verbose: bool = False) -> list:
             continue  # hour-scale rows run only when named via --only
         kwargs = {k: v for k, v in cfg.items()
                   if k not in ("name", "input", "streaming", "huge",
-                               "topk", "mstamp", "batch")}
+                               "topk", "mstamp", "batch", "contrast")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 
@@ -587,6 +671,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
                 res = run_topk_benchmark(verbose=verbose, **kwargs)
             elif cfg.get("mstamp"):
                 res = run_mstamp_benchmark(verbose=verbose, **kwargs)
+            elif cfg.get("contrast"):
+                res = run_contrast_benchmark(verbose=verbose, **kwargs)
             elif cfg.get("batch"):
                 res = run_batch_benchmark(verbose=verbose, **kwargs)
             else:
