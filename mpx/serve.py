@@ -23,6 +23,8 @@ request had one, and either the result or {"error": msg}):
                                          -> {"mp":[[..]],"mpi":[[..]]}
   {"op":"motifs","series":[...],"m":64,"k"?}   -> {"motifs":[...]}
   {"op":"discords","series":[...],"m":64,"k"?} -> {"discords":[...]}
+  {"op":"contrast","plus":[...],"minus":[...],"m":64,"k"?,"full"?}
+                                         -> {"motifs":[...],"cp"?}
   {"op":"query","series":[...],"q":[...],"k"?} -> {"matches":[...]}
   {"op":"stream.create","sid":"s1","series":[...],"m":64,
    "mode":"full"|"floss","window"?}      -> {"ok":true}
@@ -120,6 +122,20 @@ class Server:
         return {"discords": [{"index": d.index,
                               "distance": d.distance} for d in dis]}
 
+    def _op_contrast(self, req):
+        from mpx.contrast import contrast_profile, top_contrast_motifs
+
+        Tp = _series(req["plus"])
+        Tm = _series(req["minus"])
+        m = int(req["m"])
+        res = contrast_profile(Tp, Tm, config=_cfg(req))
+        mots = top_contrast_motifs(res, m, k=int(req.get("k", 3)))
+        out = {"motifs": [{"index": mo.index, "neighbor": mo.neighbor,
+                           "score": mo.score} for mo in mots]}
+        if req.get("full"):
+            out["cp"] = res.cp.tolist()
+        return out
+
     def _op_query(self, req):
         from mpx.analysis import match
 
@@ -209,6 +225,7 @@ class Server:
         "batch": _op_batch,
         "motifs": _op_motifs,
         "discords": _op_discords,
+        "contrast": _op_contrast,
         "query": _op_query,
         "stream.create": _op_stream_create,
         "stream.append": _op_stream_append,

@@ -240,3 +240,29 @@ def test_serve_tcp_survives_client_drop(tmp_path):
         assert json.loads(f2.readline())["ok"]
     th.join(timeout=30)
     assert not th.is_alive()
+
+
+def test_contrast_op():
+    s = Server()
+    rng = np.random.default_rng(13)
+    m = 48
+    Tp = (rng.standard_normal(500) * 0.05)
+    Tm = (rng.standard_normal(500) * 0.05)
+    pat = np.sin(np.linspace(0, 4 * np.pi, m))
+    Tp[60 : 60 + m] += pat
+    Tp[350 : 350 + m] += pat
+    r = rpc(s, op="contrast", plus=Tp.tolist(), minus=Tm.tolist(),
+            m=m, k=2, dtype="float64", band=128, chunk=128, full=True)
+    assert "error" not in r, r
+    assert r["motifs"] and r["motifs"][0]["score"] > 0.5
+    pair = sorted((r["motifs"][0]["index"], r["motifs"][0]["neighbor"]))
+    assert abs(pair[0] - 60) < m and abs(pair[1] - 350) < m
+    from mpx.contrast import brute_force_contrast_profile
+
+    np.testing.assert_allclose(
+        np.asarray(r["cp"]), brute_force_contrast_profile(Tp, Tm, m),
+        atol=1e-8)
+    # cp omitted without full
+    r2 = rpc(s, op="contrast", plus=Tp.tolist(), minus=Tm.tolist(),
+             m=m, dtype="float64", band=128, chunk=128)
+    assert "cp" not in r2 and r2["motifs"]
