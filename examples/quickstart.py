@@ -102,6 +102,13 @@ MPb, MPIb = mpx.compute_batch_profiles(fleet, m=32)
 print(f"batch tier: {MPb.shape[0]} profiles, per-series min "
       f"{MPb.min(axis=1).round(3).tolist()}")
 
+# --- 9h. contrast profile: what does T+ have that T- doesn't? ----------------
+Tminus = np.cumsum(rng.standard_normal(len(T))) * 0.2
+cres = mpx.contrast_profile(T, Tminus, m=m)
+cmot = mpx.top_contrast_motifs(cres, m, k=1)
+print(f"contrast: peak @ {cmot[0].index} score {cmot[0].score:.3f}"
+      if cmot else "contrast: no distinguishing pattern")
+
 # --- 10. fixed-point input tier (the reference's ap_fixed dtypes) ------------
 cfg16 = mpx.MatrixProfileConfig(m=m, dtype="ap16")   # quantize to 2^-11 grid
 MPq, _ = mpx.compute_matrix_profile(T / np.abs(T).max() * 8, config=cfg16)
