@@ -48,6 +48,7 @@ from mpx.analysis import (
     top_motifs,
     unanchored_chain,
 )
+from mpx.chains import ChainsResult, anchored_chain, chain_lengths, compute_chains
 from mpx.floss import Floss
 from mpx.batch import compute_batch_profiles
 from mpx.cluster import cluster_series, hierarchical_cluster, mpdist_matrix
@@ -114,6 +115,10 @@ __all__ = [
     "complexity_annotation",
     "all_chains",
     "unanchored_chain",
+    "ChainsResult",
+    "anchored_chain",
+    "chain_lengths",
+    "compute_chains",
     "mpdist",
     "mass",
     "match",

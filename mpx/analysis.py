@@ -192,19 +192,14 @@ def all_chains(MPI_left, MPI_right) -> List[List[int]]:
     belongs to exactly one chain (singletons included).  Inputs are the
     left/right profile index arrays from
     ``compute_matrix_profile(..., left_right=True)``."""
-    IL = np.asarray(MPI_left)
-    IR = np.asarray(MPI_right)
-    w = IR.shape[0]
-    # Mutual links, vectorized: IR[i] = j > i with IL[j] = i.
-    j = IR.astype(np.int64)
-    ok = (j >= 0) & (j < w)
-    mutual = ok & (IL[np.clip(j, 0, w - 1)] == np.arange(w))
+    from mpx.chains import chain_links
+
+    link = chain_links(MPI_left, MPI_right)
+    w = link.shape[0]
     backlink = np.full(w, -1, np.int64)
-    backlink[j[mutual]] = np.nonzero(mutual)[0]
-    heads = np.nonzero((backlink < 0))[0]
-    link = np.where(mutual, j, -1)
+    backlink[link[link >= 0]] = np.nonzero(link >= 0)[0]
     chains: List[List[int]] = []
-    for h in heads:
+    for h in np.nonzero(backlink < 0)[0]:
         chain = [int(h)]
         while link[chain[-1]] >= 0:
             chain.append(int(link[chain[-1]]))
@@ -214,10 +209,14 @@ def all_chains(MPI_left, MPI_right) -> List[List[int]]:
 
 def unanchored_chain(MPI_left, MPI_right) -> np.ndarray:
     """The longest chain in the all-chain set (ties: earliest start) —
-    the 'unanchored' time-series chain describing directional drift."""
-    chains = all_chains(MPI_left, MPI_right)
-    best = max(chains, key=lambda c: (len(c), -c[0]))
-    return np.asarray(best, dtype=np.int64)
+    the 'unanchored' time-series chain describing directional drift.
+    O(w log L) via mpx.chains' pointer-doubling length table."""
+    from mpx.chains import anchored_chain, chain_lengths
+
+    lengths = chain_lengths(MPI_left, MPI_right)
+    # lengths[head] is the full chain length; argmax is the earliest
+    # head among ties, matching the old (len, earliest-start) rule
+    return anchored_chain(MPI_left, MPI_right, int(lengths.argmax()))
 
 
 def mpdist_from_profiles(mp_a, mp_b, na: int, nb: int,

@@ -621,6 +621,49 @@ def _cmd_ostinato(args) -> int:
     return 0
 
 
+def _add_chains(sub):
+    p = sub.add_parser(
+        "chains",
+        help="time series chains: drifting patterns (ATSC/ALLC)",
+        description="Extract the longest unanchored time series chain "
+        "(or the chain anchored at --anchor) from the left/right "
+        "matrix profile: temporally ordered subsequences where each "
+        "is the bidirectional nearest neighbor of the previous one "
+        "(Matrix Profile VII).",
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("--anchor", type=int, default=None,
+                   help="anchor window index (default: longest chain)")
+    p.add_argument("--all", action="store_true", dest="all_chains",
+                   help="print every maximal chain (length >= 2)")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--kernel", default="auto")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_chains(args) -> int:
+    from mpx.chains import all_chains, compute_chains
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series
+
+    Logger.verbose = args.verbose
+    T = read_series(args.input)
+    cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype,
+                              kernel=args.kernel)
+    res = compute_chains(T, cfg, anchor=args.anchor)
+    kind = (f"anchored @ {args.anchor}" if args.anchor is not None
+            else "longest unanchored")
+    print(f"chain ({kind}): length {res.length}")
+    print("  " + " -> ".join(str(int(i)) for i in res.chain))
+    if args.all_chains:
+        for k, c in enumerate(all_chains(res.mpi_left, res.mpi_right)):
+            print(f"chain {k}: length {len(c)}: "
+                  + " -> ".join(str(int(i)) for i in c))
+    return 0
+
+
 def _add_serve(sub):
     p = sub.add_parser(
         "serve",
@@ -974,6 +1017,7 @@ def main(argv=None) -> int:
     _add_pan(sub)
     _add_mstamp(sub)
     _add_ostinato(sub)
+    _add_chains(sub)
     _add_cluster(sub)
     _add_batch(sub)
     _add_serve(sub)
@@ -1018,6 +1062,7 @@ def main(argv=None) -> int:
             "pan": _cmd_pan,
             "mstamp": _cmd_mstamp,
             "ostinato": _cmd_ostinato,
+            "chains": _cmd_chains,
             "cluster": _cmd_cluster,
             "batch": _cmd_batch,
             "serve": _cmd_serve,

@@ -255,3 +255,23 @@ def test_analyze_av_flag(tmp_path, capsys):
     assert main(["compute", "-i", inp, "-m", "32", "-o", res]) == 0
     with pytest.raises(SystemExit):
         main(["analyze", "-i", res, "-m", "32", "--av", "complexity"])
+
+
+def test_chains_subcommand(tmp_path, capsys):
+    from mpx.io.tsb import write_binary
+    from tests.test_chains import drifting_series
+
+    T, starts = drifting_series()
+    write_binary(str(tmp_path / "d.tsb"), T, "double")
+    assert main([
+        "chains", "-i", str(tmp_path / "d.tsb"), "-m", "32",
+        "--dtype", "float64", "--all",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "longest unanchored" in out and "->" in out
+    capsys.readouterr()
+    assert main([
+        "chains", "-i", str(tmp_path / "d.tsb"), "-m", "32",
+        "--dtype", "float64", "--anchor", str(starts[0]),
+    ]) == 0
+    assert f"anchored @ {starts[0]}" in capsys.readouterr().out
