@@ -25,6 +25,8 @@ request had one, and either the result or {"error": msg}):
   {"op":"discords","series":[...],"m":64,"k"?} -> {"discords":[...]}
   {"op":"contrast","plus":[...],"minus":[...],"m":64,"k"?,"full"?}
                                          -> {"motifs":[...],"cp"?}
+  {"op":"chains","series":[...],"m":64,"anchor"?}
+                                         -> {"chain":[...],"length":L}
   {"op":"query","series":[...],"q":[...],"k"?} -> {"matches":[...]}
   {"op":"stream.create","sid":"s1","series":[...],"m":64,
    "mode":"full"|"floss","window"?}      -> {"ok":true}
@@ -136,6 +138,16 @@ class Server:
             out["cp"] = res.cp.tolist()
         return out
 
+    def _op_chains(self, req):
+        from mpx.chains import compute_chains
+
+        T = _series(req["series"])
+        anchor = req.get("anchor")
+        res = compute_chains(T, config=_cfg(req),
+                             anchor=None if anchor is None else int(anchor))
+        return {"chain": res.chain.tolist(),
+                "length": res.length}
+
     def _op_query(self, req):
         from mpx.analysis import match
 
@@ -226,6 +238,7 @@ class Server:
         "motifs": _op_motifs,
         "discords": _op_discords,
         "contrast": _op_contrast,
+        "chains": _op_chains,
         "query": _op_query,
         "stream.create": _op_stream_create,
         "stream.append": _op_stream_append,

@@ -275,9 +275,33 @@ def round_contrast(rng, seed):
     return f"contrast n+={n_p} n-={n_m} m={m} {dtype}: err={err:.2e}"
 
 
+def round_chains(rng, seed):
+    from mpx.chains import anchored_chain, chain_lengths, chain_links
+    from tests.test_left_right import brute_force_left_right
+
+    np_rng = np.random.default_rng(seed)
+    n = int(rng.integers(300, 900))
+    m = int(rng.integers(8, 48))
+    T = np.cumsum(np_rng.standard_normal(n))
+    _, il, _, ir = brute_force_left_right(T, m)
+    lengths = chain_lengths(il, ir)
+    nxt = chain_links(il, ir)
+    # DP vs naive follow at random anchors; link structure invariants
+    for anchor in np_rng.integers(0, len(il), 16):
+        c = anchored_chain(il, ir, int(anchor))
+        assert lengths[anchor] == len(c), (anchor, lengths[anchor], len(c))
+        assert np.all(np.diff(c) > 0)
+        for a, b in zip(c[:-1], c[1:]):
+            assert ir[a] == b and il[b] == a
+    assert lengths.min() >= 1
+    ok = nxt >= 0
+    assert np.array_equal(lengths[ok], lengths[nxt[ok]] + 1)
+    return f"chains n={n} m={m}: max_len={lengths.max()}"
+
+
 ROUNDS = [round_ring, round_mstamp, round_topk, round_checkpoint,
           round_batch, round_floss, round_pan_extract, round_missing,
-          round_contrast]
+          round_contrast, round_chains]
 
 
 def main() -> int:

@@ -266,3 +266,17 @@ def test_contrast_op():
     r2 = rpc(s, op="contrast", plus=Tp.tolist(), minus=Tm.tolist(),
              m=m, dtype="float64", band=128, chunk=128)
     assert "cp" not in r2 and r2["motifs"]
+
+
+def test_chains_op():
+    from tests.test_chains import drifting_series
+
+    s = Server()
+    T, starts = drifting_series()
+    r = rpc(s, op="chains", series=T.tolist(), m=32, dtype="float64",
+            anchor=starts[0])
+    assert "error" not in r, r
+    assert r["length"] >= 4 and r["chain"][0] == starts[0]
+    assert all(a < b for a, b in zip(r["chain"], r["chain"][1:]))
+    r2 = rpc(s, op="chains", series=T.tolist(), m=32, dtype="float64")
+    assert r2["length"] >= r["length"]
