@@ -49,6 +49,7 @@ from mpx.analysis import (
     unanchored_chain,
 )
 from mpx.chains import ChainsResult, anchored_chain, chain_lengths, compute_chains
+from mpx.thresh import compute_sum_thresh
 from mpx.floss import Floss
 from mpx.batch import compute_batch_profiles
 from mpx.cluster import cluster_series, hierarchical_cluster, mpdist_matrix
@@ -119,6 +120,7 @@ __all__ = [
     "anchored_chain",
     "chain_lengths",
     "compute_chains",
+    "compute_sum_thresh",
     "mpdist",
     "mass",
     "match",

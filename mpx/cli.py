@@ -621,6 +621,50 @@ def _cmd_ostinato(args) -> int:
     return 0
 
 
+def _add_thresh(sub):
+    p = sub.add_parser(
+        "thresh",
+        help="sum-threshold / frequency profile (pattern density)",
+        description="Per window: the SUM of Pearson correlations to "
+        "every non-trivial neighbor above --threshold, and the COUNT "
+        "of such neighbors (SCAMP's SUM_THRESH / FREQUENCY_THRESH "
+        "profile types). High values mark frequently recurring shapes.",
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("--threshold", type=float, default=0.0,
+                   help="correlation threshold in [-1, 1] (default 0)")
+    p.add_argument("-k", type=int, default=5,
+                   help="print the k densest windows (default 5)")
+    p.add_argument("-o", "--output",
+                   help="write <out>.thresh.npz (sums, counts)")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_thresh(args) -> int:
+    import numpy as _np
+
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series
+    from mpx.thresh import compute_sum_thresh
+
+    Logger.verbose = args.verbose
+    T = read_series(args.input)
+    sums, cnts = compute_sum_thresh(
+        T, config=MatrixProfileConfig(m=args.m, dtype=args.dtype),
+        threshold=args.threshold)
+    if args.output:
+        _np.savez(args.output + ".thresh.npz", sums=sums, counts=cnts)
+        print(f"wrote {args.output}.thresh.npz")
+    top = _np.argsort(-sums)[: max(args.k, 0)]
+    print(f"densest windows (threshold {args.threshold}):")
+    for i in top:
+        print(f"  {int(i):>8}  sum {sums[i]:.6f}  count {int(cnts[i])}")
+    return 0
+
+
 def _add_chains(sub):
     p = sub.add_parser(
         "chains",
@@ -1017,6 +1061,7 @@ def main(argv=None) -> int:
     _add_pan(sub)
     _add_mstamp(sub)
     _add_ostinato(sub)
+    _add_thresh(sub)
     _add_chains(sub)
     _add_cluster(sub)
     _add_batch(sub)
@@ -1062,6 +1107,7 @@ def main(argv=None) -> int:
             "pan": _cmd_pan,
             "mstamp": _cmd_mstamp,
             "ostinato": _cmd_ostinato,
+            "thresh": _cmd_thresh,
             "chains": _cmd_chains,
             "cluster": _cmd_cluster,
             "batch": _cmd_batch,

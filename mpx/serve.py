@@ -27,6 +27,8 @@ request had one, and either the result or {"error": msg}):
                                          -> {"motifs":[...],"cp"?}
   {"op":"chains","series":[...],"m":64,"anchor"?}
                                          -> {"chain":[...],"length":L}
+  {"op":"thresh","series":[...],"m":64,"threshold"?}
+                                         -> {"sums":[...],"counts":[...]}
   {"op":"query","series":[...],"q":[...],"k"?} -> {"matches":[...]}
   {"op":"stream.create","sid":"s1","series":[...],"m":64,
    "mode":"full"|"floss","window"?}      -> {"ok":true}
@@ -138,6 +140,16 @@ class Server:
             out["cp"] = res.cp.tolist()
         return out
 
+    def _op_thresh(self, req):
+        from mpx.thresh import compute_sum_thresh
+
+        T = _series(req["series"])
+        sums, cnts = compute_sum_thresh(
+            T, config=_cfg(req),
+            threshold=float(req.get("threshold", 0.0)))
+        return {"sums": np.asarray(sums, np.float64).tolist(),
+                "counts": np.asarray(cnts, np.int64).tolist()}
+
     def _op_chains(self, req):
         from mpx.chains import compute_chains
 
@@ -239,6 +251,7 @@ class Server:
         "discords": _op_discords,
         "contrast": _op_contrast,
         "chains": _op_chains,
+        "thresh": _op_thresh,
         "query": _op_query,
         "stream.create": _op_stream_create,
         "stream.append": _op_stream_append,

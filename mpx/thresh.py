@@ -1,0 +1,149 @@
+"""Sum-threshold and frequency profiles (SCAMP SUM_THRESH analog).
+
+Beyond reference parity: the reference computes only the 1-NN profile
+(host/MatrixProfileHost.cpp:54-160), but the wider SCAMP family also
+ships *aggregate* profile types — per window, the SUM of correlations
+above a threshold (SUM_THRESH) and the COUNT of neighbors above it
+(FREQUENCY_THRESH).  These turn the join into a density measure: high
+sums mark windows whose shape recurs often (background rhythms), near
+-zero sums mark isolated shapes — complementary to the 1-NN discord
+view, and the standard tool for "how common is this pattern?" queries.
+
+TPU-first: the (S x W) correlation tile is the SAME unit-window MXU
+matmul the 1-NN tiers use (kernels/mxu._job_correlations); only the
+epilogue changes — instead of (max, iota-min index) reductions, a
+masked sum and a popcount per row and per column, accumulated into
+carried (L,) arrays by one lax.scan over the identical upper-triangle
+job grid (each valid pair is visited exactly once, so add-merging is
+exact where max-merging was idempotent).  The threshold rides as a
+traced scalar — one compiled executable serves every threshold.
+
+Semantics (matching SCAMP): a pair contributes its Pearson correlation
+``P(r, c)`` to BOTH windows' sums iff ``P > threshold``; exclusion
+zone, bounds, and degenerate (zero-variance) windows are masked exactly
+like the 1-NN tiers (kernels/common.py masking rules).  float32 sums
+accumulate ~sqrt(count) ulp error; the float64 dtype routes through the
+XLA-emulated exact path like every other mpx tier.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpx.config import MatrixProfileConfig, make_job_grid
+from mpx.dtypes import canonical_dtype, needs_x64, x64_scope
+from mpx.kernels import band_geometry
+from mpx.kernels.mxu import _job_correlations
+
+
+def _add_window(acc, win, offset):
+    seg = jax.lax.dynamic_slice(acc, (offset,), (win.shape[0],))
+    return jax.lax.dynamic_update_slice(acc, seg + win, (offset,))
+
+
+@partial(jax.jit, static_argnames=("S", "W", "m", "w", "dt", "tr", "tc"))
+def _run_thresh_jobs(stats, threshold, r0s, k0s, *,
+                     S: int, W: int, m: int, w: int, dt,
+                     tr: int = 8, tc: int = 2048):
+    dtype = jnp.dtype(dt)
+    geom = band_geometry(S, W, m, w, tr, tc)
+    L = w + S + W
+    sums0 = jnp.zeros(L, dtype)
+    cnts0 = jnp.zeros(L, jnp.int32)
+    thr = threshold.astype(dtype)
+
+    def body(carry, job):
+        sums, cnts = carry
+        r0, k0 = job
+        c0 = r0 + k0
+        P, valid, _, _ = _job_correlations(stats, r0, c0, geom, dtype)
+        hit = valid & (P > thr)
+        Ph = jnp.where(hit, P, jnp.zeros((), dtype))
+        sums = _add_window(sums, jnp.sum(Ph, axis=1), r0)
+        sums = _add_window(sums, jnp.sum(Ph, axis=0), c0)
+        # explicit int32 accumulator: x64 scope would promote to int64
+        cnts = _add_window(cnts, jnp.sum(hit, axis=1, dtype=jnp.int32), r0)
+        cnts = _add_window(cnts, jnp.sum(hit, axis=0, dtype=jnp.int32), c0)
+        return (sums, cnts), None
+
+    (sums, cnts), _ = jax.lax.scan(body, (sums0, cnts0), (r0s, k0s))
+    return sums[:w], cnts[:w]
+
+
+def compute_sum_thresh(
+    T,
+    m: Optional[int] = None,
+    *,
+    config: Optional[MatrixProfileConfig] = None,
+    threshold: float = 0.0,
+):
+    """Sum-threshold + frequency profile of the self-join of ``T``.
+
+    Returns ``(sums, counts)``: per window, the sum of Pearson
+    correlations to every non-trivial neighbor with correlation
+    strictly above ``threshold``, and how many such neighbors exist.
+    Same config knobs (band/chunk/dtype/input_quant) as the 1-NN
+    driver; the threshold is a runtime scalar (no recompile per value).
+    """
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32)
+    elif m is not None and m != config.m:
+        raise ValueError(f"m={m} conflicts with config.m={config.m}")
+    m = config.m
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    if config.num_shards and config.num_shards > 1:
+        raise ValueError("the sum-threshold tier is single-device; "
+                         "drop num_shards")
+    if config.kernel not in ("auto", "mxu"):
+        raise ValueError("the sum-threshold tier has one kernel "
+                         "(windows matmul); use kernel='auto'")
+    T = np.asarray(T)
+    n = T.shape[0]
+    config.validate_series(n, T)
+    if config.input_quant is not None:
+        from mpx.io.apfixed import quantize
+
+        T = quantize(np.asarray(T, np.float64), config.input_quant)
+    w = n - m + 1
+    config = config.shrink_to(w)
+    S, W = config.band, config.chunk
+    dt = canonical_dtype(config.dtype)
+
+    from mpx.ops.precompute import precompute_statistics
+
+    grid = make_job_grid(w, S, W)
+    with x64_scope(needs_x64(dt)):
+        stats = precompute_statistics(T, m, band=S, chunk=W, dtype=dt,
+                                      matmul_only=True)
+        sums, cnts = _run_thresh_jobs(
+            stats, jnp.asarray(float(threshold), jnp.float64
+                               if needs_x64(dt) else jnp.float32),
+            jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+            S=S, W=W, m=m, w=w, dt=str(dt),
+            tr=config.tile_rows, tc=config.tile_cols,
+        )
+        return np.asarray(sums), np.asarray(cnts)
+
+
+def brute_force_sum_thresh(T, m: int, threshold: float = 0.0):
+    """O(n^2) numpy oracle: masked correlation-matrix sum/count."""
+    from mpx.reference import (
+        exclusion_zone,
+        znormalized_distance_matrix,
+    )
+
+    T = np.asarray(T, np.float64)
+    D = znormalized_distance_matrix(T, m)
+    w = D.shape[0]
+    P = 1.0 - (D * D) / (2.0 * m)
+    i, j = np.meshgrid(np.arange(w), np.arange(w), indexing="ij")
+    valid = (np.abs(i - j) >= exclusion_zone(m)) & np.isfinite(P)
+    hit = valid & (P > threshold)
+    Ph = np.where(hit, P, 0.0)
+    return Ph.sum(axis=1), hit.sum(axis=1).astype(np.int64)

@@ -299,9 +299,34 @@ def round_chains(rng, seed):
     return f"chains n={n} m={m}: max_len={lengths.max()}"
 
 
+def round_thresh(rng, seed):
+    from mpx.thresh import brute_force_sum_thresh, compute_sum_thresh
+
+    np_rng = np.random.default_rng(seed)
+    n = int(rng.integers(300, 900))
+    m = int(rng.integers(8, 48))
+    thr = float(rng.uniform(-0.5, 0.95))
+    dtype = str(rng.choice(["float32", "float64"]))
+    T = np.cumsum(np_rng.standard_normal(n))
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=32, chunk=64,
+                              tile_rows=8, tile_cols=16)
+    sums, cnts = compute_sum_thresh(T, config=cfg, threshold=thr)
+    esums, ecnts = brute_force_sum_thresh(T, m, thr)
+    if dtype == "float64":
+        assert np.array_equal(cnts, ecnts)
+        err = np.abs(sums - esums).max()
+        assert err <= 1e-8, f"sum off oracle by {err}"
+    else:
+        flips = np.abs(cnts.astype(np.int64) - ecnts).max()
+        assert flips <= 4, f"count flips {flips}"
+        err = np.abs(sums - esums).max()
+        assert err <= 2e-2, f"sum off oracle by {err}"
+    return f"thresh n={n} m={m} thr={thr:.2f} {dtype}: err={err:.2e}"
+
+
 ROUNDS = [round_ring, round_mstamp, round_topk, round_checkpoint,
           round_batch, round_floss, round_pan_extract, round_missing,
-          round_contrast, round_chains]
+          round_contrast, round_chains, round_thresh]
 
 
 def main() -> int:

@@ -275,3 +275,25 @@ def test_chains_subcommand(tmp_path, capsys):
         "--dtype", "float64", "--anchor", str(starts[0]),
     ]) == 0
     assert f"anchored @ {starts[0]}" in capsys.readouterr().out
+
+
+def test_thresh_subcommand(tmp_path, capsys):
+    from mpx.io.tsb import write_binary
+
+    T = random_walk(512, seed=9)
+    write_binary(str(tmp_path / "t.tsb"), T, "double")
+    assert main([
+        "thresh", "-i", str(tmp_path / "t.tsb"), "-m", "16",
+        "--threshold", "0.5", "--dtype", "float64",
+        "-o", str(tmp_path / "r"),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "densest windows" in out
+    import numpy as np
+
+    data = np.load(str(tmp_path / "r.thresh.npz"))
+    from mpx.thresh import brute_force_sum_thresh
+
+    esums, ecnts = brute_force_sum_thresh(T, 16, 0.5)
+    np.testing.assert_allclose(data["sums"], esums, atol=1e-8)
+    np.testing.assert_array_equal(data["counts"], ecnts)

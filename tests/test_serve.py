@@ -280,3 +280,18 @@ def test_chains_op():
     assert all(a < b for a, b in zip(r["chain"], r["chain"][1:]))
     r2 = rpc(s, op="chains", series=T.tolist(), m=32, dtype="float64")
     assert r2["length"] >= r["length"]
+
+
+def test_thresh_op():
+    s = Server()
+    rng = np.random.default_rng(7)
+    m = 32
+    T = rng.normal(0, 0.5, 800)
+    pat = np.sin(np.linspace(0, 4 * np.pi, m))
+    for pos in (100, 400, 700):
+        T[pos : pos + m] += 3 * pat
+    r = rpc(s, op="thresh", series=T.tolist(), m=m, threshold=0.8,
+            dtype="float64")
+    assert "error" not in r, r
+    assert r["counts"][100] >= 2 and r["counts"][400] >= 2
+    assert sorted(r["counts"])[len(r["counts"]) // 2] == 0
