@@ -310,6 +310,9 @@ def _cmd_contrast(args) -> int:
     Tm = read_series(args.minus)
     if args.pan:
         ms = [int(s) for s in args.pan.split(",") if s.strip()]
+        if not ms:
+            raise ValueError("--pan needs at least one window size, "
+                             "e.g. --pan 64,128,256")
         cfg = MatrixProfileConfig(m=ms[0], dtype=args.dtype,
                                   band=args.band, chunk=args.chunk)
         pan = pan_contrast_profile(Tp, Tm, ms, config=cfg)
@@ -638,6 +641,10 @@ def _add_thresh(sub):
                    help="print the k densest windows (default 5)")
     p.add_argument("-o", "--output",
                    help="write <out>.thresh.npz (sums, counts)")
+    p.add_argument("--band", type=int, default=None,
+                   help="job band rows (default: config default)")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="job diagonal chunk (default: config default)")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--verbose", action="store_true")
     return p
@@ -652,8 +659,13 @@ def _cmd_thresh(args) -> int:
 
     Logger.verbose = args.verbose
     T = read_series(args.input)
+    kw = {}
+    if args.band is not None:
+        kw["band"] = args.band
+    if args.chunk is not None:
+        kw["chunk"] = args.chunk
     sums, cnts = compute_sum_thresh(
-        T, config=MatrixProfileConfig(m=args.m, dtype=args.dtype),
+        T, config=MatrixProfileConfig(m=args.m, dtype=args.dtype, **kw),
         threshold=args.threshold)
     if args.output:
         _np.savez(args.output + ".thresh.npz", sums=sums, counts=cnts)

@@ -58,15 +58,15 @@ def _contrast_from_profiles(mp_aa, mp_ab, mpi_aa, mpi_ab, m: int) -> np.ndarray:
     mp_ab = np.asarray(mp_ab, dtype=np.float64)
     cp = np.clip((mp_ab - mp_aa) / np.sqrt(2.0 * m), 0.0, 1.0)
     # untouched/flat entries carry the sqrt(2m(1+1e12)) sentinel and
-    # MPI_INIT=-1 indices; a pattern is only "contrastive" if BOTH joins
-    # produced a real neighbor.
-    valid = (
-        (np.asarray(mpi_aa) >= 0)
-        & (np.asarray(mpi_ab) >= 0)
-        & np.isfinite(mp_aa)
-        & np.isfinite(mp_ab)
-    )
-    return np.where(valid, cp, 0.0)
+    # MPI_INIT=-1 indices.  The in-class side gates everything: without
+    # a real T+ neighbor there is no motif to contrast (CP = 0).  A
+    # missing T- neighbor means the pattern has NO comparable content in
+    # the minus class at all — maximally contrastive, CP = 1 (the limit
+    # of the formula as d_ab -> its sqrt(4m) ceiling and beyond).
+    valid_aa = (np.asarray(mpi_aa) >= 0) & np.isfinite(mp_aa)
+    valid_ab = (np.asarray(mpi_ab) >= 0) & np.isfinite(mp_ab)
+    cp = np.where(valid_ab, cp, 1.0)
+    return np.where(valid_aa, cp, 0.0)
 
 
 def contrast_profile(
@@ -139,13 +139,14 @@ def pan_contrast_profile(
     global peak across rows identifies the best (m, i) contrast pattern —
     see :func:`best_contrast`.
     """
+    from dataclasses import replace
+
     out: List[Tuple[int, np.ndarray]] = []
     for m in sorted(set(int(m) for m in ms)):
-        kw = {} if config is None else {
-            k: getattr(config, k)
-            for k in ("dtype", "kernel", "band", "chunk")
-        }
-        cfg = MatrixProfileConfig(m=m, **kw)
+        # carry the FULL config (input_quant, tiles, dispatch_group, ...)
+        # so pan rows match single-m runs of the same config exactly
+        cfg = (MatrixProfileConfig(m=m) if config is None
+               else replace(config, m=m))
         out.append((m, contrast_profile(T_plus, T_minus, config=cfg).cp))
     return out
 

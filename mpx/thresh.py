@@ -47,14 +47,17 @@ def _add_window(acc, win, offset):
 
 
 @partial(jax.jit, static_argnames=("S", "W", "m", "w", "dt", "tr", "tc"))
-def _run_thresh_jobs(stats, threshold, r0s, k0s, *,
+def _run_thresh_jobs(stats, threshold, r0s, k0s, sums0, cnts0, *,
                      S: int, W: int, m: int, w: int, dt,
                      tr: int = 8, tc: int = 2048):
+    """One dispatch: scan a job-group, adding into carried (L,) arrays.
+
+    The caller loops over watchdog-safe groups, feeding each dispatch's
+    accumulators into the next (same contract as driver run_jobs
+    grouping); dummy padding jobs (r0 >= w) mask to zero contribution.
+    """
     dtype = jnp.dtype(dt)
     geom = band_geometry(S, W, m, w, tr, tc)
-    L = w + S + W
-    sums0 = jnp.zeros(L, dtype)
-    cnts0 = jnp.zeros(L, jnp.int32)
     thr = threshold.astype(dtype)
 
     def body(carry, job):
@@ -72,7 +75,7 @@ def _run_thresh_jobs(stats, threshold, r0s, k0s, *,
         return (sums, cnts), None
 
     (sums, cnts), _ = jax.lax.scan(body, (sums0, cnts0), (r0s, k0s))
-    return sums[:w], cnts[:w]
+    return sums, cnts
 
 
 def compute_sum_thresh(
@@ -115,20 +118,39 @@ def compute_sum_thresh(
     S, W = config.band, config.chunk
     dt = canonical_dtype(config.dtype)
 
+    from mpx.config import pad_job_grid
+    from mpx.driver import _auto_dispatch_group
     from mpx.ops.precompute import precompute_statistics
 
     grid = make_job_grid(w, S, W)
+    # Watchdog-safe dispatch grouping, same policy as the 1-NN driver:
+    # long single device executions trip relay/device watchdogs, so the
+    # job list is cut into ~60s dispatches whose accumulators carry
+    # device-to-device (config.dispatch_group: explicit size; 0: one
+    # dispatch; None: auto-sized from the tier rate).
+    group = _auto_dispatch_group(config, "mxu", dt, S, W)
+    njobs = grid.r0.shape[0]
+    if not group or group >= njobs:
+        group = njobs
+    grid = pad_job_grid(grid, group, dummy_r0=w)
     with x64_scope(needs_x64(dt)):
         stats = precompute_statistics(T, m, band=S, chunk=W, dtype=dt,
                                       matmul_only=True)
-        sums, cnts = _run_thresh_jobs(
-            stats, jnp.asarray(float(threshold), jnp.float64
-                               if needs_x64(dt) else jnp.float32),
-            jnp.asarray(grid.r0), jnp.asarray(grid.k0),
-            S=S, W=W, m=m, w=w, dt=str(dt),
-            tr=config.tile_rows, tc=config.tile_cols,
-        )
-        return np.asarray(sums), np.asarray(cnts)
+        thr = jnp.asarray(float(threshold),
+                          jnp.float64 if needs_x64(dt) else jnp.float32)
+        L = w + S + W
+        sums = jnp.zeros(L, canonical_dtype(config.dtype))
+        cnts = jnp.zeros(L, jnp.int32)
+        for off in range(0, grid.r0.shape[0], group):
+            sums, cnts = _run_thresh_jobs(
+                stats, thr,
+                jnp.asarray(grid.r0[off : off + group]),
+                jnp.asarray(grid.k0[off : off + group]),
+                sums, cnts,
+                S=S, W=W, m=m, w=w, dt=str(dt),
+                tr=config.tile_rows, tc=config.tile_cols,
+            )
+        return np.asarray(sums)[:w], np.asarray(cnts)[:w]
 
 
 def brute_force_sum_thresh(T, m: int, threshold: float = 0.0):

@@ -128,3 +128,22 @@ def test_cli_contrast(tmp_path, capsys):
                "--dtype", "double", "--band", "128", "--chunk", "128"])
     assert rc == 0
     assert "best contrast" in capsys.readouterr().out
+
+
+def test_no_comparable_minus_content_is_maximally_contrastive():
+    """A constant T- has no valid windows: every repeated T+ pattern is
+    absent from the minus class, so CP = 1 there (not 0)."""
+    rng = np.random.default_rng(11)
+    m = 24
+    Tp = rng.normal(0, 0.5, 400)
+    pat = np.sin(np.linspace(0, 3 * np.pi, m))
+    Tp[50 : 50 + m] += 2 * pat
+    Tp[300 : 300 + m] += 2 * pat
+    Tm = np.zeros(400)
+    cfg = MatrixProfileConfig(m=m, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=16)
+    res = contrast_profile(Tp, Tm, config=cfg)
+    assert np.all(res.mpi_ab == -1)
+    assert res.cp[50] == 1.0 and res.cp[300] == 1.0
+    np.testing.assert_allclose(
+        res.cp, brute_force_contrast_profile(Tp, Tm, m), atol=1e-8)

@@ -68,3 +68,19 @@ def test_validation():
     with pytest.raises(ValueError, match="single-device"):
         compute_sum_thresh(
             T, config=MatrixProfileConfig(m=16, num_shards=2))
+
+
+def test_dispatch_grouping_is_exact():
+    """Grouped dispatches (carried accumulators + dummy padding jobs)
+    must be bit-identical to the single-dispatch run."""
+    T = random_walk(600, seed=77)
+    base = dict(m=16, dtype="float64", band=32, chunk=64,
+                tile_rows=8, tile_cols=16)
+    one = compute_sum_thresh(
+        T, config=MatrixProfileConfig(**base, dispatch_group=0),
+        threshold=0.3)
+    grouped = compute_sum_thresh(
+        T, config=MatrixProfileConfig(**base, dispatch_group=3),
+        threshold=0.3)
+    np.testing.assert_array_equal(one[0], grouped[0])
+    np.testing.assert_array_equal(one[1], grouped[1])
