@@ -277,6 +277,13 @@ SUITE = [
         "band": 4096, "chunk": 32768,
     },
     {
+        # sum-threshold / frequency (pattern density) tier: the 1-NN
+        # sweep's matmul with a sum/popcount epilogue (mpx/thresh.py)
+        "name": "thresh-f32-1048576",
+        "thresh": True, "n": 1 << 20, "m": 256, "threshold": 0.7,
+        "dtype": "float32", "band": 4096, "chunk": 16384,
+    },
+    {
         # multi-dimensional (mSTAMP) tier: d-batched MXU tiles +
         # cross-dim sort; metric = dimension-pairs/s (no reference
         # analog — the HLS design is strictly 1-D)
@@ -519,6 +526,103 @@ def run_contrast_benchmark(n: int, m: int, dtype: str = "double",
     }
 
 
+def run_thresh_benchmark(n: int, m: int, dtype: str = "float32",
+                         threshold: float = 0.7,
+                         band: int = 4096, chunk: int = 16384,
+                         seed: int = 0, validate: int = 16,
+                         verbose: bool = False):
+    """Sum-threshold / frequency profile benchmark (mpx/thresh.py).
+    Metric = pairs/s over the w*(w-1)/2 unordered pairs (each visited
+    once; its correlation feeds both windows' sums).  Validation:
+    ``validate`` sampled rows' sums/counts recomputed by a blocked
+    host-f64 unit-window matmul over ALL columns."""
+    import time
+
+    from mpx import MatrixProfileConfig
+    from mpx.runtime import enable_compilation_cache
+    from mpx.thresh import compute_sum_thresh
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(seed)
+    T = np.cumsum(rng.standard_normal(n))
+    w = n - m + 1
+    pairs = w * (w - 1) / 2
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=band, chunk=chunk)
+
+    compute_sum_thresh(T, config=cfg, threshold=threshold)  # warmup
+    t0 = time.time()
+    sums, cnts = compute_sum_thresh(T, config=cfg, threshold=threshold)
+    wall = time.time() - t0
+
+    val = None
+    if validate:
+        from mpx.ops.precompute import precompute_statistics_numpy
+
+        T64 = np.asarray(T, np.float64)
+        s = precompute_statistics_numpy(T64, m)
+        mu = np.asarray(s["mu"], np.float64)
+        inv = np.asarray(s["inv"], np.float64)
+        rows = np.sort(np.random.default_rng(seed + 1).choice(
+            w, size=min(validate, w), replace=False))
+        wins = np.lib.stride_tricks.sliding_window_view(T64, m)
+        Ur = (wins[rows] - mu[rows, None]) * inv[rows, None]
+        excl = m // 4
+        # Borderline pairs (|P - threshold| < delta) legitimately flip
+        # between device-f32 and host-f64 — and each flip moves the sum
+        # by ~threshold — so f32 is validated as an INTERVAL: the device
+        # sum/count must land between the oracle at threshold+delta and
+        # threshold-delta (plus an accumulation tolerance).  f64 uses a
+        # degenerate band (exact comparison).
+        delta = 0.0 if dtype in ("double", "float64") else 1e-3
+        lo_s = np.zeros(rows.shape[0])
+        hi_s = np.zeros(rows.shape[0])
+        lo_c = np.zeros(rows.shape[0], np.int64)
+        hi_c = np.zeros(rows.shape[0], np.int64)
+        blk = 1 << 16
+        for o in range(0, w, blk):
+            e = min(o + blk, w)
+            Uc = (wins[o:e] - mu[o:e, None]) * inv[o:e, None]
+            P = Ur @ Uc.T
+            ok = ((np.abs(rows[:, None] - np.arange(o, e)[None, :])
+                   >= excl)
+                  & np.isfinite(inv[rows])[:, None]
+                  & np.isfinite(inv[o:e])[None, :])
+            tight = ok & (P > threshold + delta)
+            loose = ok & (P > threshold - delta)
+            lo_s += np.where(tight, P, 0.0).sum(axis=1)
+            hi_s += np.where(loose, P, 0.0).sum(axis=1)
+            lo_c += tight.sum(axis=1)
+            hi_c += loose.sum(axis=1)
+        tol = 1e-8 if dtype in ("double", "float64") else max(
+            2e-2, 1e-6 * float(hi_s.max(initial=0.0)))
+        got_s = np.asarray(sums)[rows].astype(np.float64)
+        got_c = np.asarray(cnts)[rows].astype(np.int64)
+        sum_viol = np.maximum(lo_s - tol - got_s, got_s - hi_s - tol)
+        cnt_viol = np.maximum(lo_c - got_c, got_c - hi_c)
+        if (sum_viol.size and sum_viol.max() > 0) or cnt_viol.max(
+                initial=0) > 0:
+            raise ValidationError(
+                f"thresh sampled-row validation FAILED: sum violation "
+                f"{sum_viol.max():.3e}, count violation {cnt_viol.max()}")
+        val = {"rows": int(rows.shape[0]),
+               "max_sum_slack": float(np.maximum(sum_viol, 0.0).max())
+               if sum_viol.size else 0.0,
+               "band_delta": delta, "tol": tol}
+        if verbose:
+            print(f"# validated {val['rows']} thresh rows "
+                  f"(interval, delta={delta}, tol={tol:.2e})",
+                  file=sys.stderr)
+
+    return {
+        "validation": val,
+        "n": n, "m": m, "dtype": dtype, "threshold": threshold,
+        "pairs": pairs,
+        "wall_s": wall,
+        "pairs_per_sec": pairs / wall,
+        "mp_head": np.asarray(sums)[:4].tolist(),
+    }
+
+
 def run_mstamp_benchmark(n: int, m: int, d: int, dtype: str = "float32",
                          band: int = 4096, chunk: int = 4096,
                          seed: int = 0, validate: int = 8,
@@ -657,7 +761,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
             continue  # hour-scale rows run only when named via --only
         kwargs = {k: v for k, v in cfg.items()
                   if k not in ("name", "input", "streaming", "huge",
-                               "topk", "mstamp", "batch", "contrast")}
+                               "topk", "mstamp", "batch", "contrast",
+                               "thresh")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 
@@ -673,6 +778,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
                 res = run_mstamp_benchmark(verbose=verbose, **kwargs)
             elif cfg.get("contrast"):
                 res = run_contrast_benchmark(verbose=verbose, **kwargs)
+            elif cfg.get("thresh"):
+                res = run_thresh_benchmark(verbose=verbose, **kwargs)
             elif cfg.get("batch"):
                 res = run_batch_benchmark(verbose=verbose, **kwargs)
             else:

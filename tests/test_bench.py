@@ -133,3 +133,32 @@ def test_suite_reraises_validation_errors(monkeypatch):
 
     monkeypatch.setattr(B, "run_benchmark", flaky)
     assert B.run_suite(names=["vanilla-f32-8192"]) == []
+
+
+def test_thresh_benchmark_smoke():
+    from mpx.bench import run_thresh_benchmark
+
+    r = run_thresh_benchmark(n=4096, m=32, dtype="float32", threshold=0.6,
+                             band=512, chunk=512, validate=8)
+    assert r["validation"]["rows"] == 8
+    assert r["pairs_per_sec"] > 0
+
+
+def test_thresh_validation_catches_corruption(monkeypatch):
+    import mpx.thresh as thresh_mod
+    from mpx.bench import ValidationError, run_thresh_benchmark
+
+    real = thresh_mod.compute_sum_thresh
+
+    def corrupt(*a, **k):
+        sums, cnts = real(*a, **k)
+        sums = sums.copy()
+        sums[len(sums) // 2] += 5.0
+        return sums, cnts
+
+    monkeypatch.setattr(thresh_mod, "compute_sum_thresh", corrupt)
+    import pytest as _pytest
+
+    with _pytest.raises(ValidationError):
+        run_thresh_benchmark(n=2048, m=16, dtype="float64", threshold=0.2,
+                             band=256, chunk=256, validate=2048)
