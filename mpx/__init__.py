@@ -49,6 +49,7 @@ from mpx.analysis import (
     unanchored_chain,
 )
 from mpx.chains import ChainsResult, anchored_chain, chain_lengths, compute_chains
+from mpx.motiflets import Motiflet, k_motiflets, motiflet_elbows
 from mpx.thresh import compute_sum_thresh
 from mpx.floss import Floss
 from mpx.batch import compute_batch_profiles
@@ -121,6 +122,9 @@ __all__ = [
     "chain_lengths",
     "compute_chains",
     "compute_sum_thresh",
+    "Motiflet",
+    "k_motiflets",
+    "motiflet_elbows",
     "mpdist",
     "mass",
     "match",

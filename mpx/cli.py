@@ -624,6 +624,57 @@ def _cmd_ostinato(args) -> int:
     return 0
 
 
+def _add_motiflets(sub):
+    p = sub.add_parser(
+        "motiflets",
+        help="k-motiflets: the k most similar motif occurrences",
+        description="Find the set of k non-overlapping windows with "
+        "minimal extent (max pairwise z-norm distance) — set-motif "
+        "discovery parameterized by occurrence count instead of a "
+        "radius (Schaefer & Leser 2022). --elbows sweeps k and reports "
+        "the natural occurrence counts.",
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("-k", type=int, default=None,
+                   help="occurrence count (omit with --elbows)")
+    p.add_argument("--elbows", type=int, default=None, metavar="KMAX",
+                   help="sweep k=2..KMAX, print extents + elbow k's")
+    p.add_argument("--candidates", type=int, default=64,
+                   help="seeds refined on host (default 64)")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_motiflets(args) -> int:
+    from mpx.config import MatrixProfileConfig
+    from mpx.io.tsb import read_series
+    from mpx.motiflets import k_motiflets, motiflet_elbows
+
+    Logger.verbose = args.verbose
+    T = read_series(args.input)
+    cfg = MatrixProfileConfig(m=args.m, dtype=args.dtype)
+    if args.elbows is not None:
+        results, elbows = motiflet_elbows(
+            T, kmax=args.elbows, config=cfg, candidates=args.candidates)
+        for r in results:
+            idx = " ".join(str(int(i)) for i in r.indices)
+            print(f"k={r.k}: extent {r.extent:.6f}  [{idx}]")
+        print("elbows (descending significance): "
+              + (" ".join(str(k) for k in elbows) or "none"))
+        return 0
+    if args.k is None:
+        print("error: -k is required (or pass --elbows)", file=sys.stderr)
+        return 1
+    res = k_motiflets(T, k=args.k, config=cfg,
+                      candidates=args.candidates)
+    idx = " ".join(str(int(i)) for i in res.indices)
+    print(f"{args.k}-motiflet: extent {res.extent:.6f}")
+    print(f"  occurrences: {idx}")
+    return 0
+
+
 def _add_thresh(sub):
     p = sub.add_parser(
         "thresh",
@@ -1073,6 +1124,7 @@ def main(argv=None) -> int:
     _add_pan(sub)
     _add_mstamp(sub)
     _add_ostinato(sub)
+    _add_motiflets(sub)
     _add_thresh(sub)
     _add_chains(sub)
     _add_cluster(sub)
@@ -1119,6 +1171,7 @@ def main(argv=None) -> int:
             "pan": _cmd_pan,
             "mstamp": _cmd_mstamp,
             "ostinato": _cmd_ostinato,
+            "motiflets": _cmd_motiflets,
             "thresh": _cmd_thresh,
             "chains": _cmd_chains,
             "cluster": _cmd_cluster,

@@ -29,6 +29,8 @@ request had one, and either the result or {"error": msg}):
                                          -> {"chain":[...],"length":L}
   {"op":"thresh","series":[...],"m":64,"threshold"?}
                                          -> {"sums":[...],"counts":[...]}
+  {"op":"motiflets","series":[...],"m":64,"k":5,"candidates"?}
+                                         -> {"indices":[...],"extent":E}
   {"op":"query","series":[...],"q":[...],"k"?} -> {"matches":[...]}
   {"op":"stream.create","sid":"s1","series":[...],"m":64,
    "mode":"full"|"floss","window"?}      -> {"ok":true}
@@ -139,6 +141,15 @@ class Server:
         if req.get("full"):
             out["cp"] = res.cp.tolist()
         return out
+
+    def _op_motiflets(self, req):
+        from mpx.motiflets import k_motiflets
+
+        T = _series(req["series"])
+        res = k_motiflets(T, k=int(req["k"]), config=_cfg(req),
+                          candidates=int(req.get("candidates", 64)))
+        return {"indices": res.indices.tolist(),
+                "extent": float(res.extent)}
 
     def _op_thresh(self, req):
         from mpx.thresh import compute_sum_thresh
@@ -251,6 +262,7 @@ class Server:
         "discords": _op_discords,
         "contrast": _op_contrast,
         "chains": _op_chains,
+        "motiflets": _op_motiflets,
         "thresh": _op_thresh,
         "query": _op_query,
         "stream.create": _op_stream_create,

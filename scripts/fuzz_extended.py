@@ -324,9 +324,39 @@ def round_thresh(rng, seed):
     return f"thresh n={n} m={m} thr={thr:.2f} {dtype}: err={err:.2e}"
 
 
+def round_motiflets(rng, seed):
+    from mpx.motiflets import k_motiflets, pairwise_extent
+    from mpx.reference import exclusion_zone
+
+    np_rng = np.random.default_rng(seed)
+    copies = int(rng.integers(3, 7))
+    m = int(rng.integers(24, 64))
+    n = int(rng.integers(1500, 3000))
+    T = np_rng.normal(0, 0.4, n)
+    pat = np.sin(np.linspace(0, 3 * np.pi, m))
+    gap = n // (copies + 1)
+    starts = [gap * (i + 1) for i in range(copies)]
+    for s in starts:
+        T[s : s + m] += 2.5 * pat + np_rng.normal(0, 0.02, m)
+    cfg = MatrixProfileConfig(m=m, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=16)
+    res = k_motiflets(T, k=copies, config=cfg)
+    zone = max(exclusion_zone(m), m // 2)
+    assert len(res.indices) == copies
+    assert (np.diff(np.sort(res.indices)) >= zone).all()
+    assert res.extent == pairwise_extent(
+        np.asarray(T, np.float64), m, res.indices)
+    # the planted set is reachable from a planted seed, so the greedy
+    # result is at least that good
+    planted_ext = pairwise_extent(np.asarray(T, np.float64), m, starts)
+    assert res.extent <= planted_ext + 1e-9, (res.extent, planted_ext)
+    return (f"motiflets n={n} m={m} k={copies}: "
+            f"extent={res.extent:.3f} (planted {planted_ext:.3f})")
+
+
 ROUNDS = [round_ring, round_mstamp, round_topk, round_checkpoint,
           round_batch, round_floss, round_pan_extract, round_missing,
-          round_contrast, round_chains, round_thresh]
+          round_contrast, round_chains, round_thresh, round_motiflets]
 
 
 def main() -> int:

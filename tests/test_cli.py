@@ -297,3 +297,27 @@ def test_thresh_subcommand(tmp_path, capsys):
     esums, ecnts = brute_force_sum_thresh(T, 16, 0.5)
     np.testing.assert_allclose(data["sums"], esums, atol=1e-8)
     np.testing.assert_array_equal(data["counts"], ecnts)
+
+
+def test_motiflets_subcommand(tmp_path, capsys):
+    from mpx.io.tsb import write_binary
+    from tests.test_motiflets import planted
+
+    T, starts = planted()
+    write_binary(str(tmp_path / "mf.tsb"), T, "double")
+    assert main([
+        "motiflets", "-i", str(tmp_path / "mf.tsb"), "-m", "48",
+        "-k", "5", "--dtype", "float64",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "5-motiflet" in out and "occurrences:" in out
+    assert main([
+        "motiflets", "-i", str(tmp_path / "mf.tsb"), "-m", "48",
+        "--elbows", "7", "--dtype", "float64",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "elbows" in out and "k=5" in out
+    # neither -k nor --elbows
+    assert main([
+        "motiflets", "-i", str(tmp_path / "mf.tsb"), "-m", "48",
+    ]) == 1

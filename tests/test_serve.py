@@ -295,3 +295,16 @@ def test_thresh_op():
     assert "error" not in r, r
     assert r["counts"][100] >= 2 and r["counts"][400] >= 2
     assert sorted(r["counts"])[len(r["counts"]) // 2] == 0
+
+
+def test_motiflets_op():
+    from tests.test_motiflets import planted
+
+    s = Server()
+    T, starts = planted()
+    r = rpc(s, op="motiflets", series=T.tolist(), m=48, k=5,
+            dtype="float64", band=64, chunk=128)
+    assert "error" not in r, r
+    assert len(r["indices"]) == 5
+    for idx in r["indices"]:
+        assert min(abs(idx - st) for st in starts) <= 4
