@@ -109,6 +109,20 @@ cmot = mpx.top_contrast_motifs(cres, m, k=1)
 print(f"contrast: peak @ {cmot[0].index} score {cmot[0].score:.3f}"
       if cmot else "contrast: no distinguishing pattern")
 
+# --- 9i. time-series chains: patterns that DRIFT over time -------------------
+chain = mpx.compute_chains(T, m=m)
+print(f"chains: longest drifts through {chain.length} windows "
+      f"{chain.chain[:6].tolist()}{'...' if chain.length > 6 else ''}")
+
+# --- 9j. pattern density: how often does each shape recur? -------------------
+sums, counts = mpx.compute_sum_thresh(T, m=m, threshold=0.6)
+print(f"density: busiest window {int(counts.argmax())} has "
+      f"{int(counts.max())} neighbors above 0.6 correlation")
+
+# --- 9k. k-motiflets: the k most similar occurrences of a motif --------------
+mf = mpx.k_motiflets(T, k=3, m=m)
+print(f"3-motiflet: extent {mf.extent:.3f} at {mf.indices.tolist()}")
+
 # --- 10. fixed-point input tier (the reference's ap_fixed dtypes) ------------
 cfg16 = mpx.MatrixProfileConfig(m=m, dtype="ap16")   # quantize to 2^-11 grid
 MPq, _ = mpx.compute_matrix_profile(T / np.abs(T).max() * 8, config=cfg16)

@@ -18,5 +18,6 @@ def test_quickstart_runs(capsys):
     out = capsys.readouterr().out
     for marker in ("motif:", "discord:", "streaming == batch: True",
                    "floss:", "mpdist clusters:", "batch tier:",
-                   "contrast:", "ap16 tier:"):
+                   "contrast:", "chains:", "density:", "3-motiflet:",
+                   "ap16 tier:"):
         assert marker in out, f"quickstart output missing {marker!r}"
