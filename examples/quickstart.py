@@ -123,6 +123,13 @@ print(f"density: busiest window {int(counts.argmax())} has "
 mf = mpx.k_motiflets(T, k=3, m=m)
 print(f"3-motiflet: extent {mf.extent:.3f} at {mf.indices.tolist()}")
 
+# --- 9l. online anomaly detection (DAMP): causal left-discord scores ---------
+det = mpx.OnlineAnomalyDetector(T[:400], m=m)
+det.append(T[400:])
+d = det.discord
+print(f"damp: strongest anomaly @ {d.index} distance {d.distance:.3f}"
+      if d else "damp: nothing scorable")
+
 # --- 10. fixed-point input tier (the reference's ap_fixed dtypes) ------------
 cfg16 = mpx.MatrixProfileConfig(m=m, dtype="ap16")   # quantize to 2^-11 grid
 MPq, _ = mpx.compute_matrix_profile(T / np.abs(T).max() * 8, config=cfg16)

@@ -49,6 +49,7 @@ from mpx.analysis import (
     unanchored_chain,
 )
 from mpx.chains import ChainsResult, anchored_chain, chain_lengths, compute_chains
+from mpx.damp import Anomaly, OnlineAnomalyDetector, compute_damp
 from mpx.motiflets import Motiflet, k_motiflets, motiflet_elbows
 from mpx.thresh import compute_sum_thresh
 from mpx.floss import Floss
@@ -125,6 +126,9 @@ __all__ = [
     "Motiflet",
     "k_motiflets",
     "motiflet_elbows",
+    "Anomaly",
+    "OnlineAnomalyDetector",
+    "compute_damp",
     "mpdist",
     "mass",
     "match",

@@ -624,6 +624,53 @@ def _cmd_ostinato(args) -> int:
     return 0
 
 
+def _add_damp(sub):
+    p = sub.add_parser(
+        "damp",
+        help="DAMP anomaly detection: left-profile discords",
+        description="Score every window by its distance to the nearest "
+        "EARLIER window (the left profile / DAMP score, exact on "
+        "device) and report the strongest anomalies after --split. "
+        "Scores are causal: each one is final when its window arrives "
+        "(use mpx serve stream mode='damp' for the online version).",
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("--split", type=int, default=0,
+                   help="training prefix: windows before this index "
+                        "are never reported (default 0)")
+    p.add_argument("-k", type=int, default=3,
+                   help="anomalies to report (default 3)")
+    p.add_argument("-o", "--output",
+                   help="write <out>.damp.npy (float64 scores)")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_damp(args) -> int:
+    import numpy as _np
+
+    from mpx.config import MatrixProfileConfig
+    from mpx.damp import compute_damp
+    from mpx.io.tsb import read_series
+
+    Logger.verbose = args.verbose
+    T = read_series(args.input)
+    res = compute_damp(
+        T, config=MatrixProfileConfig(m=args.m, dtype=args.dtype),
+        split=args.split, k=args.k)
+    if args.output:
+        _np.save(args.output + ".damp", res.scores)
+        print(f"wrote {args.output}.damp.npy")
+    print(f"anomalies (left-profile discords, split {res.split}):")
+    for a in res.discords:
+        print(f"  {a.index:>8}  distance {a.distance:.6f}")
+    if not res.discords:
+        print("  none (no scorable window after the split)")
+    return 0
+
+
 def _add_motiflets(sub):
     p = sub.add_parser(
         "motiflets",
@@ -1124,6 +1171,7 @@ def main(argv=None) -> int:
     _add_pan(sub)
     _add_mstamp(sub)
     _add_ostinato(sub)
+    _add_damp(sub)
     _add_motiflets(sub)
     _add_thresh(sub)
     _add_chains(sub)
@@ -1171,6 +1219,7 @@ def main(argv=None) -> int:
             "pan": _cmd_pan,
             "mstamp": _cmd_mstamp,
             "ostinato": _cmd_ostinato,
+            "damp": _cmd_damp,
             "motiflets": _cmd_motiflets,
             "thresh": _cmd_thresh,
             "chains": _cmd_chains,

@@ -32,6 +32,9 @@ request had one, and either the result or {"error": msg}):
   {"op":"motiflets","series":[...],"m":64,"k":5,"candidates"?}
                                          -> {"indices":[...],"extent":E}
   {"op":"query","series":[...],"q":[...],"k"?} -> {"matches":[...]}
+  {"op":"stream.create","sid":"a1","series":[...],"m":64,
+   "mode":"damp","threshold"?}            -> online anomaly session:
+     stream.append returns {"alerts":[{index,distance}...],"discord"?}
   {"op":"stream.create","sid":"s1","series":[...],"m":64,
    "mode":"full"|"floss","window"?}      -> {"ok":true}
   {"op":"stream.append","sid":"s1","points":[...]}
@@ -197,6 +200,15 @@ class Server:
                 T, m=m, window=req.get("window"),
                 dtype=req.get("dtype", "float32"),
             )
+        elif mode == "damp":
+            from mpx.config import MatrixProfileConfig
+            from mpx.damp import OnlineAnomalyDetector
+
+            thr = req.get("threshold")
+            self._streams[sid] = OnlineAnomalyDetector(
+                T, config=MatrixProfileConfig(
+                    m=m, dtype=req.get("dtype", "float32")),
+                threshold=None if thr is None else float(thr))
         elif mode == "full":
             from mpx.streaming import StreamingMatrixProfile
 
@@ -222,6 +234,17 @@ class Server:
                 "streaming appends cannot carry gaps (no masked "
                 "semantics for incremental state); fill them first"
             )
+        from mpx.damp import OnlineAnomalyDetector
+
+        if isinstance(s, OnlineAnomalyDetector):
+            alerts = s.append(points)
+            out = {"n": int(s.series.shape[0]),
+                   "alerts": [{"index": a.index, "distance": a.distance}
+                              for a in alerts]}
+            if s.discord is not None:
+                out["discord"] = {"index": s.discord.index,
+                                  "distance": s.discord.distance}
+            return out
         s.append(points)
         out = {"n": int(s.series.shape[0])}
         if isinstance(s, Floss):

@@ -42,10 +42,10 @@ def _bucket(k: int) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("m", "excl", "S", "cap", "right"))
+@partial(jax.jit, static_argnames=("m", "excl", "S", "cap", "mode"))
 def _append_step(
     T_dev, mu_dev, inv_dev, val_dev, idx_dev,
-    new_T, new_mu, new_inv, r_off, w, *, m, excl, S, cap, right=False
+    new_T, new_mu, new_inv, r_off, w, *, m, excl, S, cap, mode="full"
 ):
     """One device-resident append: write the new tail, sweep the S_pad
     new rows against all ``cap`` columns (true extents masked via the
@@ -87,13 +87,22 @@ def _append_step(
     rows = r_off + rows_l[:, None]
     cols = cols_g[None, :]
     fin = fin_a[:, None] & fin_b[None, :]
-    if right:
+    if mode == "right":
         # one-directional (FLOSS) state: a new row's own neighbors lie
         # to its RIGHT (cols - rows >= excl), while it can only improve
         # columns to its LEFT (rows - cols >= excl) — two masked views
         # of the same panel instead of the symmetric |cols - rows| one
         valid_row = ((cols - rows) >= excl) & fin
         valid_col = ((rows - cols) >= excl) & fin
+    elif mode == "left":
+        # left-profile (DAMP) state: a new row's neighbors lie to its
+        # LEFT (earlier windows, including earlier rows of this same
+        # append batch).  Existing columns never improve — a new window
+        # is later than every existing one, so it cannot become anyone's
+        # nearest EARLIER neighbor — which is what makes the online left
+        # profile append-stable (scored values are final when emitted).
+        valid_row = ((rows - cols) >= excl) & fin
+        valid_col = jnp.zeros_like(fin)
     else:
         valid_row = valid_col = (jnp.abs(cols - rows) >= excl) & fin
     Pr = jnp.where(valid_row, P, init_v)
@@ -127,8 +136,8 @@ class StreamingMatrixProfile:
                  mode: str = "full"):
         from mpx.ops.precompute import precompute_statistics_numpy
 
-        if mode not in ("full", "right"):
-            raise ValueError("mode must be 'full' or 'right'")
+        if mode not in ("full", "right", "left"):
+            raise ValueError("mode must be 'full', 'right', or 'left'")
         self.m = m
         self.mode = mode
         self.dtype = canonical_dtype(dtype)
@@ -182,11 +191,11 @@ class StreamingMatrixProfile:
             # the streaming state is device-resident; stay on the strict
             # device kernels (the hybrid tier returns host arrays)
             cfg = MatrixProfileConfig(m=self.m, dtype="float64", kernel="mxu")
-        if self.mode == "right":
-            _, _, MPr, MPIr = compute_matrix_profile(
+        if self.mode in ("right", "left"):
+            MPl, MPIl, MPr, MPIr = compute_matrix_profile(
                 self._T, config=cfg, left_right=True
             )
-            MP, MPI = MPr, MPIr
+            MP, MPI = (MPr, MPIr) if self.mode == "right" else (MPl, MPIl)
         else:
             MP, MPI = compute_matrix_profile(self._T, config=cfg)
         d = np.asarray(MP, np.float64)
@@ -287,7 +296,7 @@ class StreamingMatrixProfile:
                 jnp.asarray(new_T), jnp.asarray(new_mu), jnp.asarray(new_inv),
                 jnp.int32(r_off), jnp.int32(w),
                 m=m, excl=self._excl, S=S, cap=self._cap,
-                right=(self.mode == "right"),
+                mode=self.mode,
             )
         (self._T_dev, self._mu_dev, self._inv_dev,
          self._val_dev, self._idx_dev) = out
@@ -325,6 +334,19 @@ class StreamingMatrixProfile:
         self._inv = self._inv[drop:]
         self.offset += drop
         self._init_device_state(val, idx)
+
+    def row_values(self, lo: int, hi: int):
+        """Distances for window slots [lo, hi) only — an O(hi-lo)
+        device fetch (profile() transfers the whole width; per-append
+        consumers like the DAMP scorer must not pay O(n) per step).
+        Slots are LOCAL (post-trim); add ``self.offset`` for stream
+        positions."""
+        lo = max(0, lo)
+        hi = min(hi, self._w)
+        if hi <= lo:
+            return np.zeros(0, np.float64)
+        val = np.asarray(self._val_dev[lo:hi], np.float64)
+        return np.sqrt(np.maximum(2.0 * self.m * (1.0 - val), 0.0))
 
     def profile(self):
         """Current (MP, MPI) as numpy arrays (reference distance units)."""

@@ -354,9 +354,38 @@ def round_motiflets(rng, seed):
             f"extent={res.extent:.3f} (planted {planted_ext:.3f})")
 
 
+def round_damp(rng, seed):
+    from mpx.damp import OnlineAnomalyDetector, compute_damp
+    from tests.test_left_right import brute_force_left_right
+
+    np_rng = np.random.default_rng(seed)
+    n = int(rng.integers(500, 1100))
+    m = int(rng.integers(8, 48))
+    boot = int(rng.integers(m + m // 4 + 8, n // 2))
+    step = int(rng.integers(16, 200))
+    T = np.cumsum(np_rng.standard_normal(n))
+    cfg = MatrixProfileConfig(m=m, dtype="float64", band=64, chunk=128,
+                              tile_rows=8, tile_cols=16)
+    # online scores == batch left profile == brute-force oracle
+    det = OnlineAnomalyDetector(T[:boot], config=cfg)
+    for o in range(boot, n, step):
+        det.append(T[o : o + step])
+    w = n - m + 1
+    online = det.scores(det.split, w)
+    batch = compute_damp(T, config=cfg)
+    bl, _, _, _ = brute_force_left_right(T, m)
+    fin = np.isfinite(bl)
+    err_b = np.abs(batch.scores[fin] - bl[fin]).max()
+    assert err_b <= 1e-8, f"batch off oracle by {err_b}"
+    err_o = np.abs(online - batch.scores[det.split :]).max()
+    assert err_o <= 1e-8, f"online off batch by {err_o}"
+    return f"damp n={n} m={m} boot={boot} step={step}: err={err_o:.2e}"
+
+
 ROUNDS = [round_ring, round_mstamp, round_topk, round_checkpoint,
           round_batch, round_floss, round_pan_extract, round_missing,
-          round_contrast, round_chains, round_thresh, round_motiflets]
+          round_contrast, round_chains, round_thresh, round_motiflets,
+          round_damp]
 
 
 def main() -> int:

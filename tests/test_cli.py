@@ -321,3 +321,28 @@ def test_motiflets_subcommand(tmp_path, capsys):
     assert main([
         "motiflets", "-i", str(tmp_path / "mf.tsb"), "-m", "48",
     ]) == 1
+
+
+def test_damp_subcommand(tmp_path, capsys):
+    import numpy as np
+
+    from mpx.io.tsb import write_binary
+    from tests.test_damp import with_anomaly
+
+    T = with_anomaly()
+    write_binary(str(tmp_path / "an.tsb"), T, "double")
+    assert main([
+        "damp", "-i", str(tmp_path / "an.tsb"), "-m", "32",
+        "--split", "100", "-k", "2", "--dtype", "float64",
+        "-o", str(tmp_path / "sc"),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "anomalies" in out
+    top = int(out.splitlines()[2].split()[0])
+    assert abs(top - 700) <= 32
+    scores = np.load(str(tmp_path / "sc.damp.npy"))
+    from tests.test_left_right import brute_force_left_right
+
+    bl, _, _, _ = brute_force_left_right(T, 32)
+    fin = np.isfinite(bl)
+    np.testing.assert_allclose(scores[fin], bl[fin], atol=1e-8)

@@ -19,5 +19,5 @@ def test_quickstart_runs(capsys):
     for marker in ("motif:", "discord:", "streaming == batch: True",
                    "floss:", "mpdist clusters:", "batch tier:",
                    "contrast:", "chains:", "density:", "3-motiflet:",
-                   "ap16 tier:"):
+                   "damp:", "ap16 tier:"):
         assert marker in out, f"quickstart output missing {marker!r}"

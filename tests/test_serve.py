@@ -308,3 +308,23 @@ def test_motiflets_op():
     assert len(r["indices"]) == 5
     for idx in r["indices"]:
         assert min(abs(idx - st) for st in starts) <= 4
+
+
+def test_damp_stream_session():
+    from tests.test_damp import with_anomaly
+
+    s = Server()
+    m = 32
+    T = with_anomaly(m=m)
+    r = rpc(s, op="stream.create", sid="d1", series=T[:300].tolist(),
+            m=m, mode="damp", dtype="float64")
+    assert r.get("ok"), r
+    alerts = []
+    for o in range(300, len(T), 128):
+        r = rpc(s, op="stream.append", sid="d1",
+                points=T[o : o + 128].tolist())
+        assert "error" not in r, r
+        alerts += r["alerts"]
+    assert abs(alerts[-1]["index"] - 700) <= m
+    assert r["discord"]["index"] == alerts[-1]["index"]
+    assert rpc(s, op="stream.drop", sid="d1").get("ok")
