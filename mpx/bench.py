@@ -277,6 +277,13 @@ SUITE = [
         "band": 4096, "chunk": 32768,
     },
     {
+        # DAMP anomaly tier: exact left profile at the flagship dtype
+        # (the hybrid left/right path) + ranked causal discords
+        "name": "damp-f64-524288",
+        "damp": True, "n": 1 << 19, "m": 256, "dtype": "double",
+        "band": 4096, "chunk": 32768,
+    },
+    {
         # sum-threshold / frequency (pattern density) tier: the 1-NN
         # sweep's matmul with a sum/popcount epilogue (mpx/thresh.py)
         "name": "thresh-f32-1048576",
@@ -623,6 +630,84 @@ def run_thresh_benchmark(n: int, m: int, dtype: str = "float32",
     }
 
 
+def run_damp_benchmark(n: int, m: int, dtype: str = "double",
+                       band: int = 4096, chunk: int = 16384,
+                       seed: int = 0, validate: int = 16,
+                       verbose: bool = False):
+    """DAMP (left-profile anomaly) benchmark: one left/right sweep at
+    ``n`` (mpx/damp.py batch path; f64 routes through the hybrid
+    left/right tier).  Metric = pairs/s over the w*(w-1)/2 join pairs
+    (both directional profiles fall out of the same sweep).
+    Validation: ``validate`` sampled rows' left maxima recomputed by a
+    blocked host-f64 matmul over the strictly-earlier columns."""
+    import time
+
+    from mpx import MatrixProfileConfig
+    from mpx.damp import compute_damp
+    from mpx.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(seed)
+    T = np.cumsum(rng.standard_normal(n))
+    w = n - m + 1
+    pairs = w * (w - 1) / 2
+    cfg = MatrixProfileConfig(m=m, dtype=dtype, band=band, chunk=chunk)
+
+    compute_damp(T, config=cfg, k=0)  # warmup/compile
+    t0 = time.time()
+    res = compute_damp(T, config=cfg, k=3)
+    np.asarray(res.scores)
+    wall = time.time() - t0
+
+    val = None
+    if validate:
+        from mpx.ops.precompute import precompute_statistics_numpy
+
+        T64 = np.asarray(T, np.float64)
+        s = precompute_statistics_numpy(T64, m)
+        mu = np.asarray(s["mu"], np.float64)
+        inv = np.asarray(s["inv"], np.float64)
+        excl = m // 4
+        rows = np.sort(np.random.default_rng(seed + 1).choice(
+            np.arange(excl + 1, w),
+            size=min(validate, w - excl - 1), replace=False))
+        wins = np.lib.stride_tricks.sliding_window_view(T64, m)
+        Ur = (wins[rows] - mu[rows, None]) * inv[rows, None]
+        best = np.full(rows.shape[0], -np.inf)
+        blk = 1 << 16
+        for o in range(0, w, blk):
+            e = min(o + blk, w)
+            Uc = (wins[o:e] - mu[o:e, None]) * inv[o:e, None]
+            P = Ur @ Uc.T
+            ok = (((rows[:, None] - np.arange(o, e)[None, :]) >= excl)
+                  & np.isfinite(inv[o:e])[None, :])
+            best = np.maximum(best,
+                              np.where(ok, P, -np.inf).max(axis=1))
+        exp = np.sqrt(np.maximum(2.0 * m * (1.0 - best), 0.0))
+        tol = 1e-8 if dtype in ("double", "float64") else 2e-3
+        fin = np.isfinite(exp)
+        err = np.abs(res.scores[rows][fin] - exp[fin])
+        if err.size and err.max() > tol:
+            raise ValidationError(
+                f"damp sampled-row validation FAILED: max err "
+                f"{err.max():.3e}")
+        val = {"rows": int(fin.sum()),
+               "max_abs_err": float(err.max()) if err.size else 0.0,
+               "tol": tol}
+        if verbose:
+            print(f"# validated {val['rows']} damp rows: max err "
+                  f"{val['max_abs_err']:.2e}", file=sys.stderr)
+
+    return {
+        "validation": val,
+        "n": n, "m": m, "dtype": dtype,
+        "pairs": pairs,
+        "wall_s": wall,
+        "pairs_per_sec": pairs / wall,
+        "mp_head": res.scores[m : m + 4].tolist(),
+    }
+
+
 def run_mstamp_benchmark(n: int, m: int, d: int, dtype: str = "float32",
                          band: int = 4096, chunk: int = 4096,
                          seed: int = 0, validate: int = 8,
@@ -762,7 +847,7 @@ def run_suite(names=None, verbose: bool = False) -> list:
         kwargs = {k: v for k, v in cfg.items()
                   if k not in ("name", "input", "streaming", "huge",
                                "topk", "mstamp", "batch", "contrast",
-                               "thresh")}
+                               "thresh", "damp")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 
@@ -780,6 +865,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
                 res = run_contrast_benchmark(verbose=verbose, **kwargs)
             elif cfg.get("thresh"):
                 res = run_thresh_benchmark(verbose=verbose, **kwargs)
+            elif cfg.get("damp"):
+                res = run_damp_benchmark(verbose=verbose, **kwargs)
             elif cfg.get("batch"):
                 res = run_batch_benchmark(verbose=verbose, **kwargs)
             else:

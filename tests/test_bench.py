@@ -162,3 +162,12 @@ def test_thresh_validation_catches_corruption(monkeypatch):
     with _pytest.raises(ValidationError):
         run_thresh_benchmark(n=2048, m=16, dtype="float64", threshold=0.2,
                              band=256, chunk=256, validate=2048)
+
+
+def test_damp_benchmark_smoke():
+    from mpx.bench import run_damp_benchmark
+
+    r = run_damp_benchmark(n=4096, m=32, dtype="float32",
+                           band=512, chunk=512, validate=8)
+    assert r["validation"]["rows"] == 8
+    assert r["pairs_per_sec"] > 0
