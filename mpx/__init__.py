@@ -51,7 +51,8 @@ from mpx.analysis import (
 from mpx.chains import ChainsResult, anchored_chain, chain_lengths, compute_chains
 from mpx.damp import Anomaly, OnlineAnomalyDetector, compute_damp
 from mpx.motiflets import Motiflet, k_motiflets, motiflet_elbows
-from mpx.thresh import compute_sum_thresh
+from mpx.distmatrix import pooled_matrix
+from mpx.thresh import compute_sum_thresh, compute_sum_thresh_ab
 from mpx.floss import Floss
 from mpx.batch import compute_batch_profiles
 from mpx.cluster import cluster_series, hierarchical_cluster, mpdist_matrix
@@ -123,6 +124,8 @@ __all__ = [
     "chain_lengths",
     "compute_chains",
     "compute_sum_thresh",
+    "compute_sum_thresh_ab",
+    "pooled_matrix",
     "Motiflet",
     "k_motiflets",
     "motiflet_elbows",

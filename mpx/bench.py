@@ -934,6 +934,31 @@ def suite_table(results: list) -> str:
     return "\n".join(lines)
 
 
+def _probe_backend(timeout_s: float) -> bool:
+    """Bounded backend-init probe.
+
+    ``jax.devices()`` hangs indefinitely when the TPU relay is down
+    (backend init never returns); a benchmark that never terminates is
+    worse than a fast, clearly-attributed failure.  Returns True once
+    the backend answers; False after ``timeout_s`` seconds."""
+    import threading
+
+    import jax
+
+    done: list = []
+
+    def _init():
+        try:
+            done.append(jax.devices())
+        except Exception as e:  # init failed outright: also a clear no
+            done.append(e)
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(done) and not isinstance(done[0], Exception)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mpx bench")
     p.add_argument("-n", type=int, default=int(os.environ.get("MPX_BENCH_N", 1 << 20)))
@@ -957,6 +982,15 @@ def main(argv=None) -> int:
                         "oracle (0 disables); a mismatch fails the bench")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
+
+    timeout_s = float(os.environ.get("MPX_BACKEND_TIMEOUT", "600"))
+    if timeout_s > 0 and not _probe_backend(timeout_s):
+        print(
+            f"mpx bench: JAX backend did not initialize within "
+            f"{timeout_s:.0f}s (TPU relay down?) - aborting",
+            file=sys.stderr,
+        )
+        return 2
 
     if args.suite:
         results = run_suite(names=args.only, verbose=args.verbose)

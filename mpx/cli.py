@@ -342,6 +342,50 @@ def _cmd_contrast(args) -> int:
     return 0
 
 
+def _add_matrix(sub):
+    p = sub.add_parser(
+        "matrix",
+        help="pooled distance-matrix summary (heatmap of the whole join)")
+    p.add_argument("-i", "--input", required=True,
+                   help=".tsb/.txt[.gz] time series (rows)")
+    p.add_argument("-b", "--b-input", default=None,
+                   help="second series (AB-join columns); omit: self-join")
+    p.add_argument("-m", type=int, default=32, help="subsequence length")
+    p.add_argument("--mwidth", type=int, default=50,
+                   help="summary columns")
+    p.add_argument("--mheight", type=int, default=50, help="summary rows")
+    p.add_argument("--pearson", action="store_true",
+                   help="emit max correlations instead of min distances")
+    p.add_argument("-o", "--output",
+                   help="writes <o>.dm.npy (float64 mheight x mwidth)")
+    p.add_argument("--band", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_matrix(args) -> int:
+    from mpx.config import MatrixProfileConfig
+    from mpx.distmatrix import pooled_matrix
+    from mpx.io.tsb import read_series
+
+    Logger.verbose = args.verbose
+    T = read_series(args.input)
+    B = read_series(args.b_input) if args.b_input else None
+    cfg = MatrixProfileConfig(m=args.m, band=args.band, chunk=args.chunk)
+    M = pooled_matrix(T, args.m, mwidth=args.mwidth, mheight=args.mheight,
+                      B=B, pearson=args.pearson, config=cfg)
+    kind = "max correlation" if args.pearson else "min distance"
+    print(f"pooled {M.shape[0]} x {M.shape[1]} summary ({kind})")
+    flat = np.argmax(M) if args.pearson else np.argmin(M)
+    r, c = divmod(int(flat), M.shape[1])
+    print(f"  best cell: ({r}, {c}) value {M[r, c]:.6f}")
+    if args.output:
+        np.save(args.output + ".dm.npy", M)
+        Logger.info(f"wrote {args.output}.dm.npy")
+    return 0
+
+
 def _add_topk(sub):
     p = sub.add_parser("topk", help="k nearest neighbors per subsequence")
     p.add_argument("-i", "--input", required=True)
@@ -1143,9 +1187,25 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _apply_platform_env() -> None:
+    """Honor ``MPX_PLATFORM=cpu|tpu`` before any backend init.
+
+    The stock ``JAX_PLATFORMS`` env var is not reliable on hosts whose
+    sitecustomize eagerly registers an accelerator plugin (the plugin's
+    register() overrides it); ``jax.config.update`` after import is the
+    only ordering that always works.  Lets the CLI run on CPU when the
+    accelerator is absent or unreachable."""
+    plat = os.environ.get("MPX_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
+    _apply_platform_env()
     # argparse's REMAINDER does not reliably capture leading flags
     # ("mpx bench --suite" errors at the top-level parser); hand the
     # benchmark harness its argv directly.
@@ -1166,6 +1226,7 @@ def main(argv=None) -> int:
     _add_golden(sub)
     _add_abjoin(sub)
     _add_contrast(sub)
+    _add_matrix(sub)
     _add_topk(sub)
     _add_analyze(sub)
     _add_pan(sub)
@@ -1214,6 +1275,7 @@ def main(argv=None) -> int:
             "golden": _cmd_golden,
             "abjoin": _cmd_abjoin,
             "contrast": _cmd_contrast,
+            "matrix": _cmd_matrix,
             "topk": _cmd_topk,
             "analyze": _cmd_analyze,
             "pan": _cmd_pan,

@@ -29,6 +29,26 @@ from mpx.utils.logging import Logger
 _CACHE_ENABLED = False
 
 
+def _cpu_cache_suffix() -> str:
+    """Per-machine suffix for CPU-backend cache dirs.
+
+    XLA:CPU persists AOT-compiled executables whose machine features are
+    baked in at compile time; loading one on a host with different
+    features logs ``cpu_aot_loader`` errors and can SIGILL/segfault
+    (observed: flaky crashes in ``get_executable_and_time`` when this
+    container migrated hosts between sessions).  TPU executables are
+    device-keyed and safe to share, so only CPU runs get the suffix."""
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            flags = [ln for ln in f if ln.startswith("flags")]
+        digest = hashlib.sha256(flags[0].encode()).hexdigest()[:8]
+        return f"-cpu-{digest}"
+    except Exception:
+        return "-cpu-unknown"
+
+
 def enable_compilation_cache(path: Optional[str] = None):
     """Persist compiled executables across processes (the analog of
     shipping a prebuilt xclbin instead of re-synthesizing).  Safe to call
@@ -39,6 +59,11 @@ def enable_compilation_cache(path: Optional[str] = None):
     path = path or os.environ.get(
         "MPX_COMPILE_CACHE", os.path.expanduser("~/.cache/mpx-jax")
     )
+    # CPU backends get a per-machine cache dir (see _cpu_cache_suffix).
+    if str(jax.config.jax_platforms or "").startswith("cpu") or (
+        os.environ.get("MPX_PLATFORM", "").startswith("cpu")
+    ):
+        path = path + _cpu_cache_suffix()
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -153,6 +153,132 @@ def compute_sum_thresh(
         return np.asarray(sums)[:w], np.asarray(cnts)[:w]
 
 
+@partial(jax.jit, static_argnames=("S", "W", "m", "wa", "wb", "dt",
+                                   "tr", "tc"))
+def _run_thresh_ab_jobs(stats_a, stats_b, threshold, r0s, c0s,
+                        sums0, cnts0, *, S: int, W: int, m: int,
+                        wa: int, wb: int, dt, tr: int = 8, tc: int = 2048):
+    """AB variant of :func:`_run_thresh_jobs`: rectangle tiles (rows from
+    A, columns from B), no exclusion zone, contributions credited to the
+    A side only (pyscamp.abjoin_sum semantics)."""
+    dtype = jnp.dtype(dt)
+    geom = band_geometry(S, W, m, wa, tr, tc, wc=wb, excl=0)
+    thr = threshold.astype(dtype)
+
+    def body(carry, job):
+        sums, cnts = carry
+        r0, c0 = job
+        P, valid, _, _ = _job_correlations(stats_a, r0, c0, geom, dtype,
+                                           stats_c=stats_b, two_sided=True)
+        hit = valid & (P > thr)
+        Ph = jnp.where(hit, P, jnp.zeros((), dtype))
+        sums = _add_window(sums, jnp.sum(Ph, axis=1), r0)
+        cnts = _add_window(cnts, jnp.sum(hit, axis=1, dtype=jnp.int32), r0)
+        return (sums, cnts), None
+
+    (sums, cnts), _ = jax.lax.scan(body, (sums0, cnts0), (r0s, c0s))
+    return sums, cnts
+
+
+def compute_sum_thresh_ab(
+    A,
+    B,
+    m: Optional[int] = None,
+    *,
+    config: Optional[MatrixProfileConfig] = None,
+    threshold: float = 0.0,
+):
+    """Sum-threshold + frequency profile of the AB-join: per window of
+    ``A``, the sum of its Pearson correlations to every window of ``B``
+    strictly above ``threshold``, and the count of such neighbors.
+    No exclusion zone (the series are distinct), matching the AB 1-NN
+    tier's masking (mpx/abjoin.py)."""
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32)
+    elif m is not None and m != config.m:
+        raise ValueError(f"m={m} conflicts with config.m={config.m}")
+    m = config.m
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    if config.num_shards and config.num_shards > 1:
+        raise ValueError("the sum-threshold tier is single-device; "
+                         "drop num_shards")
+    if config.kernel not in ("auto", "mxu"):
+        raise ValueError("the sum-threshold tier has one kernel "
+                         "(windows matmul); use kernel='auto'")
+    A, B = np.asarray(A), np.asarray(B)
+    config.validate_series(A.shape[0], A)
+    config.validate_series(B.shape[0], B)
+    if config.input_quant is not None:
+        from mpx.io.apfixed import quantize
+
+        A = quantize(np.asarray(A, np.float64), config.input_quant)
+        B = quantize(np.asarray(B, np.float64), config.input_quant)
+    wa = A.shape[0] - m + 1
+    wb = B.shape[0] - m + 1
+    config = config.shrink_to(max(wa, wb))
+    S, W = config.band, config.chunk
+    dt = canonical_dtype(config.dtype)
+
+    from mpx.driver import _auto_dispatch_group
+    from mpx.ops.precompute import precompute_statistics
+
+    rr, cc = np.meshgrid(np.arange(0, wa, S, dtype=np.int32),
+                         np.arange(0, wb, W, dtype=np.int32))
+    r0s, c0s = rr.ravel(), cc.ravel()
+    group = _auto_dispatch_group(config, "mxu", dt, S, W)
+    njobs = r0s.shape[0]
+    if not group or group >= njobs:
+        group = njobs
+    pad = -njobs % group
+    if pad:
+        r0s = np.concatenate([r0s, np.full(pad, wa, np.int32)])
+        c0s = np.concatenate([c0s, np.zeros(pad, np.int32)])
+
+    with x64_scope(needs_x64(dt)):
+        stats_a = precompute_statistics(A, m, band=S, chunk=W, dtype=dt,
+                                        matmul_only=True)
+        stats_b = precompute_statistics(B, m, band=S, chunk=W, dtype=dt,
+                                        matmul_only=True)
+        thr = jnp.asarray(float(threshold),
+                          jnp.float64 if needs_x64(dt) else jnp.float32)
+        L = wa + S + W
+        sums = jnp.zeros(L, dt)
+        cnts = jnp.zeros(L, jnp.int32)
+        for off in range(0, r0s.shape[0], group):
+            sums, cnts = _run_thresh_ab_jobs(
+                stats_a, stats_b, thr,
+                jnp.asarray(r0s[off : off + group]),
+                jnp.asarray(c0s[off : off + group]),
+                sums, cnts,
+                S=S, W=W, m=m, wa=wa, wb=wb, dt=str(dt),
+                tr=config.tile_rows, tc=config.tile_cols,
+            )
+        return np.asarray(sums)[:wa], np.asarray(cnts)[:wa]
+
+
+def brute_force_sum_thresh_ab(A, B, m: int, threshold: float = 0.0):
+    """O(wa * wb * m) numpy oracle for the AB sum-threshold profile."""
+    from mpx.ops.precompute import precompute_statistics_numpy
+
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    sa = precompute_statistics_numpy(A, m)
+    sb = precompute_statistics_numpy(B, m)
+    wa, wb = A.shape[0] - m + 1, B.shape[0] - m + 1
+    Ua = np.stack([A[i : i + m] for i in range(wa)])
+    Ua = (Ua - sa["mu"][:, None]) * np.where(
+        np.isfinite(sa["inv"]), sa["inv"], 0.0)[:, None]
+    Ub = np.stack([B[i : i + m] for i in range(wb)])
+    Ub = (Ub - sb["mu"][:, None]) * np.where(
+        np.isfinite(sb["inv"]), sb["inv"], 0.0)[:, None]
+    P = Ua @ Ub.T
+    valid = np.isfinite(sa["inv"])[:, None] & np.isfinite(sb["inv"])[None, :]
+    hit = valid & (P > threshold)
+    Ph = np.where(hit, P, 0.0)
+    return Ph.sum(axis=1), hit.sum(axis=1).astype(np.int64)
+
+
 def brute_force_sum_thresh(T, m: int, threshold: float = 0.0):
     """O(n^2) numpy oracle: masked correlation-matrix sum/count."""
     from mpx.reference import (
