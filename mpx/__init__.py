@@ -52,6 +52,7 @@ from mpx.chains import ChainsResult, anchored_chain, chain_lengths, compute_chai
 from mpx.damp import Anomaly, OnlineAnomalyDetector, compute_damp
 from mpx.motiflets import Motiflet, k_motiflets, motiflet_elbows
 from mpx.distmatrix import pooled_matrix
+from mpx.merlin import LengthDiscord, MerlinResult, multi_length_discords
 from mpx.thresh import compute_sum_thresh, compute_sum_thresh_ab
 from mpx.floss import Floss
 from mpx.batch import compute_batch_profiles
@@ -126,6 +127,9 @@ __all__ = [
     "compute_sum_thresh",
     "compute_sum_thresh_ab",
     "pooled_matrix",
+    "LengthDiscord",
+    "MerlinResult",
+    "multi_length_discords",
     "Motiflet",
     "k_motiflets",
     "motiflet_elbows",

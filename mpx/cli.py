@@ -342,6 +342,43 @@ def _cmd_contrast(args) -> int:
     return 0
 
 
+def _add_merlin(sub):
+    p = sub.add_parser(
+        "merlin",
+        help="exact discord at EVERY window length in a range (MERLIN)")
+    p.add_argument("-i", "--input", required=True,
+                   help=".tsb/.txt[.gz] time series")
+    p.add_argument("--lo", type=int, required=True,
+                   help="smallest window length (>= 4)")
+    p.add_argument("--hi", type=int, required=True,
+                   help="largest window length")
+    p.add_argument("-k", type=int, default=3,
+                   help="strongest cross-length discords to report")
+    p.add_argument("--eps", type=float, default=None,
+                   help="survey error allowance (default 5e-3)")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def _cmd_merlin(args) -> int:
+    from mpx.io.tsb import read_series
+    from mpx.merlin import multi_length_discords
+
+    Logger.verbose = args.verbose
+    T = read_series(args.input)
+    kw = {} if args.eps is None else {"eps": args.eps}
+    res = multi_length_discords(T, args.lo, args.hi, k=args.k, **kw)
+    print(f"exact discords at {len(res.per_length)} lengths "
+          f"[{args.lo}, {args.hi}]:")
+    for d in res.top:
+        print(f"  m={d.m:5d} idx={d.index:8d} nn={d.nn_index:8d} "
+              f"dist={d.distance:.6f} score={d.score:.4f}")
+    if args.verbose:
+        for d in res.per_length:
+            Logger.info(f"m={d.m} idx={d.index} dist={d.distance:.6f}")
+    return 0
+
+
 def _add_matrix(sub):
     p = sub.add_parser(
         "matrix",
@@ -1227,6 +1264,7 @@ def main(argv=None) -> int:
     _add_abjoin(sub)
     _add_contrast(sub)
     _add_matrix(sub)
+    _add_merlin(sub)
     _add_topk(sub)
     _add_analyze(sub)
     _add_pan(sub)
@@ -1276,6 +1314,7 @@ def main(argv=None) -> int:
             "abjoin": _cmd_abjoin,
             "contrast": _cmd_contrast,
             "matrix": _cmd_matrix,
+            "merlin": _cmd_merlin,
             "topk": _cmd_topk,
             "analyze": _cmd_analyze,
             "pan": _cmd_pan,

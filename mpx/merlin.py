@@ -1,0 +1,180 @@
+"""Exact multi-length discord discovery (the MERLIN use case).
+
+Beyond reference parity (the reference computes one fixed-m profile —
+host/MatrixProfileHost.cpp:54-160): choosing the discord window length
+is the classic anomaly-detection footgun, and MERLIN's answer is "run
+every length".  mpx gets the same result EXACTLY from machinery it
+already has, in two stages:
+
+1. **Survey** — one fused pan sweep (mpx.pan_kernel) scores every
+   window at every requested length in a single pass of the pair grid
+   (the centered-QT panel is carried across levels, so the matmul
+   volume is O(n^2 * max(m)), not O(n^2 * sum(m))).  f32-grade rows.
+2. **Refine** — per length, every window whose approximate profile
+   value is within ``2 * eps`` of the row maximum is re-scanned in full
+   float64 on the host (the same independent oracle the benchmark
+   validator uses, mpx.hybrid._row_scan); the exact maximum among them
+   is the discord.  With the survey's absolute error bounded by
+   ``eps``, the true discord is always inside that candidate band, so
+   the result is exact — the hybrid tier's margin-rescore argument, one
+   level up.
+
+This trades MERLIN's adaptive-threshold early-abandon heuristics for
+TPU-shaped brute force: the survey is one MXU sweep regardless of how
+many lengths are asked for, and the refine stage touches only the
+candidate band.  Degenerate (zero-variance) windows and pad tails never
+become candidates (they carry no valid neighbor).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from mpx.config import MatrixProfileConfig
+from mpx.utils.logging import Logger
+
+# Survey-error allowance (absolute, z-normalized distance units).  The
+# fused pan tier is validated at 2e-3 against the exact per-m profiles
+# (tests/test_pan.py); 5e-3 leaves a 2.5x safety factor.
+_DEFAULT_EPS = 5e-3
+
+# Refine-stage cap: candidate rows per length.  A band wider than this
+# (near-constant or heavily repeating inputs) is rescored only for the
+# strongest _MAX_CANDIDATES approximations — exactness then degrades to
+# "best of the candidate cap", which Logger.warning reports.
+_MAX_CANDIDATES = 4096
+
+
+class LengthDiscord(NamedTuple):
+    m: int            # window length
+    index: int        # discord start
+    nn_index: int     # its (exact) nearest neighbor
+    distance: float   # exact f64 z-normalized NN distance
+    score: float      # length-normalized distance d / (2*sqrt(m))
+
+
+class MerlinResult(NamedTuple):
+    per_length: List[LengthDiscord]  # exact top-1 discord per length
+    top: List[LengthDiscord]         # k best across lengths, overlap-
+                                     # suppressed, by normalized score
+
+
+def _exact_row_rescore(T64, m: int, rows: np.ndarray):
+    """Exact f64 (distance, nn_index) for the given rows."""
+    from mpx import native
+    from mpx.hybrid import _row_scan
+    from mpx.ops.precompute import precompute_statistics_numpy
+
+    w = T64.shape[0] - m + 1
+    s = (native.precompute(T64, m) if native.is_available()
+         else precompute_statistics_numpy(T64, m))
+    P, I = _row_scan(T64, np.asarray(s["mu"], np.float64),
+                     np.asarray(s["inv"], np.float64),
+                     m, w, m // 4, rows.astype(np.int32))
+    D = np.sqrt(np.maximum(2.0 * m * (1.0 - P), 0.0))
+    return D, I
+
+
+def multi_length_discords(
+    T,
+    lo: Optional[int] = None,
+    hi: Optional[int] = None,
+    *,
+    ms: Optional[Sequence[int]] = None,
+    k: int = 3,
+    eps: float = _DEFAULT_EPS,
+    config: Optional[MatrixProfileConfig] = None,
+) -> MerlinResult:
+    """Exact top-1 discord at EVERY length in [lo, hi] (or the explicit
+    ``ms`` list), plus the ``k`` strongest across lengths.
+
+    The cross-length ranking uses the SKIMP normalization
+    ``d / (2*sqrt(m))`` so lengths are comparable, and suppresses
+    overlapping spans (a discord at one length shadows the same event
+    at nearby lengths)."""
+    T = np.asarray(T)
+    if ms is None:
+        if lo is None or hi is None:
+            raise ValueError("pass lo/hi or an explicit ms list")
+        if lo < 4:
+            raise ValueError("m must be >= 4 (exclusion zone is m/4)")
+        if hi < lo:
+            raise ValueError(f"empty length range [{lo}, {hi}]")
+        ms = range(lo, hi + 1)
+    ms_arr = np.unique(np.asarray(list(ms), dtype=np.int64))
+    if ms_arr.size == 0:
+        raise ValueError("ms is empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    from mpx.pan import compute_pan_profile
+
+    pan = compute_pan_profile(T, [int(m) for m in ms_arr],
+                              config=config, method="fused")
+    T64 = np.asarray(T, np.float64)
+    n = T64.shape[0]
+
+    per_length: List[LengthDiscord] = []
+    for r, m in enumerate(pan.ms):
+        m = int(m)
+        wm = n - m + 1
+        row = pan.PMP[r, :wm]
+        matched = np.isfinite(row) & (pan.PMPI[r, :wm] >= 0)
+        if not matched.any():
+            continue
+        approx = np.where(matched, row, -np.inf)
+        cut = float(approx.max()) - 2.0 * eps
+        cand = np.nonzero(approx >= cut)[0]
+        if cand.shape[0] > _MAX_CANDIDATES:
+            Logger.warning(
+                f"merlin m={m}: candidate band {cand.shape[0]} > "
+                f"{_MAX_CANDIDATES}; rescoring only the strongest "
+                f"{_MAX_CANDIDATES} (near-tied discords)"
+            )
+            cand = cand[np.argsort(approx[cand])[::-1][:_MAX_CANDIDATES]]
+        D, I = _exact_row_rescore(T64, m, cand)
+        best = int(np.argmax(D))
+        idx = int(cand[best])
+        per_length.append(LengthDiscord(
+            m=m, index=idx, nn_index=int(I[best]),
+            distance=float(D[best]),
+            score=float(D[best] / (2.0 * np.sqrt(m))),
+        ))
+
+    # cross-length ranking with span suppression
+    order = sorted(per_length, key=lambda d: d.score, reverse=True)
+    top: List[LengthDiscord] = []
+    taken: List[tuple] = []
+    for d in order:
+        span = (d.index, d.index + d.m)
+        if any(span[0] < t1 and t0 < span[1] for t0, t1 in taken):
+            continue
+        top.append(d)
+        taken.append(span)
+        if len(top) >= k:
+            break
+    return MerlinResult(per_length=per_length, top=top)
+
+
+def brute_force_multi_length_discords(T, ms: Sequence[int]) -> List[LengthDiscord]:
+    """O(sum_m w_m^2 m) oracle: exact discord per length from the dense
+    golden profile (test-scale only)."""
+    from mpx.reference import compute_matrix_profile_reference
+
+    T64 = np.asarray(T, np.float64)
+    out: List[LengthDiscord] = []
+    for m in np.unique(np.asarray(list(ms), dtype=np.int64)):
+        m = int(m)
+        MP, MPI = compute_matrix_profile_reference(T64, m)
+        matched = np.isfinite(MP) & (MPI >= 0)
+        if not matched.any():
+            continue
+        score = np.where(matched, MP, -np.inf)
+        i = int(np.argmax(score))
+        out.append(LengthDiscord(
+            m=m, index=i, nn_index=int(MPI[i]), distance=float(MP[i]),
+            score=float(MP[i] / (2.0 * np.sqrt(m))),
+        ))
+    return out

@@ -1,0 +1,62 @@
+"""Exact multi-length discords (merlin tier) vs the golden oracle."""
+
+import numpy as np
+import pytest
+
+from mpx.merlin import (
+    brute_force_multi_length_discords,
+    multi_length_discords,
+)
+
+
+def _walk(n, seed):
+    return np.cumsum(np.random.default_rng(seed).standard_normal(n))
+
+
+def test_every_length_exact():
+    T = _walk(800, 11)
+    T[400:416] += np.linspace(0, 9, 16)
+    res = multi_length_discords(T, 8, 40)
+    exp = brute_force_multi_length_discords(T, range(8, 41))
+    assert [d.m for d in res.per_length] == [d.m for d in exp]
+    for got, want in zip(res.per_length, exp):
+        assert got.distance == pytest.approx(want.distance, abs=1e-9)
+        # index ties only for equidistant discords
+        if got.index != want.index:
+            assert got.distance == pytest.approx(want.distance, abs=1e-9)
+
+
+def test_explicit_ms_and_planted_anomaly():
+    rng = np.random.default_rng(12)
+    # periodic base so the planted glitch dominates every length
+    t = np.arange(1200)
+    T = np.sin(2 * np.pi * t / 50) + 0.05 * rng.standard_normal(1200)
+    T[600:625] = T[600:625][::-1] + 1.5
+    res = multi_length_discords(T, ms=[16, 25, 40], k=2)
+    assert [d.m for d in res.per_length] == [16, 25, 40]
+    top = res.top[0]
+    assert 560 <= top.index <= 630  # the glitch wins at some length
+    # top list is overlap-suppressed
+    for a, b in zip(res.top, res.top[1:]):
+        assert not (a.index < b.index + b.m and b.index < a.index + a.m)
+
+
+def test_top_scores_are_normalized_and_sorted():
+    T = _walk(600, 13)
+    res = multi_length_discords(T, 8, 24, k=4)
+    scores = [d.score for d in res.top]
+    assert scores == sorted(scores, reverse=True)
+    for d in res.per_length:
+        assert d.score == pytest.approx(d.distance / (2 * np.sqrt(d.m)))
+
+
+def test_validation_errors():
+    T = _walk(100, 14)
+    with pytest.raises(ValueError):
+        multi_length_discords(T)  # no range
+    with pytest.raises(ValueError):
+        multi_length_discords(T, 2, 10)  # m < 4
+    with pytest.raises(ValueError):
+        multi_length_discords(T, 20, 10)  # empty range
+    with pytest.raises(ValueError):
+        multi_length_discords(T, 8, 16, k=0)
