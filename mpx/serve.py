@@ -29,6 +29,10 @@ request had one, and either the result or {"error": msg}):
                                          -> {"chain":[...],"length":L}
   {"op":"thresh","series":[...],"m":64,"threshold"?}
                                          -> {"sums":[...],"counts":[...]}
+  {"op":"matrix","series":[...],"m":64,"b"?,"mwidth"?,"mheight"?,
+   "pearson"?}                           -> {"matrix":[[...],...]}
+  {"op":"merlin","series":[...],"lo":8,"hi":64,"k"?}
+                                         -> {"top":[...],"per_length":[...]}
   {"op":"motiflets","series":[...],"m":64,"k":5,"candidates"?}
                                          -> {"indices":[...],"extent":E}
   {"op":"query","series":[...],"q":[...],"k"?} -> {"matches":[...]}
@@ -164,6 +168,31 @@ class Server:
         return {"sums": np.asarray(sums, np.float64).tolist(),
                 "counts": np.asarray(cnts, np.int64).tolist()}
 
+    def _op_matrix(self, req):
+        from mpx.distmatrix import pooled_matrix
+
+        T = _series(req["series"])
+        B = _series(req["b"]) if req.get("b") is not None else None
+        M = pooled_matrix(
+            T, config=_cfg(req), B=B,
+            mwidth=int(req.get("mwidth", 50)),
+            mheight=int(req.get("mheight", 50)),
+            pearson=bool(req.get("pearson", False)))
+        return {"matrix": M.tolist()}
+
+    def _op_merlin(self, req):
+        from mpx.merlin import multi_length_discords
+
+        T = _series(req["series"])
+        res = multi_length_discords(
+            T, int(req["lo"]), int(req["hi"]),
+            k=int(req.get("k", 3)))
+        as_dict = lambda d: {"m": d.m, "index": d.index,
+                             "nn_index": d.nn_index,
+                             "distance": d.distance, "score": d.score}
+        return {"top": [as_dict(d) for d in res.top],
+                "per_length": [as_dict(d) for d in res.per_length]}
+
     def _op_chains(self, req):
         from mpx.chains import compute_chains
 
@@ -285,6 +314,8 @@ class Server:
         "discords": _op_discords,
         "contrast": _op_contrast,
         "chains": _op_chains,
+        "matrix": _op_matrix,
+        "merlin": _op_merlin,
         "motiflets": _op_motiflets,
         "thresh": _op_thresh,
         "query": _op_query,

@@ -67,6 +67,33 @@ def test_streaming_sessions():
     assert rpc(s, op="ping")["streams"] == ["a"]
 
 
+def test_matrix_and_merlin_ops():
+    s = Server()
+    T = random_walk(400, seed=77)
+    r = rpc(s, op="matrix", series=T.tolist(), m=16, mwidth=6, mheight=6)
+    M = np.asarray(r["matrix"])
+    assert M.shape == (6, 6)
+    from mpx.distmatrix import brute_force_pooled_matrix
+
+    np.testing.assert_allclose(
+        M, brute_force_pooled_matrix(T, 16, mwidth=6, mheight=6),
+        atol=2e-3)
+    # AB variant
+    B = random_walk(300, seed=78)
+    r = rpc(s, op="matrix", series=T.tolist(), b=B.tolist(), m=16,
+            mwidth=4, mheight=5, pearson=True)
+    assert np.asarray(r["matrix"]).shape == (5, 4)
+
+    r = rpc(s, op="merlin", series=T.tolist(), lo=8, hi=16, k=2)
+    assert len(r["per_length"]) == 9 and 1 <= len(r["top"]) <= 2
+    from mpx.merlin import brute_force_multi_length_discords
+
+    exp = brute_force_multi_length_discords(T, range(8, 17))
+    for got, want in zip(r["per_length"], exp):
+        assert got["m"] == want.m
+        assert got["distance"] == pytest.approx(want.distance, abs=1e-9)
+
+
 def test_error_resilience():
     s = Server()
     assert "error" in s.handle("this is not json")
