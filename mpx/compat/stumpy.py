@@ -36,6 +36,8 @@ Documented divergences (semantics, not bugs):
   (w, 2k+2) layout; mpx indices are -1 where STUMPY also uses -1.
 * ``snippets`` returns the (snippet values, indices, fractions) triple
   — mpx does not retain per-snippet profiles/areas/regime columns.
+* ``stimp`` clamps ``min_m`` from STUMPY's default 3 to 4 (mpx's
+  exclusion zone is m // 4); read ``M_`` for the actual lengths.
 * ``p`` (Minkowski) other than 2.0 and ``T_subseq_isconstant`` /
   ``normalize``-with-``p`` combinations are not provided.
 """
@@ -265,12 +267,15 @@ def allc(IL, IR):
 def snippets(T, m: int, k: int, percentage: float = 1.0):
     """stumpy.snippets, reduced: (snippet values (k, m), start indices
     (k,), covered fractions (k,)).  mpx does not retain the per-snippet
-    profile/area/regime columns; ``percentage`` other than 1.0 (shorter
-    comparison windows) maps to mpx's ``m_compare = m * percentage``."""
+    profile/area/regime columns.  ``percentage`` scales the comparison
+    window like STUMPY's ``s = round(m * percentage)`` (mpx's own
+    default of m // 2, the snippets paper's recommendation, is NOT
+    applied here); the default 1.0 clamps to ``s = m - 1`` — mpx's
+    segment-vs-series AB-join needs at least two windows per segment."""
     from mpx.snippets import snippets as _snippets
 
     T = np.asarray(T, np.float64)
-    mc = max(4, int(round(m * percentage))) if percentage != 1.0 else None
+    mc = min(max(4, int(round(m * percentage))), m - 1)
     out = _snippets(T, m, k, mc)  # (T, L, k, m_compare) positionally
     vals = np.stack([T[s.start : s.start + m] for s in out])
     return (vals, np.array([s.start for s in out], np.int64),
@@ -331,14 +336,18 @@ class stimp:
     one more window length (ascending); read ``PAN_`` (the normalized
     surface, NaN above unrevealed lengths) and ``M_``.  Backed by mpx's
     FUSED pan kernel: all lengths are computed in ONE sweep on the
-    first update, so later updates are free."""
+    first update, so later updates are free.
+
+    Divergence: STUMPY's default ``min_m`` is 3; mpx's exclusion zone
+    (m // 4) needs m >= 4, so ``min_m`` is clamped to 4.  Read ``M_``
+    for the actual lengths — PAN_ rows always align with it."""
 
     def __init__(self, T, min_m: int = 3, max_m=None, step: int = 1,
                  percentage: float = 0.01):
         del percentage  # the fused sweep computes exact-schedule rows
         T = np.asarray(T, np.float64)
         n = T.shape[0]
-        min_m = max(min_m, 4)  # mpx exclusion zone needs m >= 4
+        min_m = max(min_m, 4)  # documented divergence: clamped from 3
         if max_m is None:
             max_m = max(min_m, n // 4)
         self._T = T

@@ -156,6 +156,18 @@ def make_job_grid(w: int, band: int, chunk: int) -> JobGrid:
     )
 
 
+def pad_jobs(r0s: np.ndarray, c0s: np.ndarray, multiple: int,
+             dummy_r0: int) -> tuple:
+    """Pad raw (r0, c0) job arrays to a multiple of ``multiple`` with
+    dummy jobs whose rows are entirely out of range (the rectangle-grid
+    analog of :func:`pad_job_grid`; idempotent merges make them no-ops)."""
+    pad = -r0s.shape[0] % multiple
+    if not pad:
+        return r0s, c0s
+    return (np.concatenate([r0s, np.full(pad, dummy_r0, np.int32)]),
+            np.concatenate([c0s, np.zeros(pad, np.int32)]))
+
+
 def pad_job_grid(grid: JobGrid, multiple: int, dummy_r0: int) -> JobGrid:
     """Pad the job list to a multiple (for even sharding) with dummy jobs
     whose rows are entirely out of range; max-merges make them no-ops."""

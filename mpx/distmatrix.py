@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpx.config import MatrixProfileConfig, make_job_grid
+from mpx.config import MatrixProfileConfig, make_job_grid, pad_jobs
 from mpx.kernels import band_geometry
 from mpx.kernels.mxu import _job_correlations
 
@@ -192,11 +192,8 @@ def pooled_matrix(
     njobs = r0s.shape[0]
     if not group or group >= njobs:
         group = njobs
-    pad = -njobs % group
-    if pad:
-        # dummy jobs with out-of-range rows mask to all-neutral tiles
-        r0s = np.concatenate([r0s, np.full(pad, w, np.int32)])
-        c0s = np.concatenate([c0s, np.zeros(pad, np.int32)])
+    # dummy jobs with out-of-range rows mask to all-neutral tiles
+    r0s, c0s = pad_jobs(r0s, c0s, group, dummy_r0=w)
 
     stats = precompute_statistics(A, m, band=S, chunk=S,
                                   dtype=jnp.float32, matmul_only=True)

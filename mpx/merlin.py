@@ -135,6 +135,12 @@ def multi_length_discords(
             )
             cand = cand[np.argsort(approx[cand])[::-1][:_MAX_CANDIDATES]]
         D, I = _exact_row_rescore(T64, m, cand)
+        # a candidate can be degenerate only in exact f64 (its f32
+        # survey variance rounded away from zero): no valid neighbor
+        # there means no discord, not an astronomical one
+        D = np.where(I >= 0, D, -np.inf)
+        if not np.isfinite(D).any():
+            continue
         best = int(np.argmax(D))
         idx = int(cand[best])
         per_length.append(LengthDiscord(

@@ -59,9 +59,20 @@ def enable_compilation_cache(path: Optional[str] = None):
     path = path or os.environ.get(
         "MPX_COMPILE_CACHE", os.path.expanduser("~/.cache/mpx-jax")
     )
-    # CPU backends get a per-machine cache dir (see _cpu_cache_suffix).
-    if str(jax.config.jax_platforms or "").startswith("cpu") or (
-        os.environ.get("MPX_PLATFORM", "").startswith("cpu")
+    # CPU backends get a per-machine cache dir (see _cpu_cache_suffix):
+    # explicit request, or no accelerator plugin registered at all (the
+    # silent fall-back-to-CPU path hits the same cross-host AOT hazard).
+    cpu_only = False
+    try:
+        from jax._src import xla_bridge
+
+        cpu_only = set(xla_bridge._backend_factories) == {"cpu"}
+    except Exception:
+        pass
+    if (
+        str(jax.config.jax_platforms or "").startswith("cpu")
+        or os.environ.get("MPX_PLATFORM", "").startswith("cpu")
+        or cpu_only
     ):
         path = path + _cpu_cache_suffix()
     try:

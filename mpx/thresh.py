@@ -230,10 +230,9 @@ def compute_sum_thresh_ab(
     njobs = r0s.shape[0]
     if not group or group >= njobs:
         group = njobs
-    pad = -njobs % group
-    if pad:
-        r0s = np.concatenate([r0s, np.full(pad, wa, np.int32)])
-        c0s = np.concatenate([c0s, np.zeros(pad, np.int32)])
+    from mpx.config import pad_jobs
+
+    r0s, c0s = pad_jobs(r0s, c0s, group, dummy_r0=wa)
 
     with x64_scope(needs_x64(dt)):
         stats_a = precompute_statistics(A, m, band=S, chunk=W, dtype=dt,

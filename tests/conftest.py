@@ -37,3 +37,15 @@ def random_walk(n: int, seed: int = 0) -> np.ndarray:
 @pytest.fixture
 def make_random_walk():
     return random_walk
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_executables_between_modules():
+    """XLA:CPU's in-process JIT has segfaulted compiling (or cache-
+    (de)serializing) the streaming-append executable late in full-suite
+    runs — hundreds of live executables; never when the module runs
+    alone, with or without the persistent cache.  Dropping compiled
+    executables between modules keeps the compiler far from that state;
+    within-module warmth (where reuse actually happens) is preserved."""
+    yield
+    jax.clear_caches()

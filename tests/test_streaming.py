@@ -1,6 +1,5 @@
 """Streaming (incremental) profile vs batch recomputation."""
 
-import jax
 import numpy as np
 import pytest
 
@@ -8,18 +7,6 @@ from mpx.reference import compute_matrix_profile_reference
 from mpx.streaming import StreamingMatrixProfile
 from tests.conftest import random_walk
 from tests.helpers import assert_profile_close
-
-
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_executable_cache():
-    # XLA:CPU's in-process JIT has segfaulted compiling this module's
-    # streaming executables late in a full-suite run (hundreds of live
-    # executables; crash is inside backend_compile_and_load — with or
-    # without the persistent cache, and never when the module runs
-    # alone).  Dropping the accumulated executables first avoids the
-    # compiler state the crash needs.
-    jax.clear_caches()
-    yield
 
 
 def test_streaming_matches_batch_f64():
