@@ -31,11 +31,10 @@ Argument mapping and documented divergences:
   the runtime's job here (one TPU chip or a jax mesh), not a per-call
   knob.  ``mp_filename``-style file outputs are not reproduced; use
   ``mpx compute -o``.
-* ``selfjoin_knn`` returns a ``(count, 3)`` float array of
-  ``(col, row, value)`` matches (k per row, rows ascending, best first
-  within a row) — pyscamp's tuple-list shape — built from mpx's k-NN
-  profile tier.  ``abjoin_knn`` is not provided (mpx's k-NN tier is
-  self-join only); it raises ``NotImplementedError``.
+* ``selfjoin_knn`` / ``abjoin_knn`` return a ``(count, 3)`` float array
+  of ``(col, row, value)`` matches (k per row, rows ascending, best
+  first within a row) — pyscamp's tuple-list shape — built from mpx's
+  k-NN profile tiers (self-join and AB rectangle grids).
 * matrix summaries: empty cells read correlation -1.0 / distance
   ``sqrt(4m)`` (mpx.distmatrix docs), and the self-join applies the
   standard m//4 exclusion zone.
@@ -159,6 +158,11 @@ def selfjoin_knn(a, window: int, k: int, threads: int = 0, gpus=None,
 
     cfg = _config(window, precision)
     D, I = compute_topk_profile(np.asarray(a), window, k=k, config=cfg)
+    return _knn_matches(D, I, window, pearson)
+
+
+def _knn_matches(D, I, window: int, pearson: bool) -> np.ndarray:
+    """(w, k) top-k arrays -> pyscamp's (count, 3) (col, row, value)."""
     D = np.asarray(D, np.float64)
     I = np.asarray(I)
     w = D.shape[0]
@@ -173,12 +177,19 @@ def selfjoin_knn(a, window: int, k: int, threads: int = 0, gpus=None,
                             rows.astype(np.float64), vals])
 
 
-def abjoin_knn(*args, **kwargs):
-    """Not provided: mpx's k-NN tier is self-join only (the AB 1-NN and
-    AB sum tiers cover the other pyscamp AB modes)."""
-    raise NotImplementedError(
-        "abjoin_knn has no mpx tier yet; use abjoin/abjoin_sum"
-    )
+def abjoin_knn(a, b, window: int, k: int, threads: int = 0, gpus=None,
+               precision: str = "single", pearson: bool = False,
+               verbose: bool = False) -> np.ndarray:
+    """k-NN AB-join: ``(count, 3)`` array of (col-in-b, row-in-a, value)
+    matches — k per row of ``a`` (fewer where B runs out), rows
+    ascending, best-first within a row."""
+    del threads, gpus, verbose
+    from mpx.topk import compute_topk_ab
+
+    cfg = _config(window, precision)
+    D, I = compute_topk_ab(np.asarray(a), np.asarray(b), window, k=k,
+                           config=cfg)
+    return _knn_matches(D, I, window, pearson)
 
 
 def selfjoin_matrix(a, window: int, mwidth: int = 50, mheight: int = 50,

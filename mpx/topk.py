@@ -137,6 +137,134 @@ def _run_topk_jobs(stats, r0s, k0s, *, S, W, m, w, excl, k, dtype,
     return d, i
 
 
+def _job_topk_ab(stats_a, stats_b, r0, c0, geom, k, dt):
+    """Row-side top-k of one AB rectangle tile (A rows, B columns)."""
+    from mpx.kernels.mxu import _job_correlations
+
+    init_v = jnp.asarray(AGGREGATE_INIT, dt)
+    P, valid, _, cols = _job_correlations(
+        stats_a, r0, c0, geom, dt, stats_c=stats_b, two_sided=True)
+    Pm = jnp.where(valid, P, init_v)
+    colmat = jnp.broadcast_to(cols, Pm.shape)
+    return _topk_desc(Pm, colmat, k)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("S", "W", "m", "wa", "wb", "k", "dtype", "tr", "tc"),
+)
+def _run_topk_ab_jobs(stats_a, stats_b, r0s, c0s, *, S, W, m, wa, wb, k,
+                      dtype, tr=8, tc=2048):
+    from mpx.kernels import band_geometry
+
+    dt = canonical_dtype(dtype)
+    geom = band_geometry(S, W, m, wa, tr, tc, wc=wb, excl=0)
+    L = wa + S
+    rows_v = jnp.full((L, k), AGGREGATE_INIT, dt)
+    rows_i = jnp.full((L, k), INDEX_INIT, jnp.int32)
+
+    def body(carry, job):
+        rows_v, rows_i = carry
+        r0, c0 = job
+        rv, ri = _job_topk_ab(stats_a, stats_b, r0, c0, geom, k, dt)
+        rows_v, rows_i = _merge_topk(rows_v, rows_i, rv, ri, r0, S, k)
+        return (rows_v, rows_i), None
+
+    (rows_v, rows_i), _ = jax.lax.scan(body, (rows_v, rows_i), (r0s, c0s))
+    v, i = rows_v[:wa], rows_i[:wa]
+    d = jnp.sqrt(jnp.maximum(2.0 * m * (1.0 - v), 0.0))
+    d = jnp.where(i >= 0, d, jnp.inf)
+    return d, i
+
+
+def compute_topk_ab(
+    A,
+    B,
+    m: Optional[int] = None,
+    k: int = 4,
+    config: Optional[MatrixProfileConfig] = None,
+):
+    """k-NN AB-join: for each window of ``A``, its ``k`` nearest
+    neighbors in ``B`` — (distances (wa, k), indices (wa, k)), rows
+    ascending by distance; missing neighbors are (inf, -1).  No
+    exclusion zone (the series are distinct), matching the AB 1-NN
+    tier.  float64 routes through the strict emulated device path (the
+    hybrid's capture machinery is self-join-shaped); one scan, no
+    dispatch grouping — same envelope as the self-join k-NN tier."""
+    if config is None:
+        config = MatrixProfileConfig(m=m if m is not None else 32)
+    elif m is not None and m != config.m:
+        raise ValueError(f"m={m} conflicts with config.m={config.m}")
+    m = config.m
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if config.kernel not in ("auto", "mxu"):
+        raise ValueError("the AB k-NN tier has one kernel (windows "
+                         "matmul); use kernel='auto'")
+    A, B = np.asarray(A), np.asarray(B)
+    config.validate_series(A.shape[0], A)
+    config.validate_series(B.shape[0], B)
+    if config.input_quant is not None:
+        from mpx.io.apfixed import quantize
+
+        A = quantize(np.asarray(A, np.float64), config.input_quant)
+        B = quantize(np.asarray(B, np.float64), config.input_quant)
+    wa = A.shape[0] - m + 1
+    wb = B.shape[0] - m + 1
+    config = config.shrink_to(max(wa, wb))
+    S, W = config.band, config.chunk
+    if k > W:
+        raise ValueError(f"k={k} exceeds the job extent chunk={W}")
+    dt = canonical_dtype(config.dtype)
+
+    rr, cc = np.meshgrid(np.arange(0, wa, S, dtype=np.int32),
+                         np.arange(0, wb, W, dtype=np.int32))
+    r0s, c0s = rr.ravel(), cc.ravel()
+
+    with x64_scope(needs_x64(dt)):
+        stats_a = precompute_statistics(A, m, band=S, chunk=W, dtype=dt,
+                                        matmul_only=True)
+        stats_b = precompute_statistics(B, m, band=S, chunk=W, dtype=dt,
+                                        matmul_only=True)
+        D, I = _run_topk_ab_jobs(
+            stats_a, stats_b, jnp.asarray(r0s), jnp.asarray(c0s),
+            S=S, W=W, m=m, wa=wa, wb=wb, k=k, dtype=str(dt),
+            tr=config.tile_rows, tc=config.tile_cols,
+        )
+        jax.block_until_ready((D, I))
+    return D, I
+
+
+def brute_force_topk_ab(A, B, m: int, k: int):
+    """O(wa * wb * m) numpy oracle: per-A-window k best B neighbors."""
+    from mpx.ops.precompute import precompute_statistics_numpy
+
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    sa = precompute_statistics_numpy(A, m)
+    sb = precompute_statistics_numpy(B, m)
+    wa, wb = A.shape[0] - m + 1, B.shape[0] - m + 1
+    Ua = np.stack([A[i : i + m] for i in range(wa)])
+    Ua = (Ua - sa["mu"][:, None]) * np.where(
+        np.isfinite(sa["inv"]), sa["inv"], 0.0)[:, None]
+    Ub = np.stack([B[i : i + m] for i in range(wb)])
+    Ub = (Ub - sb["mu"][:, None]) * np.where(
+        np.isfinite(sb["inv"]), sb["inv"], 0.0)[:, None]
+    P = Ua @ Ub.T
+    valid = np.isfinite(sa["inv"])[:, None] & np.isfinite(sb["inv"])[None, :]
+    P = np.where(valid, P, -np.inf)
+    kk = min(k, wb)
+    order = np.argsort(-P, axis=1)[:, :kk]
+    vals = np.take_along_axis(P, order, axis=1)
+    D = np.sqrt(np.maximum(2.0 * m * (1.0 - vals), 0.0))
+    I = np.where(np.isfinite(vals), order, -1)
+    D = np.where(np.isfinite(vals), D, np.inf)
+    if kk < k:
+        D = np.pad(D, ((0, 0), (0, k - kk)), constant_values=np.inf)
+        I = np.pad(I, ((0, 0), (0, k - kk)), constant_values=-1)
+    return D, I
+
+
 def compute_topk_profile(
     T,
     m: Optional[int] = None,

@@ -84,8 +84,26 @@ def test_knn_matches_topk_tier():
     r0 = knn[knn[:, 1] == 0]
     np.testing.assert_allclose(r0[:, 2], D[0][I[0] >= 0], atol=1e-6)
     assert (r0[:, 0].astype(int) == I[0][I[0] >= 0]).all()
-    with pytest.raises(NotImplementedError):
-        psc.abjoin_knn(T, T, 16, 3)
+
+
+def test_abjoin_knn_matches_oracle():
+    A, B = _walk(400, 16), _walk(300, 17)
+    from mpx.topk import brute_force_topk_ab
+
+    knn = psc.abjoin_knn(A, B, 16, 3)
+    eD, eI = brute_force_topk_ab(A, B, 16, 3)
+    wa = A.shape[0] - 16 + 1
+    assert knn.shape == (3 * wa, 3)
+    for r in (0, wa // 2, wa - 1):
+        got = knn[knn[:, 1] == r]
+        np.testing.assert_allclose(got[:, 2], eD[r], atol=2e-3)
+    # rank-1 equals the AB 1-NN tier everywhere
+    from mpx.abjoin import compute_ab_join
+
+    res = compute_ab_join(A, B, 16)
+    first = knn[::3]
+    np.testing.assert_allclose(first[:, 2], np.asarray(res.mp_a),
+                               atol=1e-5)
 
 
 def test_matrix_modes_match_distmatrix():
