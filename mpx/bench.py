@@ -307,6 +307,19 @@ SUITE = [
         "dtype": "float32", "band": 1024, "chunk": 1024,
     },
     {
+        # pooled matrix-summary tier (SCAMP matrix mode): the whole 1M
+        # join as a 64x64 max-correlation heatmap in one f32 sweep
+        "name": "matrix-f32-1048576",
+        "matrix": True, "n": 1 << 20, "m": 256,
+        "mwidth": 64, "mheight": 64, "band": 4096, "chunk": 4096,
+    },
+    {
+        # exact multi-length discords (MERLIN use case): one fused pan
+        # survey over 16 consecutive lengths + f64 margin rescore
+        "name": "merlin-f32-524288-16",
+        "merlin": True, "n": 1 << 19, "lo": 256, "hi": 271,
+    },
+    {
         # BASELINE item 5, executed: the 16M-point pod-scale workload on
         # ONE chip (1.4e14 pairs, ~50 min).  kernel=mxu pinned: the O(n)
         # aggregate state streams 2.1M jobs through grouped dispatches,
@@ -781,6 +794,123 @@ def run_mstamp_benchmark(n: int, m: int, d: int, dtype: str = "float32",
     }
 
 
+def run_matrix_benchmark(n: int, m: int, mwidth: int = 64,
+                         mheight: int = 64, band: int = 4096,
+                         chunk: int = 4096, seed: int = 0,
+                         validate: int = 32, verbose: bool = False):
+    """Pooled distance-matrix summary benchmark (mpx/distmatrix.py):
+    one f32 MXU sweep of the upper triangle with the sorted-pool
+    epilogue.  Metric = pairs/s over the w*(w-1)/2 join pairs.
+    Validation: for ``validate`` sampled rows, the exact f64 best pair
+    (native.row_scan) must be DOMINATED by its pooled cell — the cell
+    covering (row, best column) must be within 2e-3 of at least that
+    correlation (exactness at small n is pinned by tests/)."""
+    import time
+
+    from mpx import MatrixProfileConfig
+    from mpx.distmatrix import pooled_matrix
+    from mpx.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
+    w = n - m + 1
+    pairs = w * (w - 1) / 2
+    cfg = MatrixProfileConfig(m=m, band=band, chunk=chunk)
+
+    M = pooled_matrix(T, m, mwidth=mwidth, mheight=mheight,
+                      pearson=True, config=cfg)  # warmup/compile
+    t0 = time.time()
+    M = pooled_matrix(T, m, mwidth=mwidth, mheight=mheight,
+                      pearson=True, config=cfg)
+    wall = time.time() - t0
+
+    val = None
+    if validate:
+        from mpx.hybrid import _row_scan
+        from mpx.ops.precompute import precompute_statistics_numpy
+        from mpx import native
+
+        T64 = np.asarray(T, np.float64)
+        s64 = (native.precompute(T64, m) if native.is_available()
+               else precompute_statistics_numpy(T64, m))
+        rows = np.sort(np.random.default_rng(seed + 1).choice(
+            w, size=min(validate, w), replace=False)).astype(np.int32)
+        eP, eI = _row_scan(
+            T64, np.asarray(s64["mu"], np.float64),
+            np.asarray(s64["inv"], np.float64), m, w, m // 4, rows)
+        ph = -(-w // mheight)
+        pw = -(-w // mwidth)
+        ok = eI >= 0
+        cell = M[rows[ok] // ph, eI[ok] // pw]
+        slack = (cell - eP[ok]).min()  # >= -2e-3: cell max dominates
+        if slack < -2e-3:
+            raise ValidationError(
+                f"pooled cell below its own row's best pair by {-slack}")
+        val = {"rows": int(ok.sum()), "min_dominance_slack": float(slack)}
+
+    res = {
+        "n": n, "m": m, "dtype": "float32",
+        "mwidth": mwidth, "mheight": mheight,
+        "pairs": pairs, "wall_s": wall,
+        "pairs_per_sec": pairs / wall,
+        "matrix_max_corr": float(M.max()),
+    }
+    if val:
+        res["validation"] = val
+    return res
+
+
+def run_merlin_benchmark(n: int, lo: int, hi: int, seed: int = 0,
+                         validate: int = 16, verbose: bool = False):
+    """Multi-length exact discord benchmark (mpx/merlin.py): ONE fused
+    pan survey over every length in [lo, hi] + per-length f64 margin
+    rescore.  Metric = pairs/s over the summed per-length join pairs.
+    Validation: for ``validate`` sampled rows per a few lengths, the
+    exact row NN distance must not exceed the reported discord."""
+    import time
+
+    from mpx.merlin import _exact_row_rescore, multi_length_discords
+    from mpx.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    T = np.cumsum(np.random.default_rng(seed).standard_normal(n))
+    ms = np.arange(lo, hi + 1)
+    pairs = float(sum((n - m + 1) * (n - m) / 2 for m in ms))
+
+    res0 = multi_length_discords(T, lo, hi)  # warmup/compile
+    t0 = time.time()
+    result = multi_length_discords(T, lo, hi)
+    wall = time.time() - t0
+
+    val = None
+    if validate:
+        T64 = np.asarray(T, np.float64)
+        rng = np.random.default_rng(seed + 1)
+        checked = 0
+        for d in result.per_length[:: max(1, len(result.per_length) // 3)]:
+            w = n - d.m + 1
+            rows = np.sort(rng.choice(w, size=min(validate, w),
+                                      replace=False)).astype(np.int32)
+            D, _ = _exact_row_rescore(T64, d.m, rows)
+            if D.max() > d.distance + 1e-9:
+                raise ValidationError(
+                    f"m={d.m}: sampled row NN {D.max()} exceeds the "
+                    f"reported discord {d.distance}")
+            checked += rows.shape[0]
+        val = {"rows": checked}
+
+    res = {
+        "n": n, "m": int(ms[-1]), "dtype": "float32",
+        "lengths": int(ms.size), "pairs": pairs, "wall_s": wall,
+        "pairs_per_sec": pairs / wall,
+        "top_discord": {"m": result.top[0].m, "index": result.top[0].index,
+                        "score": result.top[0].score} if result.top else None,
+    }
+    if val:
+        res["validation"] = val
+    return res
+
+
 def run_batch_benchmark(n: int, m: int, b: int, dtype: str = "float32",
                         band: int = 1024, chunk: int = 1024,
                         seed: int = 0, validate: int = 4,
@@ -847,7 +977,7 @@ def run_suite(names=None, verbose: bool = False) -> list:
         kwargs = {k: v for k, v in cfg.items()
                   if k not in ("name", "input", "streaming", "huge",
                                "topk", "mstamp", "batch", "contrast",
-                               "thresh", "damp")}
+                               "thresh", "damp", "matrix", "merlin")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 
@@ -869,6 +999,10 @@ def run_suite(names=None, verbose: bool = False) -> list:
                 res = run_damp_benchmark(verbose=verbose, **kwargs)
             elif cfg.get("batch"):
                 res = run_batch_benchmark(verbose=verbose, **kwargs)
+            elif cfg.get("matrix"):
+                res = run_matrix_benchmark(verbose=verbose, **kwargs)
+            elif cfg.get("merlin"):
+                res = run_merlin_benchmark(verbose=verbose, **kwargs)
             else:
                 res = run_benchmark(verbose=verbose, **kwargs)
         except ValidationError:
