@@ -50,9 +50,9 @@ from typing import List, Optional
 import numpy as np
 
 __all__ = [
-    "stump", "aamp", "mass", "match", "motifs", "fluss", "floss",
-    "mstump", "subspace", "atsc", "allc", "snippets", "ostinato",
-    "mpdist", "scrump", "stimp",
+    "stump", "stumped", "gpu_stump", "aamp", "mass", "match", "motifs",
+    "fluss", "floss", "mstump", "mstumped", "subspace", "atsc", "allc",
+    "snippets", "ostinato", "mpdist", "scrump", "stimp",
 ]
 
 
@@ -121,6 +121,34 @@ def stump(T_A, m: int, T_B=None, ignore_trivial: bool = True,
     J = np.asarray(J, np.int64)
     cols = [D[:, i] for i in range(k)] + [J[:, i] for i in range(k)]
     return np.stack(cols + [IL, IR], axis=1).astype(object)
+
+
+def stumped(client, T_A, m: int, T_B=None, ignore_trivial: bool = True,
+            normalize: bool = True, p: float = 2.0, k: int = 1):
+    """stumpy.stumped (the dask-distributed stump): same result as
+    :func:`stump`.  ``client`` is accepted and ignored — mpx distributes
+    over its own jax mesh (`mpx.parallel`), not a dask cluster."""
+    del client
+    return stump(T_A, m, T_B=T_B, ignore_trivial=ignore_trivial,
+                 normalize=normalize, p=p, k=k)
+
+
+def gpu_stump(T_A, m: int, T_B=None, ignore_trivial: bool = True,
+              device_id: int = 0, normalize: bool = True, p: float = 2.0,
+              k: int = 1):
+    """stumpy.gpu_stump: same result as :func:`stump` on whatever
+    accelerator the jax backend provides (TPU here); ``device_id`` is
+    accepted and ignored."""
+    del device_id
+    return stump(T_A, m, T_B=T_B, ignore_trivial=ignore_trivial,
+                 normalize=normalize, p=p, k=k)
+
+
+def mstumped(client, T, m: int, discords: bool = False):
+    """stumpy.mstumped: same result as :func:`mstump`; ``client`` is
+    accepted and ignored (see :func:`stumped`)."""
+    del client
+    return mstump(T, m, discords=discords)
 
 
 def aamp(T, m: int, ignore_trivial: bool = True, p: float = 2.0):

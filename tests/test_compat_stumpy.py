@@ -53,6 +53,19 @@ def test_stump_abjoin_and_topk():
                                np.asarray(D)[:, 0], atol=1e-6)
 
 
+def test_distributed_aliases():
+    T = _walk(300, 34)
+    out = st.stump(T, 12)
+    a = st.stumped(None, T, 12)
+    b = st.gpu_stump(T, 12, device_id=3)
+    assert (a == out).all() and (b == out).all()
+    Tm = np.cumsum(
+        np.random.default_rng(35).standard_normal((2, 300)), axis=1)
+    P1, I1 = st.mstump(Tm, 12)
+    P2, I2 = st.mstumped(None, Tm, 12)
+    np.testing.assert_allclose(P1, P2)
+
+
 def test_stump_validation():
     T = _walk(100, 25)
     with pytest.raises(NotImplementedError):
