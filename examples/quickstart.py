@@ -134,3 +134,23 @@ print(f"damp: strongest anomaly @ {d.index} distance {d.distance:.3f}"
 cfg16 = mpx.MatrixProfileConfig(m=m, dtype="ap16")   # quantize to 2^-11 grid
 MPq, _ = mpx.compute_matrix_profile(T / np.abs(T).max() * 8, config=cfg16)
 print(f"ap16 tier: profile on the quantized input, min d={np.asarray(MPq).min():.4f}")
+
+# --- 11. whole-join heatmap: pooled distance-matrix summary ------------------
+Mx = mpx.pooled_matrix(T, m, mwidth=16, mheight=16, pearson=True)
+r_, c_ = divmod(int(Mx.argmax()), 16)
+print(f"matrix: 16x16 summary, hottest cell ({r_}, {c_}) "
+      f"corr {Mx[r_, c_]:.3f}")
+
+# --- 12. exact discords at EVERY length (the MERLIN question) ----------------
+mres = mpx.multi_length_discords(T, lo=16, hi=48, k=1)
+top = mres.top[0]
+print(f"merlin: strongest discord is m={top.m} @ {top.index} "
+      f"(score {top.score:.3f}) across {len(mres.per_length)} lengths")
+
+# --- 13. drop-in ecosystem APIs ----------------------------------------------
+import mpx.compat.pyscamp as pyscamp     # the reference's own golden tool
+mp_ps, mpi_ps = pyscamp.selfjoin(T, m)   # util/matrix_profile.py:17, verbatim
+import mpx.compat.stumpy as stumpy
+mp_st = stumpy.stump(T, m)               # (w, 4): [P, I, left, right]
+print(f"compat: pyscamp min {mp_ps.min():.3f} == "
+      f"stumpy min {float(mp_st[:, 0].min()):.3f} == mpx min {MP.min():.3f}")
