@@ -65,6 +65,8 @@ from mpx.contrast import (
 )
 from mpx.missing import compute_matrix_profile_masked, missing_window_mask
 from mpx.mstamp import (
+    MdlResult,
+    multidim_mdl,
     compute_multidim_profile,
     multidim_discord,
     multidim_motif,
@@ -91,6 +93,8 @@ __all__ = [
     "compute_multidim_profile",
     "multidim_motif",
     "multidim_subspace",
+    "multidim_mdl",
+    "MdlResult",
     "multidim_discord",
     "ostinato",
     "pan_m_range",

@@ -628,6 +628,9 @@ def _add_mstamp(sub):
     p.add_argument("--discords", action="store_true",
                    help="average the k LARGEST per-dim distances "
                         "(multi-dimensional discord search)")
+    p.add_argument("--mdl", action="store_true",
+                   help="pick the meaningful dimensionality k by "
+                        "minimum description length (motif mode only)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -675,6 +678,15 @@ def _cmd_mstamp(args) -> int:
             dims = multidim_subspace(T, args.m, i, j, k,
                                      include=args.include)
             print(f"  {k:3d} ({i}, {j}) d={dist:.4f} dims={dims.tolist()}")
+    if args.mdl:
+        if args.discords:
+            raise ValueError("--mdl selects motif dimensionality; "
+                             "drop --discords")
+        from mpx.mstamp import multidim_mdl
+
+        res = multidim_mdl(T, args.m, profile=prof, include=args.include)
+        print(f"MDL: best k = {res.best_k} "
+              f"(bit saves {np.round(res.bitsaves, 1).tolist()})")
     return 0
 
 

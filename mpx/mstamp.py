@@ -346,6 +346,88 @@ def multidim_discord(profile: MultiProfile, k: int) -> tuple[int, float]:
     return i, float(P[i])
 
 
+class MdlResult(NamedTuple):
+    best_k: int            # dimensionality with the largest bit save
+    bitsaves: np.ndarray   # (d,) float — bits saved at each k (1-based)
+    motifs: list           # per k: (i, j) motif pair used
+    subspaces: list        # per k: the k dimension indices used
+
+
+def multidim_mdl(T, m: int, *, profile: MultiProfile | None = None,
+                 bits: int = 4, include=None,
+                 config=None) -> MdlResult:
+    """WHICH dimensionality k is meaningful: MDL-based unconstrained
+    search (the mSTAMP paper's third tool, Matrix Profile VI §IV-C).
+
+    For each k, the best k-dim motif pair is scored by how many bits
+    the pair SAVES when one subsequence is encoded relative to the
+    other instead of raw.  Each selected dimension's subsequences are
+    z-normalized and discretized to ``bits`` bits on the pair's shared
+    min-max grid; encoding the residual ``disc(B) - disc(A)`` costs
+    ``m * log2(u) + u * bits`` (u = distinct residual values, the
+    second term the dictionary), versus ``m * bits`` raw:
+
+        bitsave(k) = sum over the k subspace dims of
+                     m*bits - (m*log2(u_t) + u_t*bits)
+
+    Correlated dimensions have few residual values (large save); a
+    noise dimension's residuals are spread (negative save) — so the
+    save peaks at the natural dimensionality and ``best_k`` is its
+    argmax.  A z-degenerate (flat) dimension contributes ``-m*bits``
+    (it can never justify itself).  Host-side O(d^2 m) given the
+    profile; computes the mSTAMP profile first when not supplied."""
+    T = np.asarray(T, np.float64)
+    if T.ndim == 1:
+        T = T[None, :]
+    d, n = T.shape
+    if bits < 1:
+        raise ValueError("bits must be >= 1")
+    if profile is None:
+        profile = compute_multidim_profile(T, m, config=config,
+                                           include=include)
+    if profile.PMP.shape[0] != d:
+        raise ValueError(
+            f"profile has {profile.PMP.shape[0]} rows for d={d} series")
+
+    from mpx.ops.precompute import ZERO_VARIANCE_REL
+
+    def _dl_given(a: np.ndarray, b: np.ndarray) -> float:
+        """Bits saved encoding z-norm(b) relative to z-norm(a)."""
+        ca, cb = a - a.mean(), b - b.mean()
+        sa, sb = ca @ ca, cb @ cb
+        if sa <= ZERO_VARIANCE_REL * (a @ a) or \
+           sb <= ZERO_VARIANCE_REL * (b @ b):
+            return -float(m * bits)
+        za, zb = ca / np.sqrt(sa), cb / np.sqrt(sb)
+        lo = min(za.min(), zb.min())
+        hi = max(za.max(), zb.max())
+        scale = (2**bits - 1) / (hi - lo) if hi > lo else 0.0
+        da = np.round((za - lo) * scale).astype(np.int64)
+        db = np.round((zb - lo) * scale).astype(np.int64)
+        u = np.unique(db - da).shape[0]
+        return float(m * bits - (m * np.log2(max(u, 1)) + u * bits))
+
+    bitsaves = np.full(d, -np.inf)
+    motifs, subspaces = [], []
+    for k in range(1, d + 1):
+        try:
+            i, j, _ = multidim_motif(profile, k)
+        except ValueError:  # no valid pairs at this k (flat dimension)
+            motifs.append(None)
+            subspaces.append(None)
+            continue
+        dims = multidim_subspace(T, m, i, j, k, include=include)
+        bitsaves[k - 1] = sum(
+            _dl_given(T[t, i : i + m], T[t, j : j + m]) for t in dims)
+        motifs.append((i, j))
+        subspaces.append(dims)
+    if not np.isfinite(bitsaves).any():
+        raise ValueError("no dimensionality has a valid motif pair")
+    best_k = int(np.argmax(bitsaves)) + 1
+    return MdlResult(best_k=best_k, bitsaves=bitsaves,
+                     motifs=motifs, subspaces=subspaces)
+
+
 def multidim_subspace(T, m: int, i: int, j: int, k: int,
                       include=None, discords: bool = False) -> np.ndarray:
     """WHICH k dimensions form the motif (or discord) pair ``(i, j)``:

@@ -298,3 +298,49 @@ def test_subspace_include_larger_than_k_and_flat_dim():
     assert 1 == dims3[-1] or 1 not in dims3[:2]
     dims2 = multidim_subspace(T, 16, 10, 100, k=2)
     assert 1 not in dims2
+
+
+def test_mdl_picks_planted_dimensionality():
+    from mpx.mstamp import multidim_mdl
+
+    rng = np.random.default_rng(9)
+    d, n, m = 5, 600, 32
+    T = np.cumsum(rng.standard_normal((d, n)), axis=1)
+    pat0 = np.sin(np.linspace(0, 4 * np.pi, m)) * 4
+    pat1 = np.cos(np.linspace(0, 6 * np.pi, m)) * 4
+    for pos in (100, 400):
+        T[0, pos : pos + m] = pat0 + 0.01 * rng.standard_normal(m)
+        T[1, pos : pos + m] = pat1 + 0.01 * rng.standard_normal(m)
+    res = multidim_mdl(T, m)
+    assert res.best_k == 2
+    assert set(res.subspaces[1].tolist()) == {0, 1}
+    assert res.bitsaves.shape == (d,)
+    # the planted-pair save dominates its neighbors
+    assert res.bitsaves[1] > res.bitsaves[0]
+    assert res.bitsaves[1] > res.bitsaves[3]
+
+
+def test_mdl_reuses_profile_and_validates():
+    from mpx.mstamp import compute_multidim_profile, multidim_mdl
+    import pytest
+
+    rng = np.random.default_rng(10)
+    T = np.cumsum(rng.standard_normal((3, 300)), axis=1)
+    prof = compute_multidim_profile(T, 16)
+    res = multidim_mdl(T, 16, profile=prof)
+    assert 1 <= res.best_k <= 3
+    assert len(res.motifs) == 3 and res.motifs[res.best_k - 1] is not None
+    with pytest.raises(ValueError, match="bits"):
+        multidim_mdl(T, 16, profile=prof, bits=0)
+    with pytest.raises(ValueError, match="rows"):
+        multidim_mdl(T[:2], 16, profile=prof)
+
+
+def test_mdl_flat_dimension_penalized():
+    from mpx.mstamp import multidim_mdl
+
+    rng = np.random.default_rng(11)
+    T = np.cumsum(rng.standard_normal((3, 300)), axis=1)
+    T[2] = 5.0  # flat dimension: can never justify itself
+    res = multidim_mdl(T, 16)
+    assert res.best_k <= 2
