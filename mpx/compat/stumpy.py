@@ -51,7 +51,8 @@ import numpy as np
 
 __all__ = [
     "stump", "stumped", "gpu_stump", "aamp", "mass", "match", "motifs",
-    "fluss", "floss", "mstump", "mstumped", "subspace", "atsc", "allc",
+    "fluss", "floss", "mstump", "mstumped", "mmotifs", "subspace",
+    "atsc", "allc",
     "snippets", "ostinato", "mpdist", "scrump", "stimp",
 ]
 
@@ -257,6 +258,97 @@ def mstump(T, m: int, discords: bool = False):
     res = compute_multidim_profile(np.asarray(T, np.float64), m,
                                    discords=discords)
     return np.asarray(res.PMP, np.float64), np.asarray(res.PMPI, np.int64)
+
+
+def mmotifs(T, P, I, min_neighbors: int = 1, max_distance=None,
+            cutoffs=None, max_matches: int = 10, max_motifs: int = 1,
+            k=None, include=None):
+    """stumpy.mmotifs: multi-dimensional motif discovery over an
+    mstump result — (motif_distances, motif_indices, motif_subspaces,
+    motif_mdls).
+
+    Per motif round: the meaningful dimensionality is chosen by MDL
+    (``k=None``, mpx.multidim_mdl) or fixed (``k`` = NUMBER of
+    dimensions, 1-based — unlike :func:`subspace`, whose ``k`` is
+    STUMPY's 0-based profile row); occurrences are found by the
+    mean MASS distance profile over the chosen subspace dimensions
+    (min_neighbors gates acceptance, matched spans are suppressed
+    before the next round).  ``cutoffs`` (scalar or per-round) stops
+    rounds whose profile minimum exceeds it."""
+    from mpx.analysis import mass as _mass
+    from mpx.mstamp import (
+        MultiProfile,
+        multidim_mdl,
+        multidim_motif,
+        multidim_subspace,
+    )
+    from mpx.reference import exclusion_zone
+
+    T = np.asarray(T, np.float64)
+    if T.ndim == 1:
+        T = T[None, :]
+    d, n = T.shape
+    P = np.asarray(P, np.float64).copy()
+    I = np.asarray(I, np.int64)
+    w = P.shape[1]
+    m = n - w + 1
+    zone = max(exclusion_zone(m), 1)
+    if cutoffs is None:
+        cutoffs = np.full(max_motifs, np.inf)
+    else:
+        cutoffs = np.broadcast_to(np.asarray(cutoffs, np.float64),
+                                  (max_motifs,))
+
+    motif_distances, motif_indices = [], []
+    motif_subspaces, motif_mdls = [], []
+    for round_ in range(max_motifs):
+        prof = MultiProfile(PMP=P, PMPI=I)
+        if k is None:
+            try:
+                res = multidim_mdl(T, m, profile=prof, include=include)
+            except ValueError:
+                break
+            kk = res.best_k
+            mdl_bits = res.bitsaves
+        else:
+            kk = int(k)
+            mdl_bits = None
+        try:
+            i, j, dist = multidim_motif(prof, kk)
+        except ValueError:
+            break
+        if dist > cutoffs[round_]:
+            break
+        dims = multidim_subspace(T, m, i, j, kk, include=include)
+        D = np.mean([_mass(T[t, i : i + m], T[t]) for t in dims], axis=0)
+        finite = D[np.isfinite(D)]
+        md = max_distance
+        if md is None and finite.size:
+            md = float(max(finite.min(),
+                           finite.mean() - 2.0 * finite.std()))
+        dists = np.full(max_matches, np.nan)
+        idxs = np.full(max_matches, -1, np.int64)
+        alive = np.isfinite(D)
+        found = 0
+        while alive.any() and found < max_matches:
+            p = int(np.where(alive, D, np.inf).argmin())
+            if not alive[p] or D[p] > md:
+                break
+            dists[found] = D[p]
+            idxs[found] = p
+            alive[max(0, p - zone) : p + zone + 1] = False
+            # suppress the occurrence in every profile row so the next
+            # round finds a different motif
+            P[:, max(0, p - zone) : min(w, p + zone + 1)] = np.inf
+            found += 1
+        if found - 1 < min_neighbors:  # first match is (near) itself
+            continue
+        motif_distances.append(dists)
+        motif_indices.append(idxs)
+        motif_subspaces.append(dims)
+        motif_mdls.append(mdl_bits)
+    return (np.asarray(motif_distances), np.asarray(motif_indices),
+            motif_subspaces, motif_mdls)
 
 
 def subspace(T, m: int, subseq_idx: int, nn_idx: int, k: int,

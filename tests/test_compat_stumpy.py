@@ -157,3 +157,25 @@ def test_scrump_and_stimp():
     assert np.isnan(stp.PAN_[1]).all()
     stp.update(); stp.update(); stp.update()
     assert not np.isnan(stp.PAN_[2]).all()
+
+
+def test_mmotifs_recovers_planted_multidim_motif():
+    rng = np.random.default_rng(9)
+    d, n, m = 4, 600, 32
+    T = np.cumsum(rng.standard_normal((d, n)), axis=1)
+    pat0 = np.sin(np.linspace(0, 4 * np.pi, m)) * 4
+    pat1 = np.cos(np.linspace(0, 6 * np.pi, m)) * 4
+    for pos in (100, 400):
+        T[0, pos : pos + m] = pat0 + 0.01 * rng.standard_normal(m)
+        T[1, pos : pos + m] = pat1 + 0.01 * rng.standard_normal(m)
+    P, I = st.mstump(T, m)
+    md, mi, subs, mdls = st.mmotifs(T, P, I, max_motifs=2, max_matches=4)
+    assert len(subs) >= 1
+    assert set(subs[0].tolist()) == {0, 1}  # MDL picks the planted dims
+    got = [int(x) for x in mi[0] if x >= 0]
+    assert any(abs(x - 100) <= 3 for x in got)
+    assert any(abs(x - 400) <= 3 for x in got)
+    assert mdls[0] is not None and np.argmax(mdls[0]) + 1 == 2
+    # fixed-k path skips MDL
+    _, _, subs2, mdls2 = st.mmotifs(T, P, I, k=2, max_motifs=1)
+    assert mdls2[0] is None and len(subs2[0]) == 2
