@@ -52,7 +52,12 @@ from mpx.chains import ChainsResult, anchored_chain, chain_lengths, compute_chai
 from mpx.damp import Anomaly, OnlineAnomalyDetector, compute_damp
 from mpx.motiflets import Motiflet, k_motiflets, motiflet_elbows
 from mpx.distmatrix import pooled_matrix
-from mpx.merlin import LengthDiscord, MerlinResult, multi_length_discords
+from mpx.merlin import (
+    LengthDiscord,
+    MerlinResult,
+    multi_length_discords,
+    multi_length_motifs,
+)
 from mpx.thresh import compute_sum_thresh, compute_sum_thresh_ab
 from mpx.floss import Floss
 from mpx.batch import compute_batch_profiles
@@ -134,6 +139,7 @@ __all__ = [
     "LengthDiscord",
     "MerlinResult",
     "multi_length_discords",
+    "multi_length_motifs",
     "Motiflet",
     "k_motiflets",
     "motiflet_elbows",

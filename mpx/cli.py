@@ -356,19 +356,24 @@ def _add_merlin(sub):
                    help="strongest cross-length discords to report")
     p.add_argument("--eps", type=float, default=None,
                    help="survey error allowance (default 5e-3)")
+    p.add_argument("--motifs", action="store_true",
+                   help="exact top MOTIF pair per length instead "
+                        "(the VALMOD question)")
     p.add_argument("--verbose", action="store_true")
     return p
 
 
 def _cmd_merlin(args) -> int:
     from mpx.io.tsb import read_series
-    from mpx.merlin import multi_length_discords
+    from mpx.merlin import multi_length_discords, multi_length_motifs
 
     Logger.verbose = args.verbose
     T = read_series(args.input)
     kw = {} if args.eps is None else {"eps": args.eps}
-    res = multi_length_discords(T, args.lo, args.hi, k=args.k, **kw)
-    print(f"exact discords at {len(res.per_length)} lengths "
+    fn = multi_length_motifs if args.motifs else multi_length_discords
+    res = fn(T, args.lo, args.hi, k=args.k, **kw)
+    kind = "motifs" if args.motifs else "discords"
+    print(f"exact {kind} at {len(res.per_length)} lengths "
           f"[{args.lo}, {args.hi}]:")
     for d in res.top:
         print(f"  m={d.m:5d} idx={d.index:8d} nn={d.nn_index:8d} "

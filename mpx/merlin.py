@@ -116,7 +116,20 @@ def multi_length_discords(
     T64 = np.asarray(T, np.float64)
     n = T64.shape[0]
 
-    per_length: List[LengthDiscord] = []
+    per_length = _per_length_extreme(pan, T64, eps, mode="discord")
+    top = _rank_suppress(per_length, k, best_first=True)
+    return MerlinResult(per_length=per_length, top=top)
+
+
+def _per_length_extreme(pan, T64, eps: float, mode: str) -> List[LengthDiscord]:
+    """Exact per-length extremum of the profile (max for discords, min
+    for motifs) via the margin-candidate-band + f64 rescore argument:
+    with the survey error bounded by ``eps``, the true extremum's
+    approximation lies within ``2*eps`` of the approximate extremum, so
+    rescoring that band exactly finds it."""
+    n = T64.shape[0]
+    sign = 1.0 if mode == "discord" else -1.0
+    out: List[LengthDiscord] = []
     for r, m in enumerate(pan.ms):
         m = int(m)
         wm = n - m + 1
@@ -124,43 +137,93 @@ def multi_length_discords(
         matched = np.isfinite(row) & (pan.PMPI[r, :wm] >= 0)
         if not matched.any():
             continue
-        approx = np.where(matched, row, -np.inf)
+        approx = np.where(matched, sign * row, -np.inf)
         cut = float(approx.max()) - 2.0 * eps
         cand = np.nonzero(approx >= cut)[0]
         if cand.shape[0] > _MAX_CANDIDATES:
             Logger.warning(
                 f"merlin m={m}: candidate band {cand.shape[0]} > "
                 f"{_MAX_CANDIDATES}; rescoring only the strongest "
-                f"{_MAX_CANDIDATES} (near-tied discords)"
+                f"{_MAX_CANDIDATES} (near-tied {mode}s)"
             )
             cand = cand[np.argsort(approx[cand])[::-1][:_MAX_CANDIDATES]]
         D, I = _exact_row_rescore(T64, m, cand)
         # a candidate can be degenerate only in exact f64 (its f32
         # survey variance rounded away from zero): no valid neighbor
-        # there means no discord, not an astronomical one
-        D = np.where(I >= 0, D, -np.inf)
-        if not np.isfinite(D).any():
+        # there means no extremum, not an astronomical one
+        Ds = np.where(I >= 0, sign * D, -np.inf)
+        if not np.isfinite(Ds).any():
             continue
-        best = int(np.argmax(D))
+        best = int(np.argmax(Ds))
         idx = int(cand[best])
-        per_length.append(LengthDiscord(
+        out.append(LengthDiscord(
             m=m, index=idx, nn_index=int(I[best]),
             distance=float(D[best]),
             score=float(D[best] / (2.0 * np.sqrt(m))),
         ))
+    return out
 
-    # cross-length ranking with span suppression
-    order = sorted(per_length, key=lambda d: d.score, reverse=True)
+
+def _rank_suppress(per_length: List[LengthDiscord], k: int,
+                   best_first: bool) -> List[LengthDiscord]:
+    """Cross-length ranking (normalized score) with span suppression;
+    motifs (best_first=False → ascending score) suppress BOTH of the
+    pair's spans."""
+    order = sorted(per_length, key=lambda d: d.score, reverse=best_first)
     top: List[LengthDiscord] = []
     taken: List[tuple] = []
     for d in order:
-        span = (d.index, d.index + d.m)
-        if any(span[0] < t1 and t0 < span[1] for t0, t1 in taken):
+        spans = [(d.index, d.index + d.m)]
+        if not best_first and d.nn_index >= 0:
+            spans.append((d.nn_index, d.nn_index + d.m))
+        if any(s0 < t1 and t0 < s1 for s0, s1 in spans
+               for t0, t1 in taken):
             continue
         top.append(d)
-        taken.append(span)
+        taken.extend(spans)
         if len(top) >= k:
             break
+    return top
+
+
+def multi_length_motifs(
+    T,
+    lo: Optional[int] = None,
+    hi: Optional[int] = None,
+    *,
+    ms: Optional[Sequence[int]] = None,
+    k: int = 3,
+    eps: float = _DEFAULT_EPS,
+    config: Optional[MatrixProfileConfig] = None,
+) -> MerlinResult:
+    """Exact top-1 MOTIF pair at every length in [lo, hi] (the VALMOD
+    question, answered by the same survey + margin-rescore machinery as
+    :func:`multi_length_discords` with the extremum flipped): per
+    length, the pair at minimum z-normalized distance, exactly.  The
+    cross-length ``top`` ranks by ``d / (2*sqrt(m))`` ascending and
+    suppresses BOTH spans of each chosen pair."""
+    T = np.asarray(T)
+    if ms is None:
+        if lo is None or hi is None:
+            raise ValueError("pass lo/hi or an explicit ms list")
+        if lo < 4:
+            raise ValueError("m must be >= 4 (exclusion zone is m/4)")
+        if hi < lo:
+            raise ValueError(f"empty length range [{lo}, {hi}]")
+        ms = range(lo, hi + 1)
+    ms_arr = np.unique(np.asarray(list(ms), dtype=np.int64))
+    if ms_arr.size == 0:
+        raise ValueError("ms is empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    from mpx.pan import compute_pan_profile
+
+    pan = compute_pan_profile(T, [int(m) for m in ms_arr],
+                              config=config, method="fused")
+    T64 = np.asarray(T, np.float64)
+    per_length = _per_length_extreme(pan, T64, eps, mode="motif")
+    top = _rank_suppress(per_length, k, best_first=False)
     return MerlinResult(per_length=per_length, top=top)
 
 
@@ -179,6 +242,27 @@ def brute_force_multi_length_discords(T, ms: Sequence[int]) -> List[LengthDiscor
             continue
         score = np.where(matched, MP, -np.inf)
         i = int(np.argmax(score))
+        out.append(LengthDiscord(
+            m=m, index=i, nn_index=int(MPI[i]), distance=float(MP[i]),
+            score=float(MP[i] / (2.0 * np.sqrt(m))),
+        ))
+    return out
+
+
+def brute_force_multi_length_motifs(T, ms: Sequence[int]) -> List[LengthDiscord]:
+    """O(sum_m w_m^2 m) oracle: exact motif pair per length."""
+    from mpx.reference import compute_matrix_profile_reference
+
+    T64 = np.asarray(T, np.float64)
+    out: List[LengthDiscord] = []
+    for m in np.unique(np.asarray(list(ms), dtype=np.int64)):
+        m = int(m)
+        MP, MPI = compute_matrix_profile_reference(T64, m)
+        matched = np.isfinite(MP) & (MPI >= 0)
+        if not matched.any():
+            continue
+        score = np.where(matched, MP, np.inf)
+        i = int(np.argmin(score))
         out.append(LengthDiscord(
             m=m, index=i, nn_index=int(MPI[i]), distance=float(MP[i]),
             score=float(MP[i] / (2.0 * np.sqrt(m))),

@@ -60,3 +60,45 @@ def test_validation_errors():
         multi_length_discords(T, 20, 10)  # empty range
     with pytest.raises(ValueError):
         multi_length_discords(T, 8, 16, k=0)
+
+
+def test_multi_length_motifs_exact():
+    from mpx.merlin import (
+        brute_force_multi_length_motifs,
+        multi_length_motifs,
+    )
+
+    rng = np.random.default_rng(31)
+    # noise base (NOT a walk): the planted pair must dominate its length
+    T = 0.05 * rng.standard_normal(800)
+    pat = np.sin(np.linspace(0, 3 * np.pi, 40)) * 3
+    T[100:140] += pat
+    T[500:540] += pat
+    res = multi_length_motifs(T, 8, 40, k=2)
+    exp = brute_force_multi_length_motifs(T, range(8, 41))
+    assert [d.m for d in res.per_length] == [d.m for d in exp]
+    for got, want in zip(res.per_length, exp):
+        assert got.distance == pytest.approx(want.distance, abs=1e-9)
+    # at the planted length the motif is the planted pair (any common
+    # shift inside the two regions is equally valid — the copies are
+    # identical up to noise at every offset)
+    at40 = [d for d in res.per_length if d.m == 40][0]
+    a, b = sorted((at40.index, at40.nn_index))
+    assert abs(b - a - 400) <= 4 and 85 <= a <= 115
+    # exactness also holds on a random walk (no planted structure)
+    W = _walk(600, 32)
+    resw = multi_length_motifs(W, ms=[8, 16, 24])
+    expw = brute_force_multi_length_motifs(W, [8, 16, 24])
+    for got, want in zip(resw.per_length, expw):
+        assert got.distance == pytest.approx(want.distance, abs=1e-9)
+    # top list: ascending score, both spans suppressed
+    scores = [d.score for d in res.top]
+    assert scores == sorted(scores)
+    spans = []
+    for d in res.top:
+        spans.append((d.index, d.index + d.m))
+        spans.append((d.nn_index, d.nn_index + d.m))
+    for x in range(len(spans)):
+        for y in range(x + 1, len(spans)):
+            a, b = spans[x], spans[y]
+            assert not (a[0] < b[1] and b[0] < a[1])
