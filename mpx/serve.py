@@ -33,6 +33,9 @@ request had one, and either the result or {"error": msg}):
    "pearson"?}                           -> {"matrix":[[...],...]}
   {"op":"merlin","series":[...],"lo":8,"hi":64,"k"?}
                                          -> {"top":[...],"per_length":[...]}
+  {"op":"mstamp","series":[[...],...],"m":64,"include"?,"discords"?,
+   "mdl"?}                               -> {"pmp":[[..]],"pmpi":[[..]],
+                                             "best_k"?,"bitsaves"?}
   {"op":"motiflets","series":[...],"m":64,"k":5,"candidates"?}
                                          -> {"indices":[...],"extent":E}
   {"op":"query","series":[...],"q":[...],"k"?} -> {"matches":[...]}
@@ -167,6 +170,24 @@ class Server:
             threshold=float(req.get("threshold", 0.0)))
         return {"sums": np.asarray(sums, np.float64).tolist(),
                 "counts": np.asarray(cnts, np.int64).tolist()}
+
+    def _op_mstamp(self, req):
+        from mpx.mstamp import compute_multidim_profile, multidim_mdl
+
+        T = np.stack([_series(s) for s in req["series"]])
+        if T.ndim != 2:
+            raise ValueError("mstamp needs a list of equal-length series")
+        prof = compute_multidim_profile(
+            T, config=_cfg(req), include=req.get("include"),
+            discords=bool(req.get("discords", False)))
+        out = {"pmp": np.asarray(prof.PMP, np.float64).tolist(),
+               "pmpi": np.asarray(prof.PMPI, np.int64).tolist()}
+        if req.get("mdl") and not req.get("discords"):
+            res = multidim_mdl(T, int(req["m"]), profile=prof,
+                               include=req.get("include"))
+            out["best_k"] = res.best_k
+            out["bitsaves"] = np.asarray(res.bitsaves).tolist()
+        return out
 
     def _op_matrix(self, req):
         from mpx.distmatrix import pooled_matrix
@@ -316,6 +337,7 @@ class Server:
         "chains": _op_chains,
         "matrix": _op_matrix,
         "merlin": _op_merlin,
+        "mstamp": _op_mstamp,
         "motiflets": _op_motiflets,
         "thresh": _op_thresh,
         "query": _op_query,

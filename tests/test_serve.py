@@ -94,6 +94,21 @@ def test_matrix_and_merlin_ops():
         assert got["distance"] == pytest.approx(want.distance, abs=1e-9)
 
 
+def test_mstamp_op():
+    s = Server()
+    rng = np.random.default_rng(88)
+    T = np.cumsum(rng.standard_normal((3, 300)), axis=1)
+    r = rpc(s, op="mstamp", series=[t.tolist() for t in T], m=16,
+            mdl=True)
+    assert np.asarray(r["pmp"]).shape == (3, 285)
+    assert 1 <= r["best_k"] <= 3 and len(r["bitsaves"]) == 3
+    from mpx.mstamp import compute_multidim_profile
+
+    prof = compute_multidim_profile(T, 16)
+    np.testing.assert_allclose(np.asarray(r["pmp"]),
+                               np.asarray(prof.PMP), atol=1e-5)
+
+
 def test_error_resilience():
     s = Server()
     assert "error" in s.handle("this is not json")
