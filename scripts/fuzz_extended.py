@@ -487,12 +487,13 @@ ROUNDS = [round_ring, round_mstamp, round_topk, round_checkpoint,
 
 def main() -> int:
     total = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 9000
     failures = 0
     for i in range(total):
-        rng = np.random.default_rng(9000 + i)
+        rng = np.random.default_rng(base + i)
         fn = ROUNDS[i % len(ROUNDS)]
         try:
-            msg = fn(rng, seed=31 * i + 7)
+            msg = fn(rng, seed=31 * i + 7 + base)
             print(f"[{i + 1}/{total}] {msg}", flush=True)
         except Exception:
             failures += 1
