@@ -362,6 +362,17 @@ def run_streaming_benchmark(n: int, m: int, append: int, rounds: int,
     pairs = sum(
         (append + m - 1) * (n + append * (i + 1)) for i in range(1, rounds)
     )
+    # Honest baseline for an incremental tier: a batch-only engine (the
+    # reference) would RE-RUN the full self-join after every append.
+    # ``recompute_pairs`` is that total work; run_suite scores
+    # vs_baseline as (recompute_pairs / roofline) / wall — the speedup
+    # over roofline-speed full recomputation, not the meaningless ratio
+    # of per-append throughput to the batch sweep roofline (round-3
+    # review item 6).
+    recompute_pairs = 0.0
+    for i in range(1, rounds):
+        wi = (n + append * (i + 1)) - m + 1
+        recompute_pairs += wi * (wi - 1) / 2
     # the streaming tier computes in f32 (stored f64): f32 tolerance
     val = validate_sampled_rows(T[:pos], m, MP, MPI, k=32, seed=seed + 1,
                                 tol=2e-3)
@@ -371,6 +382,8 @@ def run_streaming_benchmark(n: int, m: int, append: int, rounds: int,
         "m": m,
         "dtype": "float32",
         "pairs": float(pairs),
+        "recompute_pairs": float(recompute_pairs),
+        "baseline_model": "full recompute per append at U250 roofline",
         "wall_s": wall,
         "appends": done,
         "append_ms": wall / done * 1e3,
@@ -1011,21 +1024,55 @@ def run_suite(names=None, verbose: bool = False) -> list:
             # would be worse than no row.
             raise
         except Exception as e:  # noqa: BLE001 - a flaky relay row must
-            # not discard every row already measured; refresh_suite
-            # keeps the prior artifact row for skipped names.
+            # not discard every row already measured; a FAILED marker
+            # row lands in the results so the artifact records the
+            # attempt (refresh_suite keeps the prior measured row and
+            # attaches this as last_attempt).
             print(f"# {cfg['name']} FAILED: {e!r} — continuing",
                   file=sys.stderr)
+            results.append({
+                "name": cfg["name"],
+                "failed": repr(e),
+                "provenance": _provenance(),
+            })
             continue
         res["name"] = cfg["name"]
-        res["vs_baseline"] = res["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC
+        if "recompute_pairs" in res:
+            # incremental tier: speedup over full recomputation at the
+            # reference roofline (see run_streaming_benchmark)
+            res["vs_baseline"] = (
+                res["recompute_pairs"] / BASELINE_PAIRS_PER_SEC
+            ) / res["wall_s"]
+        else:
+            res["vs_baseline"] = res["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC
         res["provenance"] = _provenance()
         results.append(res)
     return results
 
 
+def _git_commit() -> str:
+    """Short commit hash of the benchmarked tree ('?' outside git)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or "?"
+    except Exception:
+        return "?"
+
+
 def _provenance() -> dict:
     """Measurement provenance, the analog of the reference's generated
-    build-info.txt (CMakeLists.txt:145-149)."""
+    build-info.txt (CMakeLists.txt:145-149).  ``measured_at``/``commit``
+    date every row so stale artifact numbers self-identify (round-3
+    review: rows carried across rounds were indistinguishable from
+    fresh ones)."""
+    import datetime
+
     import jax
 
     import mpx
@@ -1044,6 +1091,9 @@ def _provenance() -> dict:
         "device_kind": str(kind),
         "native": native.is_available(),
         "mxu_precision": os.environ.get("MPX_MXU_PRECISION", "HIGHEST"),
+        "measured_at": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "commit": _git_commit(),
     }
 
 
@@ -1054,14 +1104,23 @@ def suite_table(results: list) -> str:
         "|---|---|---|---|---|---|---|",
     ]
     for r in results:
-        if "append_ms" in r:  # streaming tier: per-append latency
+        if "failed" in r:  # attempted but unmeasured: record honestly
+            when = r.get("provenance", {}).get("measured_at", "?")
+            lines.append(
+                f"| {r['name']} | — | — | — | FAILED ({when}) | — | — |"
+            )
+            continue
+        if "append_ms" in r:  # streaming tier: per-append latency;
+            # vs column = speedup over full recompute at roofline
             wall = f"{r['append_ms']:.0f} ms/append"
-            vs = "(incremental tier)"
+            vs = (f"{r['vs_baseline']:.1f}x vs recompute"
+                  if "vs_baseline" in r else "(incremental tier)")
         else:
             wall = f"{r['wall_s']:.2f}"
             vs = f"{r['vs_baseline']:.2f}x"
+        stale = " (carried)" if r.get("carried") else ""
         lines.append(
-            f"| {r['name']} | {r['n']:,} | {r['m']} | {r['dtype']} "
+            f"| {r['name']}{stale} | {r['n']:,} | {r['m']} | {r['dtype']} "
             f"| {wall} | {r['pairs_per_sec']:.3e} "
             f"| {vs} |"
         )

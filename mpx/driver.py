@@ -36,6 +36,22 @@ def _agg_length(w: int, S: int, W: int) -> int:
     return w + S + W
 
 
+def _force(x) -> None:
+    """Real completion barrier for timing: fetch ONE element to host.
+
+    On the axon TPU relay ``block_until_ready`` can acknowledge before
+    the dispatch has executed, which made grouped-phase timings garbage
+    (round-3 artifact: the 16M row reported compute_s=9.26s inside a
+    3660s wall).  A one-element host fetch cannot return until the
+    producing executable has finished — the cheap, platform-honest
+    sync (~30ms relay latency per call, noise next to ~60s groups).
+    """
+    jax.block_until_ready(x)
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        np.asarray(jax.device_get(leaves[0][-1:]))
+
+
 # Conservative sustained pairs/s by tier, used only to size dispatch
 # groups (~60s each); measured round-1/2 rates on one v5e chip.  On
 # other hardware set MPX_TIER_RATE (a global scale on all three) so
@@ -405,7 +421,7 @@ def compute_matrix_profile(
     if stats is None:
         with _phase(profile, "1. Pre-Computation [device]"):
             stats = precompute_statistics(T, m, band=S, chunk=W, dtype=dt)
-            jax.block_until_ready(stats)
+            _force(stats)
 
     grid = make_job_grid(w, S, W)
 
@@ -427,7 +443,7 @@ def compute_matrix_profile(
                 tr=config.tile_rows,
                 tc=config.tile_cols,
             )
-            jax.block_until_ready((rows, cols))
+            _force((rows, cols))
     else:
         group = _auto_dispatch_group(config, kernel, dt, S, W)
         njobs = grid.r0.shape[0]
@@ -466,7 +482,7 @@ def compute_matrix_profile(
                         else:
                             rows = merge_aggregates(rows, g_rows)
                             cols = merge_aggregates(cols, g_cols)
-                        jax.block_until_ready((rows, cols))
+                        _force((rows, cols))
         else:
             with _phase(profile, f"2. Compute [{kernel}]"), x64_scope(x64):
                 rows, cols = run_jobs(
@@ -483,7 +499,7 @@ def compute_matrix_profile(
                     tr=config.tile_rows,
                     tc=config.tile_cols,
                 )
-                jax.block_until_ready((rows, cols))
+                _force((rows, cols))
 
     with _phase(profile, "3. Post-Computation [device]"), x64_scope(x64):
         if left_right:
@@ -492,10 +508,10 @@ def compute_matrix_profile(
             out = jax.jit(postcompute_left_right, static_argnums=(2, 3))(
                 rows, cols, m, w
             )
-            jax.block_until_ready(out)
+            _force(out)
             return out
         MP, MPI = jax.jit(postcompute, static_argnums=(2, 3))(rows, cols, m, w)
-        jax.block_until_ready((MP, MPI))
+        _force((MP, MPI))
     return MP, MPI
 
 

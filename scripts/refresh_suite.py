@@ -8,7 +8,9 @@ One command for hardware-measurement days:
 1. runs `mpx bench --suite` on the real chip (every non-huge row),
 2. carries over rows that were NOT re-run from the existing
    BENCH_SUITE.json (e.g. the executed pod-f32-16777216 row, which takes
-   ~an hour and is re-run only explicitly),
+   ~an hour and is re-run only explicitly) — carried rows are marked
+   ``carried: true`` and a failed re-run attaches ``last_attempt`` so
+   stale numbers self-identify,
 3. writes BENCH_SUITE.json sorted in SUITE order,
 4. prints the README markdown table to stdout for pasting.
 """
@@ -26,6 +28,49 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH_SUITE.json")
 
 
+def merge_rows(results: list, prior: list, log=None) -> list:
+    """Merge a fresh run_suite result list into the prior artifact rows.
+
+    Fresh measured rows win.  Prior rows not re-measured are kept with
+    ``carried: true``; if the re-run FAILED, the prior row additionally
+    records ``last_attempt`` (error + when + commit).  Failures with no
+    prior row keep their FAILED marker row so the attempt is on record.
+    """
+    log = log or (lambda msg: print(msg, file=sys.stderr))
+    fresh = [dict(r) for r in results if "failed" not in r]
+    for r in fresh:
+        r.pop("carried", None)  # fresh measurement supersedes its prior
+        r.pop("last_attempt", None)
+    failed = {r["name"]: dict(r) for r in results if "failed" in r}
+    ran = {r["name"] for r in fresh}
+
+    kept = []
+    for row in prior:
+        if row["name"] in ran:
+            continue
+        row = dict(row)
+        # Prior measured row survives, but self-identifies as stale
+        # (round-3 review: carried rows were indistinguishable from
+        # fresh ones).
+        row["carried"] = True
+        if row["name"] in failed:
+            att = failed.pop(row["name"])
+            row["last_attempt"] = {
+                "failed": att["failed"],
+                "at": att.get("provenance", {}).get("measured_at"),
+                "commit": att.get("provenance", {}).get("commit"),
+            }
+            log(f"# kept prior row (re-run FAILED): {row['name']}")
+        else:
+            log(f"# kept prior row: {row['name']}")
+        kept.append(row)
+    # failures with no prior row to fall back on: record the marker
+    kept.extend(failed.values())
+
+    order = {cfg["name"]: i for i, cfg in enumerate(SUITE)}
+    return sorted(fresh + kept, key=lambda r: order.get(r["name"], 99))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", action="append", default=None,
@@ -34,18 +79,11 @@ def main() -> int:
     args = ap.parse_args()
 
     results = run_suite(names=args.only, verbose=args.verbose)
-    ran = {r["name"] for r in results}
-
-    kept = []
+    prior = []
     if os.path.exists(OUT):
         with open(OUT) as f:
-            for row in json.load(f):
-                if row["name"] not in ran:
-                    kept.append(row)
-                    print(f"# kept prior row: {row['name']}", file=sys.stderr)
-
-    order = {cfg["name"]: i for i, cfg in enumerate(SUITE)}
-    merged = sorted(results + kept, key=lambda r: order.get(r["name"], 99))
+            prior = json.load(f)
+    merged = merge_rows(results, prior)
     with open(OUT, "w") as f:
         json.dump(merged, f, indent=2)
         f.write("\n")

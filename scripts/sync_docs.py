@@ -1,12 +1,13 @@
 #!/usr/bin/env python3
-"""Regenerate the README benchmark table from BENCH_SUITE.json.
+"""Regenerate every doc table that quotes BENCH_SUITE.json.
 
-Keeps the README in lockstep with the measured artifact (stale doc
-numbers were a round-2 review finding).  The table lives between the
-BENCH_TABLE_START/END markers; everything else is untouched.
+Keeps the README and PARITY.md in lockstep with the measured artifact
+(stale doc numbers were a round-2 AND round-3 review finding — the
+artifact is the single source of truth, docs only render it).  Each
+table lives between START/END markers; everything else is untouched.
 
 Usage: python scripts/sync_docs.py [--check]
-  --check  exit 1 if the README is out of date (for CI), write nothing
+  --check  exit 1 if any doc is out of date (for CI), write nothing
 """
 
 import json
@@ -18,10 +19,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mpx.bench import suite_table  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-README = os.path.join(REPO, "README.md")
 SUITE_JSON = os.path.join(REPO, "BENCH_SUITE.json")
-START = "<!-- BENCH_TABLE_START (auto-generated: python scripts/sync_docs.py) -->"
-END = "<!-- BENCH_TABLE_END -->"
+
+# (path, start marker, end marker)
+TARGETS = [
+    (
+        os.path.join(REPO, "README.md"),
+        "<!-- BENCH_TABLE_START (auto-generated: python scripts/sync_docs.py) -->",
+        "<!-- BENCH_TABLE_END -->",
+    ),
+    (
+        os.path.join(REPO, "PARITY.md"),
+        "<!-- PARITY_BENCH_START (auto-generated: python scripts/sync_docs.py) -->",
+        "<!-- PARITY_BENCH_END -->",
+    ),
+]
+
+
+def sync_one(path: str, start: str, end: str, table: str, check: bool) -> int:
+    with open(path) as f:
+        text = f.read()
+    try:
+        head, rest = text.split(start, 1)
+        _, tail = rest.split(end, 1)
+    except ValueError:
+        print(f"{path}: markers missing ({start!r}/{end!r})", file=sys.stderr)
+        return 1
+    new = f"{head}{start}\n{table}\n{end}{tail}"
+    if new == text:
+        print(f"{os.path.basename(path)} benchmark table is up to date")
+        return 0
+    if check:
+        print(f"{os.path.basename(path)} benchmark table is STALE — "
+              f"run scripts/sync_docs.py", file=sys.stderr)
+        return 1
+    with open(path, "w") as f:
+        f.write(new)
+    print(f"{os.path.basename(path)} benchmark table refreshed")
+    return 0
 
 
 def main() -> int:
@@ -29,27 +64,10 @@ def main() -> int:
     with open(SUITE_JSON) as f:
         rows = json.load(f)
     table = suite_table(rows)
-
-    with open(README) as f:
-        text = f.read()
-    try:
-        head, rest = text.split(START, 1)
-        _, tail = rest.split(END, 1)
-    except ValueError:
-        print(f"README markers missing ({START!r}/{END!r})", file=sys.stderr)
-        return 1
-    new = f"{head}{START}\n{table}\n{END}{tail}"
-    if new == text:
-        print("README benchmark table is up to date")
-        return 0
-    if check:
-        print("README benchmark table is STALE — run scripts/sync_docs.py",
-              file=sys.stderr)
-        return 1
-    with open(README, "w") as f:
-        f.write(new)
-    print(f"README benchmark table refreshed ({len(rows)} rows)")
-    return 0
+    rc = 0
+    for path, start, end in TARGETS:
+        rc |= sync_one(path, start, end, table, check)
+    return rc
 
 
 if __name__ == "__main__":

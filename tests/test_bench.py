@@ -132,7 +132,13 @@ def test_suite_reraises_validation_errors(monkeypatch):
         raise RuntimeError("remote_compile: Broken pipe")
 
     monkeypatch.setattr(B, "run_benchmark", flaky)
-    assert B.run_suite(names=["vanilla-f32-8192"]) == []
+    # a flaky-relay failure lands a FAILED marker row (not silence, not
+    # an abort) so the artifact records the attempt
+    rows = B.run_suite(names=["vanilla-f32-8192"])
+    assert [r["name"] for r in rows] == ["vanilla-f32-8192"]
+    assert "Broken pipe" in rows[0]["failed"]
+    assert "measured_at" in rows[0]["provenance"]
+    assert "pairs_per_sec" not in rows[0]
 
 
 def test_thresh_benchmark_smoke():
@@ -171,3 +177,85 @@ def test_damp_benchmark_smoke():
                            band=512, chunk=512, validate=8)
     assert r["validation"]["rows"] == 8
     assert r["pairs_per_sec"] > 0
+
+
+def test_provenance_has_staleness_metadata():
+    """Every artifact row must self-date (round-3 review item 7)."""
+    from mpx.bench import _provenance
+
+    p = _provenance()
+    assert p["measured_at"].endswith("Z") and "T" in p["measured_at"]
+    assert p["commit"] and p["commit"] != ""
+
+
+def test_streaming_row_scores_against_recompute_baseline(monkeypatch):
+    """The streaming suite row's vs_baseline is speedup over FULL
+    recomputation at the reference roofline — not the misleading
+    per-append-throughput / batch-roofline ratio (round-3 review
+    item 6: the old ratio read 0.048x for a tier that is in fact far
+    cheaper than recomputation)."""
+    import mpx.bench as B
+
+    def fake_streaming(**kw):
+        return {
+            "n": 1 << 18, "m": 256, "dtype": "float32",
+            "pairs": 1.0e9, "recompute_pairs": 3.0e12,
+            "baseline_model": "full recompute per append at U250 roofline",
+            "wall_s": 10.0, "appends": 49, "append_ms": 204.0,
+            "pairs_per_sec": 1.0e8, "mp_head": [0.0],
+        }
+
+    monkeypatch.setattr(B, "run_streaming_benchmark", fake_streaming)
+    rows = B.run_suite(names=["streaming-f32-262144"])
+    assert len(rows) == 1
+    # (3e12 / 3e10) / 10s = 10x faster than recompute-at-roofline
+    assert rows[0]["vs_baseline"] == pytest.approx(10.0)
+
+
+def test_refresh_suite_merge_rows():
+    """merge_rows: fresh wins; unmeasured priors carry with carried=true;
+    a failed re-run keeps the prior + records last_attempt; a failure
+    with no prior keeps its FAILED marker (round-3 review item 7)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "refresh_suite", os.path.join(repo, "scripts", "refresh_suite.py"))
+    rs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rs)
+
+    prov = {"measured_at": "2026-08-19T00:00:00Z", "commit": "abc1234"}
+
+    def row(name, pps, **extra):
+        return {"name": name, "pairs_per_sec": pps, "wall_s": 1.0,
+                "n": 8192, "m": 32, "dtype": "float32",
+                "vs_baseline": pps / 3e10, "provenance": prov, **extra}
+
+    results = [
+        row("vanilla-f32-8192", 1.0, carried=True),  # stale flag must drop
+        {"name": "tiled-f32-131072", "failed": "RuntimeError('boom')",
+         "provenance": prov},
+        {"name": "matrix-f32-1048576", "failed": "RuntimeError('boom2')",
+         "provenance": prov},
+    ]
+    prior = [
+        row("tiled-f32-131072", 2.0),
+        row("showcase-f64-1048576", 3.0),
+    ]
+    merged = {r["name"]: r for r in rs.merge_rows(results, prior,
+                                                  log=lambda m: None)}
+    assert "carried" not in merged["vanilla-f32-8192"]
+    assert merged["tiled-f32-131072"]["pairs_per_sec"] == 2.0
+    assert merged["tiled-f32-131072"]["carried"] is True
+    assert merged["tiled-f32-131072"]["last_attempt"]["failed"] == \
+        "RuntimeError('boom')"
+    assert merged["tiled-f32-131072"]["last_attempt"]["commit"] == "abc1234"
+    assert merged["showcase-f64-1048576"]["carried"] is True
+    assert "last_attempt" not in merged["showcase-f64-1048576"]
+    assert merged["matrix-f32-1048576"]["failed"] == "RuntimeError('boom2')"
+    # table renders every merged shape without raising
+    from mpx.bench import suite_table
+
+    table = suite_table(list(merged.values()))
+    assert "FAILED" in table and "(carried)" in table
