@@ -92,6 +92,50 @@ def _prec(precision: Optional[str]):
     return None if precision is None else getattr(jax.lax.Precision, precision)
 
 
+# Device-side f64 statistics for large hybrid runs (showcase lever,
+# round 4): stage T only and compute mu/inv on device, overlapped with
+# the host f64 stats.  auto = on from MPX_HYBRID_DEVICE_STATS_MIN_W
+# (staging dominates pre-compute above that); 1/0 force on/off.
+HYBRID_DEVICE_STATS_MIN_W = int(
+    os.environ.get("MPX_HYBRID_DEVICE_STATS_MIN_W", 1 << 19)
+)
+
+
+def _device_stats_enabled(w: int) -> bool:
+    env = os.environ.get("MPX_HYBRID_DEVICE_STATS", "auto")
+    if env == "auto":
+        return w >= HYBRID_DEVICE_STATS_MIN_W
+    return env not in ("0", "off", "false")
+
+
+def _reconcile_degenerate(stats, inv64: np.ndarray, w: int):
+    """Force the device degeneracy mask to EXACTLY match the host
+    two-pass classification (mpx/ops/precompute.py ZERO_VARIANCE_REL).
+
+    Degenerate windows (inv = inf) are excluded from the join OUTRIGHT —
+    unlike value rounding, which the pass-A/B margin absorbs — so a
+    device/host disagreement would silently drop (or phantom-add) a
+    window from the exact result.  The device's globally-centered cumsum
+    variance can disagree with the host's two-pass form only within
+    ~ulp of the threshold; fetch one byte per window, compare, and
+    scatter-fix the (almost always zero) differences."""
+    dev_bad = np.asarray(jnp.isinf(stats.inv))[:w]
+    host_bad = np.isinf(inv64)
+    diff = np.nonzero(dev_bad != host_bad)[0]
+    if diff.size:
+        Logger.info(
+            f"hybrid device stats: reconciling {diff.size} degenerate-"
+            f"window classification(s) with the host estimator"
+        )
+        fix = np.where(
+            host_bad[diff], np.float32(np.inf), inv64[diff].astype(np.float32)
+        )
+        stats = stats._replace(
+            inv=stats.inv.at[jnp.asarray(diff)].set(jnp.asarray(fix))
+        )
+    return stats
+
+
 def _merge_sorted_k(a, b, ascending: bool):
     """First-K merge of two sorted (..., K) vectors via the merge-path
     identity ``merged[i] = max_{j+k=i} min(a[j], b[k])`` (min/max swap
@@ -1490,7 +1534,27 @@ def compute_matrix_profile_f64_hybrid(
     if margin is None:
         margin = default_margin(m)
 
-    # 1. Host f64 statistics (single source of truth for the exact stages).
+    # 1+2. Statistics, twice (both exact-f64-derived):
+    #    * HOST f64 stats — single source of truth for the exact
+    #      rescoring stages (always computed, stays on host);
+    #    * DEVICE f32 stats — the matmul operands for passes A/B/C.
+    #    Large runs compute the device stats ON DEVICE from T alone
+    #    (_precompute_jax_f64_matmul) instead of staging host-derived
+    #    mu/inv through the ~30 MB/s relay: T is 8.4 MB at 1M vs
+    #    12.7 MB for T32+mu+inv, the dispatch is async so the host f64
+    #    stats overlap it, and the only contract risk — the degenerate-
+    #    window mask, which is excluded OUTRIGHT rather than margin-
+    #    protected — is reconciled exactly below.  Small runs keep the
+    #    host-staging path (one jit avoided; transfer is trivial).
+    dev_stats = _device_stats_enabled(w)
+    if dev_stats:
+        with _phase(profile, "1. Pre-Computation [device f64 stats]"):
+            # async dispatch; overlapped by the host stats below
+            stats = precompute_statistics(
+                T64, m, band=S, chunk=W, dtype="float32", backend="jax",
+                matmul_only=True, windows=False,
+            )
+
     with _phase(profile, "1. Pre-Computation [host f64]"):
         from mpx import native
 
@@ -1500,16 +1564,23 @@ def compute_matrix_profile_f64_hybrid(
             s64 = precompute_statistics_numpy(T64, m)
         mu64, inv64 = s64["mu"], s64["inv"]
 
-    # 2. Device f32 statistics (reuses the host stats; no recompute).
-    #    matmul_only: the hybrid sweeps are all windows matmuls — the
-    #    recurrence seeds (df/dg/qt0) would be half the staging bytes
-    #    for nothing (~0.4s at 1M through the ~30 MB/s relay).
-    with _phase(profile, "1. Pre-Computation [device f32]"):
-        stats = precompute_statistics(
-            T64, m, band=S, chunk=W, dtype="float32", host_stats=s64,
-            matmul_only=True,
-        )
-        jax.block_until_ready(stats.mu)
+    if dev_stats:
+        with _phase(profile, "1. Pre-Computation [mask reconcile]"):
+            from mpx.ops.precompute import _maybe_windows
+
+            stats = _reconcile_degenerate(stats, inv64, w)
+            stats = _maybe_windows(stats, m, None)
+            jax.block_until_ready(stats.mu)
+    else:
+        # matmul_only: the hybrid sweeps are all windows matmuls — the
+        # recurrence seeds (df/dg/qt0) would be half the staging bytes
+        # for nothing (~0.4s at 1M through the ~30 MB/s relay).
+        with _phase(profile, "1. Pre-Computation [device f32]"):
+            stats = precompute_statistics(
+                T64, m, band=S, chunk=W, dtype="float32", host_stats=s64,
+                matmul_only=True,
+            )
+            jax.block_until_ready(stats.mu)
 
     grid = make_job_grid(w, S, W)
     num_shards = config.num_shards or 1

@@ -119,37 +119,68 @@ def precompute_statistics_numpy(T: np.ndarray, m: int) -> dict:
     return {"mu": mu, "df": df, "dg": dg, "inv": inv, "qt0": qt0}
 
 
-def _precompute_jax_f64(T: jax.Array, m: int):
-    T = T.astype(jnp.float64)
-    n = T.shape[0]
-    w = n - m + 1
+def _ssq_two_pass_jax_f64(T: jax.Array, mu: jax.Array, m: int, w: int):
+    """Blockwise two-pass centered sum-of-squares + raw sum-of-squares,
+    the SAME estimator as the host paths (precompute_statistics_numpy /
+    the native kernel): relative error ~m*eps regardless of how small a
+    window's variance is.  A cumsum-difference form is NOT usable here —
+    its error scales with the PREFIX energy, so near-constant windows
+    (and even ordinary walk windows once n reaches ~1M) get inv values
+    whose relative error exceeds the hybrid tier's soundness margin
+    (observed: a missed exact-NN candidate at margin 1.8e-4).  The
+    O(n*m) emulated-f64 cost is milliseconds next to the O(n^2) sweep.
+    """
+    B = _WINDOWS_BLOCK
+    nb = -(-w // B)
+    Tp = jnp.pad(T, (0, nb * B + m - 1 - T.shape[0]))
+    mup = jnp.pad(mu, (0, nb * B - w))
 
+    def blk(i):
+        o = i * B
+        seg = jax.lax.dynamic_slice(Tp, (o,), (B + m - 1,))
+        Wm = jnp.stack([seg[j : j + B] for j in range(m)], axis=1)
+        mub = jax.lax.dynamic_slice(mup, (o,), (B,))
+        cent = Wm - mub[:, None]
+        return jnp.sum(cent * cent, axis=1), jnp.sum(Wm * Wm, axis=1)
+
+    ssq, sumsq = jax.lax.map(blk, jnp.arange(nb, dtype=jnp.int32))
+    return ssq.reshape(-1)[:w], sumsq.reshape(-1)[:w]
+
+
+def _mu_inv_jax_f64(T: jax.Array, m: int):
+    """mu (f64 cumsum) and inv (two-pass, host-matching conditioning) —
+    shared by the full and matmul-only device precomputes."""
+    w = T.shape[0] - m + 1
     c1 = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(T)])
     mu = (c1[m:] - c1[:-m]) / m
+
+    ssq, sumsq = _ssq_two_pass_jax_f64(T, mu, m, w)
+    ssq = jnp.where(ssq <= ZERO_VARIANCE_REL * jnp.abs(sumsq), 0.0, ssq)
+    inv = 1.0 / jnp.sqrt(ssq)
+    return mu, inv
+
+
+def _precompute_jax_f64(T: jax.Array, m: int):
+    T = T.astype(jnp.float64)
+    w = T.shape[0] - m + 1
+
+    mu, inv = _mu_inv_jax_f64(T, m)
 
     df = jnp.concatenate([jnp.zeros(1, T.dtype), (T[m:] - T[: w - 1]) / 2])
     dg = jnp.concatenate(
         [jnp.zeros(1, T.dtype), (T[m:] - mu[1:]) + (T[: w - 1] - mu[: w - 1])]
     )
 
-    # Globally-centered cumsum variance: ssq = sum((T-g)^2 over window)
-    # - m*(mu-g)^2 with g the series mean.  Not bitwise the native/numpy
-    # two-pass form (an O(n*m) window pass is prohibitive in emulated
-    # device f64), but centering bounds the cancellation to local
-    # deviations, so near-threshold classification divergence is limited
-    # to windows within ~ulp of the 1e-10 boundary.
-    g = jnp.mean(T)
-    Tc = T - g
-    c2 = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(Tc * Tc)])
-    ssq = (c2[m:] - c2[:-m]) - m * (mu - g) ** 2
-    c2r = jnp.concatenate([jnp.zeros(1, T.dtype), jnp.cumsum(T * T)])
-    sumsq = c2r[m:] - c2r[:-m]
-    ssq = jnp.where(ssq <= ZERO_VARIANCE_REL * jnp.abs(sumsq), 0.0, ssq)
-    inv = 1.0 / jnp.sqrt(ssq)
-
     sdp0 = sliding_dot_product(T[:m], T)
     qt0 = sdp0 - m * mu[0] * mu
     return mu, df, dg, inv, qt0
+
+
+def _precompute_jax_f64_matmul(T: jax.Array, m: int):
+    """mu/inv only: the windows-matmul tiers never read the recurrence
+    seeds, and qt0's sliding conv is the expensive part of the emulated
+    f64 device precompute (an m-tap HIGHEST-precision conv over n)."""
+    return _mu_inv_jax_f64(T.astype(jnp.float64), m)
 
 
 def sliding_dot_product(q: jax.Array, T: jax.Array) -> jax.Array:
@@ -262,18 +293,28 @@ def precompute_statistics(
 
     with x64_scope():
         T = jnp.asarray(T, dtype=jnp.float64)
-        mu, df, dg, inv, qt0 = jax.jit(_precompute_jax_f64, static_argnums=1)(T, m)
 
         def pad(x, width, fill=0.0):
             return jnp.pad(x, (0, width - x.shape[0]), constant_values=fill)
 
+        if matmul_only:
+            mu, inv = jax.jit(
+                _precompute_jax_f64_matmul, static_argnums=1
+            )(T, m)
+            zero = jnp.zeros((pw,), dtype=dt)
+            df = dg = qt0 = None
+        else:
+            mu, df, dg, inv, qt0 = jax.jit(
+                _precompute_jax_f64, static_argnums=1
+            )(T, m)
+
         stats = Stats(
             T=pad(T.astype(dt), pw + m - 1),
             mu=pad(mu.astype(dt), pw),
-            df=pad(df.astype(dt), pw),
-            dg=pad(dg.astype(dt), pw),
+            df=zero if matmul_only else pad(df.astype(dt), pw),
+            dg=zero if matmul_only else pad(dg.astype(dt), pw),
             inv=pad(inv.astype(dt), pw),
-            qt0=pad(qt0.astype(dt), pw),
+            qt0=zero if matmul_only else pad(qt0.astype(dt), pw),
         )
         return _maybe_windows(stats, m, windows)
 

@@ -320,3 +320,84 @@ def test_hybrid_lr_fused_matches_staged(monkeypatch):
     out_s = compute_matrix_profile(T, config=cfg, left_right=True)
     for a, b in zip(out_f, out_s):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDeviceStats:
+    """Device-side f64 statistics for large hybrid runs (round 4): stage
+    T only, compute mu/inv on device (two-pass ssq — the cumsum form's
+    relative error is unbounded on near-constant windows), reconcile the
+    degenerate mask against the host classification."""
+
+    @pytest.fixture(autouse=True)
+    def _force_on(self, monkeypatch):
+        monkeypatch.setenv("MPX_HYBRID_DEVICE_STATS", "1")
+
+    def test_matches_golden(self):
+        T = random_walk(1536, seed=21)
+        cfg = MatrixProfileConfig(m=64, dtype="float64", kernel="hybrid",
+                                  band=256, chunk=512)
+        MP, MPI = compute_matrix_profile_f64_hybrid(T, cfg)
+        MP_exp, MPI_exp = compute_matrix_profile_reference(T, 64)
+        assert_profile_close(T, 64, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+
+    def test_near_degenerate_matches_strict(self):
+        """Windows with tiny-but-nonzero variance are the conditioning
+        worst case: a cumsum-based device estimator produced inv values
+        off by >margin here (a missed exact-NN candidate); the two-pass
+        device form + mask reconcile must match the strict path."""
+        T = random_walk(3000, seed=5)
+        T[1000:1400] = T[1000] + 1e-9 * np.sin(np.arange(400))
+        cfg = MatrixProfileConfig(m=64, dtype="float64", kernel="hybrid",
+                                  band=256, chunk=512)
+        MP, MPI = compute_matrix_profile_f64_hybrid(T, cfg)
+        strict = MatrixProfileConfig(m=64, dtype="float64", kernel="mxu",
+                                     band=256, chunk=512)
+        MP_s, MPI_s = compute_matrix_profile(T, config=strict)
+        np.testing.assert_allclose(MP, np.asarray(MP_s), atol=1e-8, rtol=0)
+
+    def test_constant_stretch_matches_strict(self):
+        T = random_walk(2000, seed=6)
+        T[700:1100] = T[700]
+        cfg = MatrixProfileConfig(m=64, dtype="float64", kernel="hybrid",
+                                  band=256, chunk=512)
+        MP, MPI = compute_matrix_profile_f64_hybrid(T, cfg)
+        strict = MatrixProfileConfig(m=64, dtype="float64", kernel="mxu",
+                                     band=256, chunk=512)
+        MP_s, MPI_s = compute_matrix_profile(T, config=strict)
+        np.testing.assert_allclose(MP, np.asarray(MP_s), atol=1e-8, rtol=0)
+        assert (MPI[np.asarray(MPI_s) == -1] == -1).all()
+
+    def test_reconcile_fixes_disagreements(self):
+        """_reconcile_degenerate must force the device mask to the host
+        classification in BOTH directions."""
+        import jax.numpy as jnp
+
+        from mpx.hybrid import _reconcile_degenerate
+        from mpx.ops.precompute import precompute_statistics
+
+        T = random_walk(600, seed=8)
+        m, w = 32, 600 - 32 + 1
+        stats = precompute_statistics(T, m, band=64, chunk=128,
+                                      dtype="float32", backend="jax",
+                                      matmul_only=True, windows=False)
+        inv64 = 1.0 / np.sqrt(np.maximum(
+            1e-6, np.ones(w)))  # host: all valid
+        inv64[10] = np.inf  # host says degenerate, device says valid
+        # device says degenerate where host says valid:
+        stats = stats._replace(inv=stats.inv.at[20].set(jnp.inf))
+        fixed = _reconcile_degenerate(stats, inv64, w)
+        got = np.asarray(fixed.inv)
+        assert np.isinf(got[10])
+        assert np.isfinite(got[20])
+        assert got[20] == np.float32(inv64[20])
+
+    def test_gate(self, monkeypatch):
+        from mpx.hybrid import HYBRID_DEVICE_STATS_MIN_W, _device_stats_enabled
+
+        monkeypatch.setenv("MPX_HYBRID_DEVICE_STATS", "auto")
+        assert not _device_stats_enabled(1024)
+        assert _device_stats_enabled(HYBRID_DEVICE_STATS_MIN_W)
+        monkeypatch.setenv("MPX_HYBRID_DEVICE_STATS", "0")
+        assert not _device_stats_enabled(1 << 22)
+        monkeypatch.setenv("MPX_HYBRID_DEVICE_STATS", "1")
+        assert _device_stats_enabled(16)
