@@ -9,7 +9,9 @@ surface over mpx tiers:
 stumpy            mpx tier
 ================  ===========================================
 ``stump``         driver left/right profiles (+ AB-join, top-k)
+``stumpi``        :class:`mpx.streaming.StreamingMatrixProfile` (x2)
 ``aamp``          :func:`mpx.compute_aamp_profile`
+``aampdist``      :func:`mpx.aamp.aamp_mpdist` (raw AB-join MPdist)
 ``mass``          :func:`mpx.analysis.mass`
 ``match``         :func:`mpx.analysis.match`
 ``motifs``        argmin-of-profile + :func:`mpx.analysis.match`
@@ -50,7 +52,8 @@ from typing import List, Optional
 import numpy as np
 
 __all__ = [
-    "stump", "stumped", "gpu_stump", "aamp", "mass", "match", "motifs",
+    "stump", "stumped", "gpu_stump", "stumpi", "aamp", "aampdist",
+    "mass", "match", "motifs",
     "fluss", "floss", "mstump", "mstumped", "mmotifs", "subspace",
     "atsc", "allc",
     "snippets", "ostinato", "mpdist", "scrump", "stimp",
@@ -166,6 +169,104 @@ def aamp(T, m: int, ignore_trivial: bool = True, p: float = 2.0):
     I = np.asarray(I, np.int64)
     neg = np.full(D.shape[0], -1, np.int64)
     return np.stack([D, I, neg, neg], axis=1).astype(object)
+
+
+class stumpi:
+    """stumpy.stumpi: incremental (streaming) matrix profile.
+
+    Backed by TWO :class:`mpx.streaming.StreamingMatrixProfile`
+    instances (modes ``full`` and ``left``) so ``P_``/``I_`` and
+    ``left_P_``/``left_I_`` all update in O(k*n) device work per
+    append — one compiled executable per append-size bucket.
+
+    Documented divergences (beyond the module-level ones):
+
+    * ``egress=True`` (the STUMPY default) slides the REPORTED VIEW
+      over the last ``len(T) - m + 1`` windows but keeps comparing new
+      subsequences against the FULL retained history, where STUMPY
+      compares only within the sliding window.  Distances are therefore
+      exact nearest-over-history and can be SMALLER than STUMPY's when
+      a window's nearest neighbor has already egressed.  Indices are
+      absolute stream positions (as in STUMPY's egress mode).
+    * compute is float32 on device (stored float64): distances match a
+      batch ``stump`` of the final series to ~2e-3 (exactly the batch
+      f32 tier's tolerance), verified by the compat test.
+    * ``mp`` (a precomputed seed profile) is accepted and ignored — the
+      stream recomputes its bootstrap, which yields the same result.
+    * unmatched windows report ``inf`` / index -1 like STUMPY.
+    """
+
+    def __init__(self, T, m: int, egress: bool = True,
+                 normalize: bool = True, p: float = 2.0, k: int = 1,
+                 mp=None):
+        _check_p(p)
+        if not normalize:
+            raise NotImplementedError(
+                "normalize=False (aampi): mpx has no streaming "
+                "raw-distance tier; recompute with "
+                "mpx.compute_aamp_profile per step"
+            )
+        if k != 1:
+            raise NotImplementedError("k > 1 streaming has no mpx tier")
+        del mp
+        from mpx.streaming import StreamingMatrixProfile
+
+        T = np.asarray(T, np.float64)
+        self._m = int(m)
+        self._egress = bool(egress)
+        self._w0 = T.shape[0] - self._m + 1
+        self._full = StreamingMatrixProfile(T, m=self._m, mode="full")
+        self._left = StreamingMatrixProfile(T, m=self._m, mode="left")
+
+    def update(self, t):
+        """Append one value (or an array of values — an mpx extension;
+        STUMPY's update is strictly scalar)."""
+        pts = np.atleast_1d(np.asarray(t, np.float64))
+        self._full.append(pts)
+        self._left.append(pts)
+
+    def _view(self, stream):
+        MP, MPI = stream.profile()
+        MP = np.where(MPI >= 0, MP, np.inf)
+        MPI = MPI.astype(np.int64)
+        if self._egress:
+            return MP[-self._w0:], MPI[-self._w0:]
+        return MP, MPI
+
+    @property
+    def T_(self) -> np.ndarray:
+        T = self._full.series
+        if self._egress:
+            return T[-(self._w0 + self._m - 1):]
+        return T
+
+    @property
+    def P_(self) -> np.ndarray:
+        return self._view(self._full)[0]
+
+    @property
+    def I_(self) -> np.ndarray:
+        return self._view(self._full)[1]
+
+    @property
+    def left_P_(self) -> np.ndarray:
+        return self._view(self._left)[0]
+
+    @property
+    def left_I_(self) -> np.ndarray:
+        return self._view(self._left)[1]
+
+
+def aampdist(T_A, T_B, m: int, percentage: float = 0.05,
+             p: float = 2.0) -> float:
+    """stumpy.aampdist: MPdist over raw (non-normalized) Euclidean
+    ABBA-join profiles — :func:`mpx.aamp.aamp_mpdist`."""
+    _check_p(p)
+    from mpx.aamp import aamp_mpdist
+
+    return aamp_mpdist(np.asarray(T_A, np.float64),
+                       np.asarray(T_B, np.float64), m,
+                       threshold=percentage)
 
 
 def mass(Q, T, normalize: bool = True) -> np.ndarray:

@@ -133,3 +133,33 @@ def test_mass_raw_profile():
     # flat query is VALID in raw space (it raises under z-norm)
     Dflat = mass(np.full(m, 3.0), T, normalize=False)
     assert np.isfinite(Dflat).all()
+
+
+def test_aamp_ab_join_matches_brute_force():
+    """Raw AB-join (values + indices) vs the explicit distance matrix;
+    exercised at f64 (exact) and f32 (tolerance)."""
+    import pytest
+
+    from mpx.aamp import compute_aamp_ab_join
+    from mpx.config import MatrixProfileConfig
+
+    rng = np.random.default_rng(7)
+    A = np.cumsum(rng.standard_normal(400))
+    B = np.cumsum(rng.standard_normal(300))
+    m = 20
+    WA = np.lib.stride_tricks.sliding_window_view(A, m)
+    WB = np.lib.stride_tricks.sliding_window_view(B, m)
+    D = np.sqrt(((WA[:, None, :] - WB[None, :, :]) ** 2).sum(axis=2))
+
+    for dtype, tol in (("float64", 1e-8), ("float32", 2e-3)):
+        cfg = MatrixProfileConfig(m=m, dtype=dtype, band=64, chunk=128)
+        res = compute_aamp_ab_join(A, B, config=cfg)
+        np.testing.assert_allclose(res.mp_a, D.min(axis=1), atol=tol)
+        np.testing.assert_allclose(res.mp_b, D.min(axis=0), atol=tol)
+        if dtype == "float64":
+            # index ties: the reported neighbor's distance must equal
+            # the row minimum exactly
+            got = D[np.arange(D.shape[0]), res.mpi_a]
+            np.testing.assert_allclose(got, D.min(axis=1), atol=1e-8)
+            got_b = D[res.mpi_b, np.arange(D.shape[1])]
+            np.testing.assert_allclose(got_b, D.min(axis=0), atol=1e-8)

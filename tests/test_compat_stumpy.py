@@ -179,3 +179,85 @@ def test_mmotifs_recovers_planted_multidim_motif():
     # fixed-k path skips MDL
     _, _, subs2, mdls2 = st.mmotifs(T, P, I, k=2, max_motifs=1)
     assert mdls2[0] is None and len(subs2[0]) == 2
+
+
+def test_stumpi_streaming_equals_batch():
+    """Replaying appends through stumpi must reproduce the batch stump
+    of the final series (f32 tolerance; indices may differ only on
+    equidistant ties — checked via exact rescoring)."""
+    import sys
+
+    from tests.helpers import assert_profile_close
+
+    T = _walk(560, 41)
+    m = 32
+    s = st.stumpi(T[:384], m, egress=False)
+    for t in T[384:500]:
+        s.update(t)  # scalar appends (the STUMPY contract)
+    s.update(T[500:])  # array append (mpx extension)
+
+    out = st.stump(T, m)
+    P_b = out[:, 0].astype(np.float64)
+    I_b = out[:, 1].astype(np.int64)
+    assert s.P_.shape == P_b.shape
+    assert_profile_close(T, m, s.P_, s.I_, P_b, I_b, eps=4e-3)
+
+    # left profile vs the batch left column
+    from mpx.config import MatrixProfileConfig
+    from mpx.driver import compute_matrix_profile
+
+    PL, IL, _, _ = compute_matrix_profile(
+        T, config=MatrixProfileConfig(m=m), left_right=True)
+    PL = np.asarray(PL, np.float64)
+    IL = np.asarray(IL, np.int64)
+    PL = np.where(IL >= 0, PL, np.inf)
+    fin = np.isfinite(PL) & np.isfinite(s.left_P_)
+    np.testing.assert_allclose(s.left_P_[fin], PL[fin], atol=4e-3)
+    assert ((s.left_P_ == np.inf) == (PL == np.inf)).all()
+
+
+def test_stumpi_egress_view_slides():
+    """egress=True: P_/I_/T_ keep the initial window size; indices are
+    absolute stream positions; P_ values match the tail of the
+    grow-only stream (mpx's documented egress divergence)."""
+    T = _walk(300, 42)
+    m = 16
+    w0 = 200 - m + 1
+    s = st.stumpi(T[:200], m, egress=True)
+    g = st.stumpi(T[:200], m, egress=False)
+    for t in T[200:]:
+        s.update(t)
+        g.update(t)
+    assert s.P_.shape == (w0,)
+    assert s.T_.shape == (w0 + m - 1,)
+    assert g.P_.shape == (300 - m + 1,)
+    np.testing.assert_allclose(s.P_, g.P_[-w0:], atol=0)
+    np.testing.assert_array_equal(s.I_, g.I_[-w0:])
+    np.testing.assert_array_equal(s.T_, T[-(w0 + m - 1):])
+
+
+def test_stumpi_guards():
+    T = _walk(200, 43)
+    with pytest.raises(NotImplementedError):
+        st.stumpi(T, 16, normalize=False)
+    with pytest.raises(NotImplementedError):
+        st.stumpi(T, 16, k=2)
+    with pytest.raises(NotImplementedError):
+        st.stumpi(T, 16, p=1.0)
+
+
+def test_aampdist_matches_brute_force():
+    """aampdist vs an explicit numpy raw-distance oracle."""
+    A, B = _walk(300, 44), _walk(260, 45)
+    m = 24
+    wa, wb = 300 - m + 1, 260 - m + 1
+    WA = np.lib.stride_tricks.sliding_window_view(A, m)
+    WB = np.lib.stride_tricks.sliding_window_view(B, m)
+    D = np.sqrt(((WA[:, None, :] - WB[None, :, :]) ** 2).sum(axis=2))
+    joined = np.concatenate([D.min(axis=1), D.min(axis=0)])
+    k = int(np.ceil(0.05 * (300 + 260)))
+    expect = np.partition(joined, k - 1)[k - 1]
+    got = st.aampdist(A, B, m)
+    assert got == pytest.approx(expect, abs=1e-3)
+    with pytest.raises(NotImplementedError):
+        st.aampdist(A, B, m, p=1.0)
