@@ -375,6 +375,9 @@ def _cmd_merlin(args) -> int:
     kind = "motifs" if args.motifs else "discords"
     print(f"exact {kind} at {len(res.per_length)} lengths "
           f"[{args.lo}, {args.hi}]:")
+    if res.escalated_lengths:
+        print(f"  ({len(res.escalated_lengths)} length(s) escalated to "
+              f"full exact profiles: {res.escalated_lengths})")
     for d in res.top:
         print(f"  m={d.m:5d} idx={d.index:8d} nn={d.nn_index:8d} "
               f"dist={d.distance:.6f} score={d.score:.4f}")

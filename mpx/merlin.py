@@ -37,13 +37,20 @@ from mpx.utils.logging import Logger
 
 # Survey-error allowance (absolute, z-normalized distance units).  The
 # fused pan tier is validated at 2e-3 against the exact per-m profiles
-# (tests/test_pan.py); 5e-3 leaves a 2.5x safety factor.
+# (tests/test_pan.py); 5e-3 leaves a 2.5x safety factor.  The allowance
+# is also CHECKED at runtime: the refine stage compares every rescored
+# candidate's exact distance against its survey value, and a length
+# whose observed error reaches eps is escalated to a full exact
+# profile (see _per_length_extreme) — worse-conditioned inputs than the
+# fuzz distribution degrade to slower, never to wrong.
 _DEFAULT_EPS = 5e-3
 
 # Refine-stage cap: candidate rows per length.  A band wider than this
-# (near-constant or heavily repeating inputs) is rescored only for the
-# strongest _MAX_CANDIDATES approximations — exactness then degrades to
-# "best of the candidate cap", which Logger.warning reports.
+# (near-constant or heavily repeating inputs) ESCALATES that length to
+# an exact full profile through the hybrid f64 tier — still exact, one
+# extra device sweep (escalate=False restores the round-3 truncation
+# behavior: rescore only the strongest _MAX_CANDIDATES, reported in
+# MerlinResult.truncated_lengths and no longer claimed exact).
 _MAX_CANDIDATES = 4096
 
 
@@ -59,6 +66,18 @@ class MerlinResult(NamedTuple):
     per_length: List[LengthDiscord]  # exact top-1 discord per length
     top: List[LengthDiscord]         # k best across lengths, overlap-
                                      # suppressed, by normalized score
+    # lengths where the candidate band overflowed (or the survey error
+    # check tripped) and the length was re-swept exactly instead:
+    escalated_lengths: List[int] = []
+    # lengths where escalate=False truncated the band: their per_length
+    # entry is "best of the strongest _MAX_CANDIDATES", NOT exact
+    truncated_lengths: List[int] = []
+
+    @property
+    def exact(self) -> bool:
+        """True iff every per-length entry carries the exactness
+        guarantee (no truncated lengths)."""
+        return not self.truncated_lengths
 
 
 def _exact_row_rescore(T64, m: int, rows: np.ndarray):
@@ -85,6 +104,7 @@ def multi_length_discords(
     ms: Optional[Sequence[int]] = None,
     k: int = 3,
     eps: float = _DEFAULT_EPS,
+    escalate: bool = True,
     config: Optional[MatrixProfileConfig] = None,
 ) -> MerlinResult:
     """Exact top-1 discord at EVERY length in [lo, hi] (or the explicit
@@ -93,7 +113,15 @@ def multi_length_discords(
     The cross-length ranking uses the SKIMP normalization
     ``d / (2*sqrt(m))`` so lengths are comparable, and suppresses
     overlapping spans (a discord at one length shadows the same event
-    at nearby lengths)."""
+    at nearby lengths).
+
+    ``escalate`` (default True) keeps the exactness guarantee
+    unconditional: a length whose candidate band overflows
+    _MAX_CANDIDATES, or whose observed survey error reaches ``eps``,
+    is re-swept as a full exact-f64 profile (reported in
+    ``result.escalated_lengths``).  ``escalate=False`` restores the
+    cheaper truncation behavior; affected lengths land in
+    ``result.truncated_lengths`` and ``result.exact`` turns False."""
     T = np.asarray(T)
     if ms is None:
         if lo is None or hi is None:
@@ -114,22 +142,67 @@ def multi_length_discords(
     pan = compute_pan_profile(T, [int(m) for m in ms_arr],
                               config=config, method="fused")
     T64 = np.asarray(T, np.float64)
-    n = T64.shape[0]
 
-    per_length = _per_length_extreme(pan, T64, eps, mode="discord")
+    per_length, escalated, truncated = _per_length_extreme(
+        pan, T64, eps, mode="discord", escalate=escalate, config=config)
     top = _rank_suppress(per_length, k, best_first=True)
-    return MerlinResult(per_length=per_length, top=top)
+    return MerlinResult(per_length=per_length, top=top,
+                        escalated_lengths=escalated,
+                        truncated_lengths=truncated)
 
 
-def _per_length_extreme(pan, T64, eps: float, mode: str) -> List[LengthDiscord]:
+def _exact_extreme_full(T64, m: int, mode: str,
+                        config) -> Optional[LengthDiscord]:
+    """Escalation path: the exact extremum at one length from a full
+    exact-f64 profile (hybrid tier — device f32 sweeps + host rescore,
+    itself escalation-proof on tie-heavy data)."""
+    import dataclasses
+
+    from mpx.hybrid import compute_matrix_profile_f64_hybrid
+
+    if config is None:
+        cfg = MatrixProfileConfig(m=m, dtype="float64")
+    else:
+        cfg = dataclasses.replace(config, m=m, dtype="float64",
+                                  kernel="auto")
+    MP, MPI = compute_matrix_profile_f64_hybrid(T64, cfg)
+    matched = np.isfinite(MP) & (MPI >= 0)
+    if not matched.any():
+        return None
+    sign = 1.0 if mode == "discord" else -1.0
+    i = int(np.argmax(np.where(matched, sign * MP, -np.inf)))
+    return LengthDiscord(
+        m=m, index=i, nn_index=int(MPI[i]), distance=float(MP[i]),
+        score=float(MP[i] / (2.0 * np.sqrt(m))),
+    )
+
+
+def _per_length_extreme(pan, T64, eps: float, mode: str,
+                        escalate: bool = True, config=None):
     """Exact per-length extremum of the profile (max for discords, min
     for motifs) via the margin-candidate-band + f64 rescore argument:
     with the survey error bounded by ``eps``, the true extremum's
     approximation lies within ``2*eps`` of the approximate extremum, so
-    rescoring that band exactly finds it."""
+    rescoring that band exactly finds it.
+
+    Two defenses keep "exact" honest (both land in the result object):
+
+    * candidate-band overflow (> _MAX_CANDIDATES near-tied rows) — the
+      length is re-swept exactly (escalate=True, default) or truncated
+      to the strongest cap with the length recorded as truncated;
+    * the eps ASSUMPTION is verified per length: the rescored
+      candidates' exact distances are compared against their survey
+      values, and an observed error >= eps escalates the length (the
+      band may have been too narrow — silently trusting it could miss
+      the true extremum on inputs conditioned worse than the fuzz
+      distribution, e.g. large DC offsets).
+
+    Returns (entries, escalated_lengths, truncated_lengths)."""
     n = T64.shape[0]
     sign = 1.0 if mode == "discord" else -1.0
     out: List[LengthDiscord] = []
+    escalated: List[int] = []
+    truncated: List[int] = []
     for r, m in enumerate(pan.ms):
         m = int(m)
         wm = n - m + 1
@@ -141,12 +214,25 @@ def _per_length_extreme(pan, T64, eps: float, mode: str) -> List[LengthDiscord]:
         cut = float(approx.max()) - 2.0 * eps
         cand = np.nonzero(approx >= cut)[0]
         if cand.shape[0] > _MAX_CANDIDATES:
+            if escalate:
+                Logger.info(
+                    f"merlin m={m}: candidate band {cand.shape[0]} > "
+                    f"{_MAX_CANDIDATES}; escalating to a full exact "
+                    f"profile at this length"
+                )
+                entry = _exact_extreme_full(T64, m, mode, config)
+                if entry is not None:
+                    out.append(entry)
+                    escalated.append(m)
+                continue
             Logger.warning(
                 f"merlin m={m}: candidate band {cand.shape[0]} > "
                 f"{_MAX_CANDIDATES}; rescoring only the strongest "
-                f"{_MAX_CANDIDATES} (near-tied {mode}s)"
+                f"{_MAX_CANDIDATES} (near-tied {mode}s) — NOT exact "
+                f"(escalate=False)"
             )
             cand = cand[np.argsort(approx[cand])[::-1][:_MAX_CANDIDATES]]
+            truncated.append(m)
         D, I = _exact_row_rescore(T64, m, cand)
         # a candidate can be degenerate only in exact f64 (its f32
         # survey variance rounded away from zero): no valid neighbor
@@ -154,6 +240,28 @@ def _per_length_extreme(pan, T64, eps: float, mode: str) -> List[LengthDiscord]:
         Ds = np.where(I >= 0, sign * D, -np.inf)
         if not np.isfinite(Ds).any():
             continue
+        # runtime check of the eps allowance over the rescored band
+        chk = (I >= 0) & np.isfinite(row[cand])
+        if chk.any():
+            observed = float(np.abs(row[cand][chk] - D[chk]).max())
+            if observed >= eps:
+                if escalate:
+                    Logger.warning(
+                        f"merlin m={m}: observed survey error "
+                        f"{observed:.2e} >= eps {eps:.2e}; escalating to "
+                        f"a full exact profile at this length"
+                    )
+                    entry = _exact_extreme_full(T64, m, mode, config)
+                    if entry is not None:
+                        out.append(entry)
+                        escalated.append(m)
+                    continue
+                Logger.warning(
+                    f"merlin m={m}: observed survey error {observed:.2e} "
+                    f">= eps {eps:.2e} with escalate=False — NOT exact"
+                )
+                if m not in truncated:
+                    truncated.append(m)
         best = int(np.argmax(Ds))
         idx = int(cand[best])
         out.append(LengthDiscord(
@@ -161,7 +269,7 @@ def _per_length_extreme(pan, T64, eps: float, mode: str) -> List[LengthDiscord]:
             distance=float(D[best]),
             score=float(D[best] / (2.0 * np.sqrt(m))),
         ))
-    return out
+    return out, escalated, truncated
 
 
 def _rank_suppress(per_length: List[LengthDiscord], k: int,
@@ -194,6 +302,7 @@ def multi_length_motifs(
     ms: Optional[Sequence[int]] = None,
     k: int = 3,
     eps: float = _DEFAULT_EPS,
+    escalate: bool = True,
     config: Optional[MatrixProfileConfig] = None,
 ) -> MerlinResult:
     """Exact top-1 MOTIF pair at every length in [lo, hi] (the VALMOD
@@ -201,7 +310,9 @@ def multi_length_motifs(
     :func:`multi_length_discords` with the extremum flipped): per
     length, the pair at minimum z-normalized distance, exactly.  The
     cross-length ``top`` ranks by ``d / (2*sqrt(m))`` ascending and
-    suppresses BOTH spans of each chosen pair."""
+    suppresses BOTH spans of each chosen pair.  ``escalate`` as in
+    :func:`multi_length_discords` (overflow/eps-violation lengths are
+    re-swept exactly by default)."""
     T = np.asarray(T)
     if ms is None:
         if lo is None or hi is None:
@@ -222,9 +333,12 @@ def multi_length_motifs(
     pan = compute_pan_profile(T, [int(m) for m in ms_arr],
                               config=config, method="fused")
     T64 = np.asarray(T, np.float64)
-    per_length = _per_length_extreme(pan, T64, eps, mode="motif")
+    per_length, escalated, truncated = _per_length_extreme(
+        pan, T64, eps, mode="motif", escalate=escalate, config=config)
     top = _rank_suppress(per_length, k, best_first=False)
-    return MerlinResult(per_length=per_length, top=top)
+    return MerlinResult(per_length=per_length, top=top,
+                        escalated_lengths=escalated,
+                        truncated_lengths=truncated)
 
 
 def brute_force_multi_length_discords(T, ms: Sequence[int]) -> List[LengthDiscord]:

@@ -212,7 +212,9 @@ class Server:
                              "nn_index": d.nn_index,
                              "distance": d.distance, "score": d.score}
         return {"top": [as_dict(d) for d in res.top],
-                "per_length": [as_dict(d) for d in res.per_length]}
+                "per_length": [as_dict(d) for d in res.per_length],
+                "exact": res.exact,
+                "escalated_lengths": list(res.escalated_lengths)}
 
     def _op_chains(self, req):
         from mpx.chains import compute_chains

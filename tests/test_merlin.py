@@ -102,3 +102,73 @@ def test_multi_length_motifs_exact():
         for y in range(x + 1, len(spans)):
             a, b = spans[x], spans[y]
             assert not (a[0] < b[1] and b[0] < a[1])
+
+
+def test_candidate_cap_overflow_escalates_exactly(monkeypatch):
+    """Repetitive input -> a near-flat profile -> the candidate band
+    overflows the cap.  The default path (escalate=True) re-sweeps
+    those lengths as full exact profiles: the result must STILL match
+    brute force, with the lengths reported in escalated_lengths and
+    exact=True (round-3 review item 6: the degraded path was untested
+    and invisible)."""
+    import mpx.merlin as merlin_mod
+
+    monkeypatch.setattr(merlin_mod, "_MAX_CANDIDATES", 8)
+    rng = np.random.default_rng(44)
+    t = np.arange(700)
+    # strongly periodic -> thousands of near-tied rows per length
+    T = np.sin(2 * np.pi * t / 40) + 1e-3 * rng.standard_normal(700)
+    res = multi_length_discords(T, ms=[16, 24])
+    assert res.escalated_lengths, "overflow must trigger escalation"
+    assert res.exact and not res.truncated_lengths
+    exp = brute_force_multi_length_discords(T, [16, 24])
+    assert [d.m for d in res.per_length] == [d.m for d in exp]
+    for got, want in zip(res.per_length, exp):
+        assert got.distance == pytest.approx(want.distance, abs=1e-9)
+
+
+def test_candidate_cap_overflow_truncation_is_visible(monkeypatch):
+    """escalate=False restores the cheap truncation path — but the
+    result object must say so (exact=False, truncated_lengths)."""
+    import mpx.merlin as merlin_mod
+
+    monkeypatch.setattr(merlin_mod, "_MAX_CANDIDATES", 8)
+    rng = np.random.default_rng(45)
+    t = np.arange(700)
+    T = np.sin(2 * np.pi * t / 40) + 1e-3 * rng.standard_normal(700)
+    res = multi_length_discords(T, ms=[16, 24], escalate=False)
+    assert res.truncated_lengths and not res.exact
+    assert not res.escalated_lengths
+
+
+def test_eps_violation_escalates(monkeypatch):
+    """An eps far below the real survey error trips the runtime check
+    (observed rescore-vs-survey error >= eps) and escalates — the
+    result stays exact even when the error assumption is wrong
+    (round-3 advisor finding: exactness silently rested on the
+    empirical eps)."""
+    T = _walk(600, 46)
+    res = multi_length_discords(T, ms=[12, 20], eps=1e-12)
+    assert set(res.escalated_lengths) == {12, 20}
+    assert res.exact
+    exp = brute_force_multi_length_discords(T, [12, 20])
+    for got, want in zip(res.per_length, exp):
+        assert got.distance == pytest.approx(want.distance, abs=1e-9)
+
+
+def test_motifs_escalation_matches_brute_force(monkeypatch):
+    from mpx.merlin import (
+        brute_force_multi_length_motifs,
+        multi_length_motifs,
+    )
+    import mpx.merlin as merlin_mod
+
+    monkeypatch.setattr(merlin_mod, "_MAX_CANDIDATES", 8)
+    rng = np.random.default_rng(47)
+    t = np.arange(700)
+    T = np.sin(2 * np.pi * t / 40) + 1e-3 * rng.standard_normal(700)
+    res = multi_length_motifs(T, ms=[16, 24])
+    assert res.escalated_lengths and res.exact
+    exp = brute_force_multi_length_motifs(T, [16, 24])
+    for got, want in zip(res.per_length, exp):
+        assert got.distance == pytest.approx(want.distance, abs=1e-9)
