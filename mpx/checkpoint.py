@@ -72,18 +72,23 @@ def _fingerprint(T: np.ndarray, cfg: MatrixProfileConfig, w: int,
 def _save(path: str, rows: Aggregates, cols: Aggregates, next_group: int, fp: str):
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
     os.close(fd)
-    np.savez(
-        tmp,
-        rows_value=np.asarray(rows.value),
-        rows_index=np.asarray(rows.index),
-        cols_value=np.asarray(cols.value),
-        cols_index=np.asarray(cols.index),
-        next_group=next_group,
-        fingerprint=fp,
-    )
-    os.replace(tmp + ".npz", path)
-    if os.path.exists(tmp):
-        os.remove(tmp)
+    try:
+        np.savez(
+            tmp,
+            rows_value=np.asarray(rows.value),
+            rows_index=np.asarray(rows.index),
+            cols_value=np.asarray(cols.value),
+            cols_index=np.asarray(cols.index),
+            next_group=next_group,
+            fingerprint=fp,
+        )
+        os.replace(tmp + ".npz", path)
+    finally:
+        # a crash between savez and replace must not leave stray temp
+        # files accumulating in the checkpoint directory
+        for stray in (tmp, tmp + ".npz"):
+            if os.path.exists(stray):
+                os.remove(stray)
 
 
 def _load(path: str, fp: str):
@@ -227,10 +232,13 @@ def _save_npz(path: str, **arrays):
         dir=os.path.dirname(os.path.abspath(path)) or "."
     )
     os.close(fd)
-    np.savez(tmp, **arrays)
-    os.replace(tmp + ".npz", path)
-    if os.path.exists(tmp):
-        os.remove(tmp)
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp + ".npz", path)
+    finally:
+        for stray in (tmp, tmp + ".npz"):
+            if os.path.exists(stray):
+                os.remove(stray)
 
 
 def _load_raw(path: str, fp: str):

@@ -443,6 +443,12 @@ def mmotifs(T, P, I, min_neighbors: int = 1, max_distance=None,
             P[:, max(0, p - zone) : min(w, p + zone + 1)] = np.inf
             found += 1
         if found - 1 < min_neighbors:  # first match is (near) itself
+            # Suppress the failed seed pair before moving on — otherwise
+            # every remaining round re-derives this same candidate (a
+            # tight max_distance can reject even the seed) and the
+            # function returns fewer motifs than the data holds.
+            for p in (i, j):
+                P[:, max(0, p - zone) : min(w, p + zone + 1)] = np.inf
             continue
         motif_distances.append(dists)
         motif_indices.append(idxs)

@@ -405,7 +405,14 @@ class Server:
         sit silent: an abruptly-dropped client (RST after the server's
         last write consumes the socket error) otherwise blocks the
         single-threaded loop forever.  Idle-dropped clients simply
-        reconnect — their streams and the warm state persist."""
+        reconnect — their streams and the warm state persist.
+
+        Head-of-line caveat: because the accept loop is single-threaded,
+        one connected-but-silent client stalls every OTHER client for up
+        to ``idle_timeout``.  The TCP mode is effectively single-client;
+        for multiple interactive clients, lower ``--idle-timeout`` (a
+        few seconds) so an idle holder yields the socket quickly, and
+        have clients treat a drop as "reconnect and retry"."""
         import socket
 
         from mpx.runtime import enable_compilation_cache

@@ -22,10 +22,13 @@ import time; t0 = time.time()
 import jax, jax.numpy as jnp, numpy as np
 print("devices:", jax.devices(), f"init {time.time()-t0:.1f}s")
 t1 = time.time()
-y = np.asarray(jnp.dot(jnp.ones((512, 512)), jnp.ones((512, 512))).sum())
-print("matmul:", y, f"{time.time()-t1:.1f}s")
+y = float(np.asarray(jnp.dot(jnp.ones((512, 512)), jnp.ones((512, 512))).sum()))
+# tolerance, not equality: the relay's matmul may round slightly
+# (observed 134217730.0 for the exact 2**27)
+ok = abs(y - 512.0 ** 3) <= 1e-4 * 512.0 ** 3
+print("matmul:", y, f"{time.time()-t1:.1f}s", "PROBE_OK" if ok else "PROBE_BAD")
 EOF
-if ! grep -q "matmul: 134217728" "$OUT/probe.txt"; then
+if ! grep -q "PROBE_OK" "$OUT/probe.txt"; then
     log "device probe FAILED - aborting (relay still down?)"
     exit 1
 fi
