@@ -1269,7 +1269,10 @@ def compute_topk_profile_f64_hybrid(
         from mpx import native
 
         if native.is_available():
-            s64 = native.precompute(T64, m)
+            # mu/inv only: the hybrid needs just the exact rescoring
+            # operands, and the stats-only kernel's vectorized
+            # reductions are ~9x faster than the full precompute.
+            s64 = native.precompute_stats(T64, m)
         else:
             s64 = precompute_statistics_numpy(T64, m)
         mu64, inv64 = s64["mu"], s64["inv"]
@@ -1559,7 +1562,10 @@ def compute_matrix_profile_f64_hybrid(
         from mpx import native
 
         if native.is_available():
-            s64 = native.precompute(T64, m)
+            # mu/inv only: the hybrid needs just the exact rescoring
+            # operands, and the stats-only kernel's vectorized
+            # reductions are ~9x faster than the full precompute.
+            s64 = native.precompute_stats(T64, m)
         else:
             s64 = precompute_statistics_numpy(T64, m)
         mu64, inv64 = s64["mu"], s64["inv"]
@@ -1958,8 +1964,8 @@ def compute_ab_join_f64_hybrid(
 
     with _phase(profile, "1. Pre-Computation [host f64]"):
         if native.is_available():
-            sa = native.precompute(A64, m)
-            sb = native.precompute(B64, m)
+            sa = native.precompute_stats(A64, m)
+            sb = native.precompute_stats(B64, m)
         else:
             sa = precompute_statistics_numpy(A64, m)
             sb = precompute_statistics_numpy(B64, m)
@@ -2154,7 +2160,10 @@ def compute_left_right_f64_hybrid(
         from mpx import native
 
         if native.is_available():
-            s64 = native.precompute(T64, m)
+            # mu/inv only: the hybrid needs just the exact rescoring
+            # operands, and the stats-only kernel's vectorized
+            # reductions are ~9x faster than the full precompute.
+            s64 = native.precompute_stats(T64, m)
         else:
             s64 = precompute_statistics_numpy(T64, m)
         mu64, inv64 = s64["mu"], s64["inv"]

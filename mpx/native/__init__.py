@@ -46,6 +46,8 @@ def _bind(lib):
     )
     lib.mpx_precompute.argtypes = [f64p, i64, i64, f64p, f64p, f64p, f64p, f64p]
     lib.mpx_precompute.restype = None
+    lib.mpx_precompute_stats.argtypes = [f64p, i64, i64, f64p, f64p]
+    lib.mpx_precompute_stats.restype = None
     lib.mpx_golden_scamp.argtypes = [f64p, i64, i64, f64p, i32p]
     lib.mpx_golden_scamp.restype = None
     lib.mpx_merge_aggregates.argtypes = [f64p, i32p, f64p, i32p, i64]
@@ -120,6 +122,19 @@ def precompute(T: np.ndarray, m: int):
     qt0 = np.empty(w)
     lib.mpx_precompute(T, T.shape[0], m, mu, df, dg, inv, qt0)
     return {"mu": mu, "df": df, "dg": dg, "inv": inv, "qt0": qt0}
+
+
+def precompute_stats(T: np.ndarray, m: int):
+    """Exact float64 mu/inv only (the hybrid tier's host statistics) —
+    skips df/dg/qt0 and runs the vectorized 8-accumulator reduction
+    (~9x faster than :func:`precompute` at n=2^20 on one core)."""
+    lib = load()
+    T = np.ascontiguousarray(T, dtype=np.float64)
+    w = T.shape[0] - m + 1
+    mu = np.empty(w)
+    inv = np.empty(w)
+    lib.mpx_precompute_stats(T, T.shape[0], m, mu, inv)
+    return {"mu": mu, "inv": inv}
 
 
 def golden_scamp(T: np.ndarray, m: int):

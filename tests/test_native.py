@@ -24,6 +24,34 @@ def test_native_precompute_matches_numpy():
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("n,m", [(2048, 64), (1037, 33), (521, 7), (64, 64)])
+def test_native_precompute_stats_matches_full(n, m):
+    """mu bit-identical (same rolling recurrence), inv within
+    reassociation rounding, degenerate classification identical."""
+    T = random_walk(n, seed=n + m)
+    got = native.precompute_stats(T, m)
+    ref = native.precompute(T, m)
+    np.testing.assert_array_equal(got["mu"], ref["mu"])
+    fin = np.isfinite(ref["inv"])
+    np.testing.assert_array_equal(fin, np.isfinite(got["inv"]))
+    np.testing.assert_allclose(got["inv"][fin], ref["inv"][fin],
+                               rtol=1e-12, atol=0)
+
+
+def test_native_precompute_stats_degenerate_classification():
+    """Constant stretches classify identically to the full kernel and
+    the numpy estimator (inv = inf, excluded outright downstream)."""
+    rng = np.random.default_rng(5)
+    T = np.concatenate([np.ones(300), np.cumsum(rng.standard_normal(700)),
+                        np.full(80, -3.5)])
+    m = 48
+    got = native.precompute_stats(T, m)
+    ref = precompute_statistics_numpy(T, m)
+    np.testing.assert_array_equal(
+        np.isfinite(got["inv"]), np.isfinite(ref["inv"]))
+    assert np.isinf(got["inv"]).any()
+
+
 @pytest.mark.parametrize("n,m", [(512, 16), (2048, 64)])
 def test_native_golden_matches_python_golden(n, m):
     T = random_walk(n, seed=n)
