@@ -358,7 +358,15 @@ def _sparse_tiers(F2: int) -> list:
     proportional to F, and at the showcase geometry the per-job flag
     counts are heavily skewed (mean 67, p99 225 with F2=640), so
     running each job at the smallest sufficient F cuts pass B ~2-3x
-    versus one maximal panel."""
+    versus one maximal panel.  MPX_SPARSE_TIERS (comma-separated, e.g.
+    "32,128,640") overrides for schedule experiments; values are
+    clamped to F2 and the largest tier is always F2 so routing
+    semantics (overflow -> dense re-sweep) are unchanged."""
+    env = os.environ.get("MPX_SPARSE_TIERS")
+    if env:
+        tiers = {min(int(t), F2) for t in env.split(",") if t.strip()}
+        tiers.add(F2)
+        return sorted(tiers)
     return sorted({min(64, F2), min(256, F2), F2})
 
 
