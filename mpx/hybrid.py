@@ -425,6 +425,92 @@ def _tier_batches(cap_groups, tier_sel_f, F, *, S, W, w):
         yield args
 
 
+def _sparse_merge_factor(S, W, w, wc, stats_c, ckpt) -> int:
+    """Pass-B job-pair merging factor (1 = off, 2 = pair k0-adjacent
+    jobs into width-2W jobs).  Per-job sparse cost is dominated by the
+    F-independent fixed part (panel slice, flag cumsum, scan-step
+    machinery — measured ~85% at the showcase geometry: 10x the flags
+    costs only ~1.4x), so halving the job count nearly halves pass B.
+    Self-join only (the AB thr/cap geometry differs per side), not
+    under checkpointing (job identity is the done-mask key), and only
+    while the doubled capture copies fit comfortably in HBM."""
+    env = os.environ.get("MPX_SPARSE_MERGE")
+    if env is not None:
+        return max(1, min(2, int(env)))
+    if ckpt is not None or stats_c is not None or wc is not None:
+        return 1
+    return 2 if w <= (1 << 22) else 1
+
+
+def _merge_cap_groups(cap_groups, *, S, W, w):
+    """Pair pass-A captures of k0-adjacent jobs (same r0, k0 and k0+W)
+    into width-2W merged jobs.  The merged captures stay a SOUND flag
+    oracle: the merged per-row maximum is the elementwise max of the
+    halves (a row's 2W-job max IS the max of its two W-job maxima, and
+    the u16 round-up encoding is order-independent), and the column
+    maxima concatenate positionally.  Returns (merged, rest) in the
+    cap_groups format — merged entries carry (G, 2W) jcol panels and
+    keep the LEFT half's (r0, k0) as the job identity."""
+    entries = {}
+    order = []
+    for gi, (gr, gk, _, _) in enumerate(cap_groups):
+        gr_h, gk_h = np.asarray(gr), np.asarray(gk)
+        for ji in range(gr_h.shape[0]):
+            r0, k0 = int(gr_h[ji]), int(gk_h[ji])
+            if r0 >= w:  # group-pad dummy job: no flags, skip entirely
+                continue
+            entries[(r0, k0)] = (gi, ji)
+            order.append((r0, k0))
+    pairs, rest = [], []
+    for r0, k0 in order:
+        if (k0 // W) % 2 == 1:
+            if (r0, k0 - W) not in entries:
+                rest.append((r0, k0))
+            continue
+        if (r0, k0 + W) in entries:
+            pairs.append((r0, k0))
+        else:
+            rest.append((r0, k0))
+    if not pairs:
+        return [], cap_groups
+
+    # Flat (global-job-index) device views of the captures.
+    jrow_all = jnp.concatenate([g[2] for g in cap_groups], axis=0)
+    jcol_all = jnp.concatenate([g[3] for g in cap_groups], axis=0)
+    offs = np.cumsum([0] + [np.asarray(g[0]).shape[0] for g in cap_groups])
+    flat = lambda gj: offs[gj[0]] + gj[1]
+
+    ia = jnp.asarray([flat(entries[(r0, k0)]) for r0, k0 in pairs],
+                     dtype=jnp.int32)
+    ib = jnp.asarray([flat(entries[(r0, k0 + W)]) for r0, k0 in pairs],
+                     dtype=jnp.int32)
+    jrow_m = jnp.maximum(jnp.take(jrow_all, ia, axis=0),
+                         jnp.take(jrow_all, ib, axis=0))
+    jcol_m = jnp.concatenate(
+        [jnp.take(jcol_all, ia, axis=0), jnp.take(jcol_all, ib, axis=0)],
+        axis=1,
+    )
+    r0m = np.asarray([p[0] for p in pairs], np.int32)
+    k0m = np.asarray([p[1] for p in pairs], np.int32)
+    merged = [(jnp.asarray(r0m), jnp.asarray(k0m), jrow_m, jcol_m)]
+
+    rest_groups = []
+    if rest:
+        ir = jnp.asarray([flat(entries[rk]) for rk in rest], dtype=jnp.int32)
+        rest_groups = [(
+            jnp.asarray(np.asarray([rk[0] for rk in rest], np.int32)),
+            jnp.asarray(np.asarray([rk[1] for rk in rest], np.int32)),
+            jnp.take(jrow_all, ir, axis=0),
+            jnp.take(jcol_all, ir, axis=0),
+        )]
+    return merged, rest_groups
+
+
+def _pad_axis0(x, extra: int, fill=0.0):
+    pad = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
 def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
                             wc=None, excl=None, stats_c=None, thr_col=None,
                             combine=True, profile=None, ckpt=None):
@@ -434,41 +520,86 @@ def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
     go straight to the dense re-sweep.  Same output contract as
     run_suspect_jobs.
 
+    Self-join jobs are first PAIRED into width-2W merged jobs
+    (_merge_cap_groups): the per-job cost is mostly F-independent, so
+    halving the job count nearly halves the pass.
+
     ``ckpt`` persists the partial suspect state + job done-mask after
     every batch.  Jobs whose pass-A captures predate a resume
     (ckpt.uncaptured) join the dense re-sweep; sparse-overflow jobs
     stay pending in the mask until their dense re-sweep lands."""
-    F2 = _sparse_budget(S, W)
-    tiers = _sparse_tiers(F2)
-    thr_c_arr = thr if thr_col is None else thr_col
+    merge = _sparse_merge_factor(S, W, w, wc, stats_c, ckpt)
     Lr = w + S
-    Lc = (w if wc is None else wc) + W
+    Lc = (w if wc is None else wc) + W * merge
     rows_g, cols_g = _init_suspects(Lr), _init_suspects(Lc)
+    thr_c_arr = thr if thr_col is None else thr_col
 
-    tier_sel, over_jobs = _route_tiers(
-        cap_groups, thr, thr_c_arr, tiers, S=S, W=W, tag="sparse pass B"
-    )
+    # (W_eff, groups, stats_col, thr_col_eff, expand_overflow)
+    classes = []
+    if merge == 2:
+        merged, rest = _merge_cap_groups(cap_groups, S=S, W=W, w=w)
+        if merged:
+            # Width-2W column slices outrun the (w + S + W) statistics
+            # padding by W - S rows; extend the column-side operands and
+            # thresholds (+inf: padded rows never flag).
+            stats_pad = stats._replace(
+                T=_pad_axis0(stats.T, W),
+                mu=_pad_axis0(stats.mu, W),
+                inv=_pad_axis0(stats.inv, W, fill=np.inf),
+                windows=(None if stats.windows is None
+                         else _pad_axis0(stats.windows, W)),
+            )
+            thr_pad = _pad_axis0(thr_c_arr, W, fill=np.inf)
+            classes.append((2 * W, merged, stats_pad, thr_pad, True))
+        if rest:
+            classes.append((W, rest, stats_c, thr_col, False))
+    else:
+        classes.append((W, cap_groups, stats_c, thr_col, False))
+
+    over_jobs = []
     if ckpt is not None:
         for gr, gk in ckpt.uncaptured:
             gr, gk = np.asarray(gr), np.asarray(gk)
             real = gr < w  # drop group-pad dummy jobs
             if real.any():
                 over_jobs.append((gr[real], gk[real]))
-    for F in tiers:
-        if not tier_sel[F]:
-            continue
-        for args in _tier_batches(cap_groups, tier_sel[F], F, S=S, W=W, w=w):
-            rows_g, cols_g, overs = _sparse_suspect_group(
-                stats, thr, *args, rows_g, cols_g,
-                S=S, W=W, m=m, w=w, tr=tr, tc=tc, F=F,
-                wc=wc, excl=excl, stats_c=stats_c, thr_col=thr_col,
-                prec=HYBRID_PRECISION,
-            )
-            if ckpt is not None:
-                ckpt.mark_done_and_save(
-                    rows_g, cols_g, args[0], args[1],
-                    keep=~np.asarray(overs),
+
+    for W_eff, groups, st_c_eff, thr_col_eff, expand in classes:
+        F2 = _sparse_budget(S, W_eff)
+        tiers = _sparse_tiers(F2)
+        thr_c_eff = thr_c_arr if thr_col_eff is None else thr_col_eff
+        tier_sel, over = _route_tiers(
+            groups, thr, thr_c_eff, tiers, S=S, W=W_eff,
+            tag=f"sparse pass B (W={W_eff})",
+        )
+        for gr_o, gk_o in over:
+            if expand:
+                over_jobs.append((np.concatenate([gr_o, gr_o]),
+                                  np.concatenate([gk_o, gk_o + W])))
+            else:
+                over_jobs.append((gr_o, gk_o))
+        for F in tiers:
+            if not tier_sel[F]:
+                continue
+            for args in _tier_batches(groups, tier_sel[F], F,
+                                      S=S, W=W_eff, w=w):
+                rows_g, cols_g, overs = _sparse_suspect_group(
+                    stats, thr, *args, rows_g, cols_g,
+                    S=S, W=W_eff, m=m, w=w, tr=tr, tc=tc, F=F,
+                    wc=wc, excl=excl, stats_c=st_c_eff,
+                    thr_col=thr_col_eff,
+                    prec=HYBRID_PRECISION,
                 )
+                # Routing by exact flag counts means a tier batch can
+                # never overflow (see _route_tiers); ``overs`` is only
+                # fetched under checkpointing, where it gates the
+                # done-mask.  An unconditional fetch would add a ~30ms
+                # relay sync per batch.
+                if ckpt is not None:
+                    ckpt.mark_done_and_save(
+                        rows_g, cols_g, args[0], args[1],
+                        keep=~np.asarray(overs),
+                    )
 
     if over_jobs:
         ro = np.concatenate([r for r, _ in over_jobs])

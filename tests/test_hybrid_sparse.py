@@ -95,6 +95,40 @@ def test_sparse_budget_overflow_falls_back_dense(monkeypatch):
         )
 
 
+def test_sparse_job_merge_off_matches_on(monkeypatch):
+    """Width-2W merged pass-B jobs (MPX_SPARSE_MERGE=2, the default)
+    capture exactly the unmerged suspect sets: merged per-row maxima
+    (max of halves) and concatenated column maxima are a sound, exact
+    flag oracle."""
+    T = random_walk(1024, seed=13)
+    monkeypatch.setenv("MPX_SPARSE_MERGE", "2")
+    merged = _suspect_sets(T, 32, 128, 128, sparse=True)
+    monkeypatch.setenv("MPX_SPARSE_MERGE", "0")
+    plain = _suspect_sets(T, 32, 128, 128, sparse=True)
+    for field in ("cnt", "mn", "mx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(merged, field)),
+            np.asarray(getattr(plain, field)),
+            err_msg=f"merge on/off mismatch in {field}",
+        )
+
+
+def test_sparse_job_merge_overflow_expands_both_halves(monkeypatch):
+    """A merged job that overflows the flag budget must send BOTH of
+    its W-wide halves to the dense re-sweep (a missing half would
+    silently drop suspects)."""
+    monkeypatch.setenv("MPX_SPARSE_MERGE", "2")
+    monkeypatch.setattr(hybrid, "_sparse_budget", lambda S, W: 2)
+    T = random_walk(1024, seed=17)
+    dense = _suspect_sets(T, 32, 128, 128, sparse=False)
+    sparse = _suspect_sets(T, 32, 128, 128, sparse=True)
+    for field in ("cnt", "mn", "mx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sparse, field)),
+            np.asarray(getattr(dense, field)),
+        )
+
+
 def test_hybrid_sparse_off_matches_on(monkeypatch):
     """MPX_HYBRID_SPARSE=0 (dense) and the default sparse path produce
     identical exact-f64 profiles."""
