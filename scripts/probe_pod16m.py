@@ -17,6 +17,8 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 from mpx.runtime import enable_compilation_cache
 

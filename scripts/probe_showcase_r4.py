@@ -17,6 +17,8 @@ import sys
 import time
 
 import numpy as np
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 N = int(os.environ.get("N", 1 << 20))
 M = int(os.environ.get("M", 256))

@@ -10,7 +10,11 @@ Prints warm per-step timings so the hybrid's device-stats crossover
 (MPX_HYBRID_DEVICE_STATS_MIN_W) can be set from data.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
