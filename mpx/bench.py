@@ -978,9 +978,15 @@ def run_batch_benchmark(n: int, m: int, b: int, dtype: str = "float32",
     }
 
 
-def run_suite(names=None, verbose: bool = False) -> list:
+def run_suite(names=None, verbose: bool = False, on_row=None) -> list:
     """Run the benchmark suite; returns a list of result dicts (one per
-    config) each including vs_baseline against the U250 roofline."""
+    config) each including vs_baseline against the U250 roofline.
+
+    ``on_row(row)`` fires after every completed (or FAILED-marker) row —
+    refresh_suite uses it to persist the artifact incrementally, so a
+    relay death mid-suite can no longer discard every row already
+    measured (round-4 incident: a hung row at position 11 lost ~1 h of
+    measurements held only in this list)."""
     results = []
     for cfg in SUITE:
         if names and cfg["name"] not in names:
@@ -1035,6 +1041,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
                 "failed": repr(e),
                 "provenance": _provenance(),
             })
+            if on_row is not None:
+                on_row(results[-1])
             continue
         res["name"] = cfg["name"]
         if "recompute_pairs" in res:
@@ -1047,6 +1055,8 @@ def run_suite(names=None, verbose: bool = False) -> list:
             res["vs_baseline"] = res["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC
         res["provenance"] = _provenance()
         results.append(res)
+        if on_row is not None:
+            on_row(res)
     return results
 
 

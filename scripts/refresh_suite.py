@@ -78,11 +78,28 @@ def main() -> int:
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
-    results = run_suite(names=args.only, verbose=args.verbose)
     prior = []
     if os.path.exists(OUT):
         with open(OUT) as f:
             prior = json.load(f)
+
+    # Persist after EVERY row: a relay death mid-suite must not discard
+    # rows already measured (round-4 incident: a hung row lost ~1 h of
+    # measurements that existed only in the in-process result list).
+    done = []
+
+    def on_row(row):
+        done.append(row)
+        merged_now = merge_rows(list(done), prior)
+        tmp = OUT + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged_now, f, indent=2)
+            f.write("\n")
+        os.replace(tmp, OUT)
+        print(f"# row {row['name']} persisted "
+              f"({'FAILED' if 'failed' in row else 'ok'})", file=sys.stderr)
+
+    results = run_suite(names=args.only, verbose=args.verbose, on_row=on_row)
     merged = merge_rows(results, prior)
     with open(OUT, "w") as f:
         json.dump(merged, f, indent=2)
