@@ -427,19 +427,24 @@ def _tier_batches(cap_groups, tier_sel_f, F, *, S, W, w):
 
 def _sparse_merge_factor(S, W, w, wc, stats_c, ckpt) -> int:
     """Pass-B job-pair merging factor (1 = off, 2 = pair k0-adjacent
-    jobs into width-2W jobs).  Per-job sparse cost is dominated by the
-    F-independent fixed part (panel slice, flag cumsum, scan-step
-    machinery — measured ~85% at the showcase geometry: 10x the flags
-    costs only ~1.4x), so halving the job count nearly halves pass B.
-    Self-join only (the AB thr/cap geometry differs per side), not
-    under checkpointing (job identity is the done-mask key), and only
-    while the doubled capture copies fit comfortably in HBM."""
+    jobs into width-2W jobs).  DEFAULT OFF: measured on the v5e
+    showcase (round 4), merging DOUBLED pass B (9.3s -> 18.2s wall) —
+    the per-job cost that is insensitive to the flag count F is NOT
+    fixed w.r.t. W (the flag cumsum, the (W, F) compaction one-hot and
+    the (F, W) suspect reduce all scale with W), so width-2W jobs pay
+    ~2x per job while only halving the job count, and the ~2x flag
+    counts push jobs into larger F tiers on top.  Kept as an
+    experiment knob (MPX_SPARSE_MERGE=2): on hardware with a higher
+    per-dispatch-step overhead to compute-throughput ratio the
+    trade-off could flip.  Never merges for AB-joins (per-side thr/cap
+    geometry) or under checkpointing (job identity keys the
+    done-mask)."""
     env = os.environ.get("MPX_SPARSE_MERGE")
-    if env is not None:
-        return max(1, min(2, int(env)))
+    if env is None:
+        return 1
     if ckpt is not None or stats_c is not None or wc is not None:
         return 1
-    return 2 if w <= (1 << 22) else 1
+    return max(1, min(2, int(env)))
 
 
 def _merge_cap_groups(cap_groups, *, S, W, w):
