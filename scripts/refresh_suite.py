@@ -44,6 +44,10 @@ def merge_rows(results: list, prior: list, log=None) -> list:
     failed = {r["name"]: dict(r) for r in results if "failed" in r}
     ran = {r["name"] for r in fresh}
 
+    from datetime import date, datetime
+
+    today = date.today().isoformat()
+
     kept = []
     for row in prior:
         if row["name"] in ran:
@@ -51,8 +55,14 @@ def merge_rows(results: list, prior: list, log=None) -> list:
         row = dict(row)
         # Prior measured row survives, but self-identifies as stale
         # (round-3 review: carried rows were indistinguishable from
-        # fresh ones).
-        row["carried"] = True
+        # fresh ones).  Rows measured earlier the SAME day (chunked
+        # hardware windows run one refresh per row group) are still
+        # fresh, not carried.
+        measured_at = str(row.get("provenance", {}).get("measured_at", ""))
+        if not measured_at.startswith(today):
+            row["carried"] = True
+        else:
+            row.pop("carried", None)
         if row["name"] in failed:
             att = failed.pop(row["name"])
             row["last_attempt"] = {
