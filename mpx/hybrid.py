@@ -101,6 +101,15 @@ HYBRID_DEVICE_STATS_MIN_W = int(
 )
 
 
+def _sync_phases() -> bool:
+    """MPX_HYBRID_SYNC_PHASES=1 restores a device sync at every phase
+    boundary so profile reports attribute device time to the phase that
+    dispatched it.  Default OFF: the end-to-end wall is what matters,
+    and the syncs serialize work that otherwise overlaps (the pass-B
+    routing dispatches enqueue behind pass A on the device queue)."""
+    return os.environ.get("MPX_HYBRID_SYNC_PHASES", "0") not in ("0", "", "off")
+
+
 def _device_stats_enabled(w: int) -> bool:
     env = os.environ.get("MPX_HYBRID_DEVICE_STATS", "auto")
     if env == "auto":
@@ -108,7 +117,7 @@ def _device_stats_enabled(w: int) -> bool:
     return env not in ("0", "off", "false")
 
 
-def _reconcile_degenerate(stats, inv64: np.ndarray, w: int):
+def _reconcile_degenerate(stats, inv64: np.ndarray, w: int, dev_bad=None):
     """Force the device degeneracy mask to EXACTLY match the host
     two-pass classification (mpx/ops/precompute.py ZERO_VARIANCE_REL).
 
@@ -118,8 +127,14 @@ def _reconcile_degenerate(stats, inv64: np.ndarray, w: int):
     window from the exact result.  The device's globally-centered cumsum
     variance can disagree with the host's two-pass form only within
     ~ulp of the threshold; fetch one byte per window, compare, and
-    scatter-fix the (almost always zero) differences."""
-    dev_bad = np.asarray(jnp.isinf(stats.inv))[:w]
+    scatter-fix the (almost always zero) differences.
+
+    ``dev_bad`` lets the caller pass a pre-dispatched device mask (see
+    the optimistic-reconcile flow in compute_matrix_profile_f64_hybrid,
+    which overlaps this check with the pass-A dispatch chain)."""
+    if dev_bad is None:
+        dev_bad = jnp.isinf(stats.inv)
+    dev_bad = np.asarray(dev_bad)[:w]
     host_bad = np.isinf(inv64)
     diff = np.nonzero(dev_bad != host_bad)[0]
     if diff.size:
@@ -364,7 +379,10 @@ def _sparse_tiers(F2: int) -> list:
     semantics (overflow -> dense re-sweep) are unchanged."""
     env = os.environ.get("MPX_SPARSE_TIERS")
     if env:
-        tiers = {min(int(t), F2) for t in env.split(",") if t.strip()}
+        # clamp to [1, F2]: a zero/negative tier would build an empty or
+        # negative-width panel downstream
+        tiers = {min(int(t), F2) for t in env.split(",")
+                 if t.strip() and int(t) >= 1}
         tiers.add(F2)
         return sorted(tiers)
     return sorted({min(64, F2), min(256, F2), F2})
@@ -375,10 +393,14 @@ def _route_tiers(cap_groups, thr, thr_col, tiers, *, S, W, tag):
     device with the same comparisons the sparse kernels perform, so a
     tier's panel budget can never overflow).  Returns
     (tier_sel: F -> [(group_idx, job_idx)], over_jobs: [(r0s, k0s)])."""
-    counts = [
-        np.asarray(_flag_counts(thr, thr_col, gr, gk, jrow, jcol, S=S, W=W))
+    # Dispatch every group's count kernel first, then fetch them all in
+    # ONE device_get: per-group np.asarray fetches each cost a relay
+    # round trip (~30ms), serialized behind the pass-A work still on
+    # the device queue.
+    counts = jax.device_get([
+        _flag_counts(thr, thr_col, gr, gk, jrow, jcol, S=S, W=W)
         for gr, gk, jrow, jcol in cap_groups
-    ]
+    ])
     over_jobs = []
     tier_sel = {F: [] for F in tiers}
     for gi, cnts in enumerate(counts):
@@ -525,9 +547,11 @@ def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
     go straight to the dense re-sweep.  Same output contract as
     run_suspect_jobs.
 
-    Self-join jobs are first PAIRED into width-2W merged jobs
-    (_merge_cap_groups): the per-job cost is mostly F-independent, so
-    halving the job count nearly halves the pass.
+    Self-join jobs can optionally be PAIRED into width-2W merged jobs
+    (_merge_cap_groups) via MPX_SPARSE_MERGE=2 — an opt-in experiment,
+    OFF by default: hardware A/B measured the merge DOUBLING pass B
+    (the F-insensitive per-job cost scales with W), see
+    _sparse_merge_factor for the measured trade-off.
 
     ``ckpt`` persists the partial suspect state + job done-mask after
     every batch.  Jobs whose pass-A captures predate a resume
@@ -1694,6 +1718,7 @@ def compute_matrix_profile_f64_hybrid(
     #    protected — is reconciled exactly below.  Small runs keep the
     #    host-staging path (one jit avoided; transfer is trivial).
     dev_stats = _device_stats_enabled(w)
+    dev_bad = None
     if dev_stats:
         with _phase(profile, "1. Pre-Computation [device f64 stats]"):
             # async dispatch; overlapped by the host stats below
@@ -1701,6 +1726,10 @@ def compute_matrix_profile_f64_hybrid(
                 T64, m, band=S, chunk=W, dtype="float32", backend="jax",
                 matmul_only=True, windows=False,
             )
+            # Enqueue the degeneracy mask AHEAD of the sweep dispatches:
+            # the optimistic reconcile below fetches it while pass A
+            # runs, so its transfer never waits on O(n^2) device work.
+            dev_bad = jax.jit(jnp.isinf)(stats.inv)
 
     with _phase(profile, "1. Pre-Computation [host f64]"):
         from mpx import native
@@ -1714,13 +1743,28 @@ def compute_matrix_profile_f64_hybrid(
             s64 = precompute_statistics_numpy(T64, m)
         mu64, inv64 = s64["mu"], s64["inv"]
 
+    reconcile = None
     if dev_stats:
-        with _phase(profile, "1. Pre-Computation [mask reconcile]"):
+        with _phase(profile, "1. Pre-Computation [windows]"):
             from mpx.ops.precompute import _maybe_windows
 
-            stats = _reconcile_degenerate(stats, inv64, w)
+            # async dispatch — built from the UNRECONCILED device stats;
+            # reconcile() rebuilds it in the ~never case of a patch
             stats = _maybe_windows(stats, m, None)
-            jax.block_until_ready(stats.mu)
+
+        def reconcile():
+            """Blocking degeneracy check (round-4 lever: the 0.22s
+            device-stats wait this fetch used to serialize now overlaps
+            the pass-A dispatch chain).  Returns True when the device
+            mask disagreed with the host classification and ``stats``
+            was patched — the caller must then RE-dispatch any sweep
+            work issued against the optimistic stats."""
+            nonlocal stats
+            fixed = _reconcile_degenerate(stats, inv64, w, dev_bad=dev_bad)
+            if fixed is stats:
+                return False
+            stats = _maybe_windows(fixed._replace(windows=None), m, None)
+            return True
     else:
         # matmul_only: the hybrid sweeps are all windows matmuls — the
         # recurrence seeds (df/dg/qt0) would be half the staging bytes
@@ -1776,6 +1820,15 @@ def compute_matrix_profile_f64_hybrid(
             MP = np.sqrt(np.maximum(2.0 * m * (1.0 - bestP), 0.0))
             return MP, bestI
 
+    if reconcile is not None and (ckpt is not None or num_shards > 1):
+        # Checkpointed / sharded runs reconcile synchronously up front:
+        # their persisted or per-shard state must never mix optimistic
+        # and patched statistics.
+        with _phase(profile, "1. Pre-Computation [mask reconcile]"):
+            reconcile()
+            reconcile = None
+            jax.block_until_ready(stats.mu)
+
     state_b = ckpt.load_b() if ckpt is not None else None
     if state_b is not None:
         # Resume mid-pass-B: pass A is complete (thr persisted); the
@@ -1809,32 +1862,45 @@ def compute_matrix_profile_f64_hybrid(
     else:
         # 3. Pass A: f32 value-only max sweep -> suspect threshold (the
         #    sparse variant also captures each job's row/col maxima — the
-        #    pass-B skip oracle).
+        #    pass-B skip oracle).  Dispatched OPTIMISTICALLY against the
+        #    unreconciled device stats when reconcile is pending: the
+        #    degeneracy check's fetch then overlaps pass A on device, and
+        #    a mismatch (~never: the estimators disagree only within ulp
+        #    of the variance threshold) re-dispatches the pass.
         with _phase(profile, f"2. Compute [mxu f32 pass A{shard_tag}]"):
-            cap = None
-            if num_shards > 1:
-                thr = run_max_jobs_sharded(
-                    stats, grid, margin, num_shards=num_shards,
-                    S=S, W=W, m=m, w=w,
-                    tr=config.tile_rows, tc=config.tile_cols, pw=pw,
-                )
-            elif sparse:
-                thr, cap = run_max_jobs(
-                    stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
-                    jnp.float32(margin),
-                    S=S, W=W, m=m, w=w,
-                    tr=config.tile_rows, tc=config.tile_cols, pw=pw,
-                    capture=True, ckpt=ckpt,
-                )
-            else:
-                thr = run_max_jobs(
+
+            def dispatch_pass_a():
+                if num_shards > 1:
+                    return run_max_jobs_sharded(
+                        stats, grid, margin, num_shards=num_shards,
+                        S=S, W=W, m=m, w=w,
+                        tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+                    ), None
+                if sparse:
+                    return run_max_jobs(
+                        stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
+                        jnp.float32(margin),
+                        S=S, W=W, m=m, w=w,
+                        tr=config.tile_rows, tc=config.tile_cols, pw=pw,
+                        capture=True, ckpt=ckpt,
+                    )
+                return run_max_jobs(
                     stats, jnp.asarray(grid.r0), jnp.asarray(grid.k0),
                     jnp.float32(margin),
                     S=S, W=W, m=m, w=w,
                     tr=config.tile_rows, tc=config.tile_cols, pw=pw,
                     ckpt=ckpt,
+                ), None
+
+            thr, cap = dispatch_pass_a()
+            if reconcile is not None and reconcile():
+                Logger.info(
+                    "hybrid: device degeneracy mask patched — "
+                    "re-dispatching pass A against reconciled stats"
                 )
-            jax.block_until_ready(thr)
+                thr, cap = dispatch_pass_a()
+            if ckpt is not None or _sync_phases():
+                jax.block_until_ready(thr)
         if ckpt is not None:
             ckpt.begin_b(thr)
 

@@ -24,6 +24,10 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 constexpr double kAggregateInit = -1e12;
 constexpr int32_t kIndexInit = -1;
@@ -130,10 +134,6 @@ inline void stats_window_scalar(const double* T, int64_t m, double mui,
                                                : 1.0 / std::sqrt(ssq);
 }
 }  // namespace
-
-#if defined(__AVX512F__)
-#include <immintrin.h>
-#endif
 
 void mpx_precompute_stats(const double* T, int64_t n, int64_t m, double* mu,
                           double* inv) {

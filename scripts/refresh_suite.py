@@ -28,15 +28,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH_SUITE.json")
 
 
-def merge_rows(results: list, prior: list, log=None) -> list:
+#: Prior rows measured within this many hours of the refresh run's own
+#: timestamp still count as fresh (chunked hardware windows run one
+#: refresh per row group within the same measurement session).
+FRESH_WITHIN_HOURS = 12.0
+
+
+def merge_rows(results: list, prior: list, log=None, now=None) -> list:
     """Merge a fresh run_suite result list into the prior artifact rows.
 
     Fresh measured rows win.  Prior rows not re-measured are kept with
-    ``carried: true``; if the re-run FAILED, the prior row additionally
-    records ``last_attempt`` (error + when + commit).  Failures with no
-    prior row keep their FAILED marker row so the attempt is on record.
+    ``carried: true`` unless their ``measured_at`` is within
+    ``FRESH_WITHIN_HOURS`` of *now* (the refresh run's own timestamp —
+    NOT the calendar date: a date comparison misclassifies rows near
+    midnight and makes the behavior depend on the day the code runs);
+    if the re-run FAILED, the prior row additionally records
+    ``last_attempt`` (error + when + commit).  Failures with no prior
+    row keep their FAILED marker row so the attempt is on record.
     """
+    from datetime import datetime, timezone
+
     log = log or (lambda msg: print(msg, file=sys.stderr))
+    now = now or datetime.now(timezone.utc)
     fresh = [dict(r) for r in results if "failed" not in r]
     for r in fresh:
         r.pop("carried", None)  # fresh measurement supersedes its prior
@@ -44,9 +57,12 @@ def merge_rows(results: list, prior: list, log=None) -> list:
     failed = {r["name"]: dict(r) for r in results if "failed" in r}
     ran = {r["name"] for r in fresh}
 
-    from datetime import date, datetime
-
-    today = date.today().isoformat()
+    def is_recent(measured_at: str) -> bool:
+        try:
+            t = datetime.fromisoformat(measured_at.replace("Z", "+00:00"))
+        except ValueError:
+            return False
+        return abs((now - t).total_seconds()) <= FRESH_WITHIN_HOURS * 3600
 
     kept = []
     for row in prior:
@@ -55,11 +71,9 @@ def merge_rows(results: list, prior: list, log=None) -> list:
         row = dict(row)
         # Prior measured row survives, but self-identifies as stale
         # (round-3 review: carried rows were indistinguishable from
-        # fresh ones).  Rows measured earlier the SAME day (chunked
-        # hardware windows run one refresh per row group) are still
-        # fresh, not carried.
+        # fresh ones) unless it was measured within this session.
         measured_at = str(row.get("provenance", {}).get("measured_at", ""))
-        if not measured_at.startswith(today):
+        if not is_recent(measured_at):
             row["carried"] = True
         else:
             row.pop("carried", None)

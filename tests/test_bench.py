@@ -215,9 +215,14 @@ def test_streaming_row_scores_against_recompute_baseline(monkeypatch):
 def test_refresh_suite_merge_rows():
     """merge_rows: fresh wins; unmeasured priors carry with carried=true;
     a failed re-run keeps the prior + records last_attempt; a failure
-    with no prior keeps its FAILED marker (round-3 review item 7)."""
+    with no prior keeps its FAILED marker (round-3 review item 7).
+
+    Staleness is measured against the refresh run's own timestamp (an
+    explicit ``now`` here), not the calendar date, so this test is
+    date-independent (round-4 review item 2b)."""
     import importlib.util
     import os
+    from datetime import datetime, timezone
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -225,9 +230,10 @@ def test_refresh_suite_merge_rows():
     rs = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rs)
 
-    prov = {"measured_at": "2026-08-19T00:00:00Z", "commit": "abc1234"}
+    now = datetime(2026, 8, 19, 14, 0, 0, tzinfo=timezone.utc)
+    prov = {"measured_at": "2026-08-01T00:00:00Z", "commit": "abc1234"}
 
-    def row(name, pps, **extra):
+    def row(name, pps, prov=prov, **extra):
         return {"name": name, "pairs_per_sec": pps, "wall_s": 1.0,
                 "n": 8192, "m": 32, "dtype": "float32",
                 "vs_baseline": pps / 3e10, "provenance": prov, **extra}
@@ -242,9 +248,13 @@ def test_refresh_suite_merge_rows():
     prior = [
         row("tiled-f32-131072", 2.0),
         row("showcase-f64-1048576", 3.0),
+        # measured 2h before `now` = same hardware session -> stays fresh
+        row("ring-f32-1048576", 4.0,
+            prov={"measured_at": "2026-08-19T12:00:00Z", "commit": "abc1234"}),
     ]
     merged = {r["name"]: r for r in rs.merge_rows(results, prior,
-                                                  log=lambda m: None)}
+                                                  log=lambda m: None,
+                                                  now=now)}
     assert "carried" not in merged["vanilla-f32-8192"]
     assert merged["tiled-f32-131072"]["pairs_per_sec"] == 2.0
     assert merged["tiled-f32-131072"]["carried"] is True
@@ -253,6 +263,7 @@ def test_refresh_suite_merge_rows():
     assert merged["tiled-f32-131072"]["last_attempt"]["commit"] == "abc1234"
     assert merged["showcase-f64-1048576"]["carried"] is True
     assert "last_attempt" not in merged["showcase-f64-1048576"]
+    assert "carried" not in merged["ring-f32-1048576"]
     assert merged["matrix-f32-1048576"]["failed"] == "RuntimeError('boom2')"
     # table renders every merged shape without raising
     from mpx.bench import suite_table

@@ -96,10 +96,11 @@ def test_sparse_budget_overflow_falls_back_dense(monkeypatch):
 
 
 def test_sparse_job_merge_off_matches_on(monkeypatch):
-    """Width-2W merged pass-B jobs (MPX_SPARSE_MERGE=2, the default)
-    capture exactly the unmerged suspect sets: merged per-row maxima
-    (max of halves) and concatenated column maxima are a sound, exact
-    flag oracle."""
+    """Width-2W merged pass-B jobs (MPX_SPARSE_MERGE=2 — opt-in,
+    default off after the measured 2x pass-B regression) capture
+    exactly the unmerged suspect sets: merged per-row maxima (max of
+    halves) and concatenated column maxima are a sound, exact flag
+    oracle."""
     T = random_walk(1024, seed=13)
     monkeypatch.setenv("MPX_SPARSE_MERGE", "2")
     merged = _suspect_sets(T, 32, 128, 128, sparse=True)
