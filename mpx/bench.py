@@ -1053,6 +1053,15 @@ def run_suite(names=None, verbose: bool = False, on_row=None) -> list:
             ) / res["wall_s"]
         else:
             res["vs_baseline"] = res["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC
+        if res.get("wall_s", np.inf) <= 5 * RELAY_DISPATCH_FLOOR_S:
+            # Sub-150ms rows sit on the relay's per-dispatch latency
+            # floor (~30ms/round-trip; even the one-dispatch fused tier
+            # needs staging + dispatch + fetch = ~3 trips): their
+            # vs_baseline measures round-trip latency, not kernel
+            # throughput — mark them so the ratio self-identifies
+            # (round-4 review item 7).
+            res["dispatch_bound"] = True
+            res["latency_floor_ms"] = RELAY_DISPATCH_FLOOR_S * 1e3
         res["provenance"] = _provenance()
         results.append(res)
         if on_row is not None:

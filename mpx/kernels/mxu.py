@@ -288,7 +288,7 @@ def sweep_band_suspects_sparse(
     stats: Stats, r0, k0, jrow: jax.Array, jcol: jax.Array,
     geom: BandGeometry, thr: jax.Array, F: int,
     stats_c: Stats | None = None, thr_col: jax.Array | None = None,
-    precision=None,
+    precision=None, rg=0, cg=0, two_sided: bool = False,
 ):
     """Sparse pass-B job: re-examine ONLY the rows/columns whose pass-A
     per-job maxima (``jrow`` (S,), ``jcol`` (W,)) reach the suspect
@@ -296,6 +296,11 @@ def sweep_band_suspects_sparse(
     in this job (its job maximum already falls short), so the dense
     (S x W) re-sweep collapses to two skinny gathered matmuls of at most
     ``F`` flagged rows / columns.
+
+    ``rg``/``cg``/``two_sided`` carry the sharded-inputs ring tier's
+    global coordinates and exclusion-zone shape (see
+    sweep_band_suspects_fused); the defaults keep the single-device
+    job-grid behavior.
 
     Returns (dense (S,) row window, dense (W,) col window, overflow) —
     init values everywhere unflagged; ``overflow`` is True when more
@@ -324,8 +329,8 @@ def sweep_band_suspects_sparse(
     idx_c = _flagged_indices(flags_c, F, W)
     pad_r = idx_r < S
     pad_c = idx_c < W
-    rows_f = r0 + jnp.where(pad_r, idx_r, 0)
-    cols_f = c0 + jnp.where(pad_c, idx_c, 0)
+    rows_f = rg + r0 + jnp.where(pad_r, idx_r, 0)
+    cols_f = cg + c0 + jnp.where(pad_c, idx_c, 0)
 
     # Dense panels (same operands the dense sweep reads).
     Uc, fin_c = _panel(st_c, c0, W, m)
@@ -348,13 +353,16 @@ def sweep_band_suspects_sparse(
         preferred_element_type=dt,
         precision=_PRECISION if precision is None else precision,
     )
+    zone = (
+        (lambda d: jnp.abs(d) >= excl) if two_sided
+        else (lambda d: d >= excl)
+    )
 
-    # Row side: flagged rows x all W columns.
+    # Row side: flagged rows x all W columns (global coordinates).
     P_r = dot(Uf_r, Uc)  # (F, W)
-    cols_w = c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
-    delta_r = cols_w - rows_f[:, None]
+    cols_w = cg + c0 + jnp.arange(W, dtype=jnp.int32)[None, :]
     valid_r = (
-        (delta_r >= excl)
+        zone(cols_w - rows_f[:, None])
         & (rows_f[:, None] <= w - 1)
         & (cols_w <= wc - 1)
         & fin_fr[:, None]
@@ -365,10 +373,9 @@ def sweep_band_suspects_sparse(
 
     # Column side: flagged columns x all S rows.
     P_c = dot(Uf_c, Ur)  # (F, S)
-    rows_w = r0 + jnp.arange(S, dtype=jnp.int32)[None, :]
-    delta_c = cols_f[:, None] - rows_w
+    rows_w = rg + r0 + jnp.arange(S, dtype=jnp.int32)[None, :]
     valid_c = (
-        (delta_c >= excl)
+        zone(cols_f[:, None] - rows_w)
         & (rows_w <= w - 1)
         & (cols_f[:, None] <= wc - 1)
         & fin_fc[:, None]

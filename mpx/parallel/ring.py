@@ -69,6 +69,25 @@ RING_PANEL_BUDGET = int(os.environ.get("MPX_RING_PANEL_BUDGET", 10 << 30))
 # fall back to a dense capture sweep inside the same dispatch).
 RING_SUSPECT_F = int(os.environ.get("MPX_RING_SUSPECT_F", 256))
 
+# Per-device HBM budget (bytes) for pass A's u16 per-job maxima capture.
+# Within budget the hybrid ring runs the SPARSE pass B (skinny gathered
+# matmuls over flagged rows/columns only — the round-4 profile showed
+# the fused pass B's dense re-sweep costing more than the entire
+# non-ring showcase); beyond it (pod-scale geometries) pass B falls
+# back to the capture-free fused dense re-sweep.
+RING_CAPTURE_BUDGET = int(os.environ.get("MPX_RING_CAPTURE_BUDGET", 2 << 30))
+
+
+def _ring_capture_bytes(D: int, shard_w: int, S: int, W: int) -> int:
+    """Per-device bytes of pass-A capture state for the sparse pass B:
+    one (S,) + one (W,) u16 vector per diagonal job plus per rect job
+    per rotation step."""
+    nr, nc = shard_w // S, shard_w // W
+    rr, cc = np.meshgrid(np.arange(nr) * S, np.arange(nc) * W, indexing="ij")
+    gd = int((cc.ravel() + W > rr.ravel()).sum())
+    gr = nr * nc
+    return (gd + (D // 2) * gr) * (S + W) * 2
+
 
 def _panel_block(shard_w: int) -> int:
     blk = 8192
@@ -183,14 +202,22 @@ def _check_budget(shard_w: int, m: int, itemsize: int = 4):
 
 def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
                geom, diag, rect, prec, thrb=None, suspect_f=None,
-               compile_only=False):
+               capture=False, caps=None, compile_only=False):
     """One full ring sweep in one dispatch.  ``mode``:
 
     * ``"maxarg"``   -> per-subsequence (value, index) best pair;
     * ``"max"``      -> per-subsequence max correlation only (hybrid
-      pass A);
+      pass A); with ``capture=True`` additionally returns the
+      u16-encoded per-job row/col maxima (device-resident, sharded) —
+      the sparse pass B's skip oracle;
     * ``"suspects"`` -> per-subsequence SuspectWindow capture at the
-      per-row thresholds ``thrb`` (hybrid pass B).
+      per-row thresholds ``thrb`` (hybrid pass B), recomputing each
+      job's maxima inline (dense re-sweep; no pass-A captures needed);
+    * ``"suspects_sparse"`` -> same output, consuming pass A's captured
+      maxima (``caps``) to skip unflagged rows/columns — the dense
+      O(n^2/D) re-sweep collapses to skinny gathered matmuls, at the
+      cost of O(jobs * (S + W)) u16 capture HBM per device (gate with
+      _ring_capture_bytes / RING_CAPTURE_BUDGET).
 
     Every mode returns device-folded (D, shard_w[, ...]) outputs: the
     homed column-side state is merged into the row-side state on-device
@@ -198,6 +225,7 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
     """
     from mpx.hybrid import (
         _combine_suspects,
+        _encode_max_u16,
         _init_suspects,
         _merge_suspects_at,
     )
@@ -206,6 +234,7 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
         sweep_band_mxu,
         sweep_band_suspects,
         sweep_band_suspects_fused,
+        sweep_band_suspects_sparse,
     )
 
     S, W, m = geom.S, geom.W, geom.m
@@ -214,7 +243,8 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
     diag_r0, diag_k0 = diag
     rect_r0, rect_k0 = rect
     s_final = D // 2
-    suspects = mode == "suspects"
+    suspects = mode in ("suspects", "suspects_sparse")
+    sparse = mode == "suspects_sparse"
     F = RING_SUSPECT_F if suspect_f is None else suspect_f
 
     def merge_at(arr, new, o, better):
@@ -225,17 +255,28 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
         )
 
     def sweep_jobs(st_r, st_c, r0s, k0s, rg, cg, two_sided,
-                   row_st, col_st, thr_r=None, thr_c=None):
+                   row_st, col_st, thr_r=None, thr_c=None, job_caps=None):
         def body(carry, job):
             row_st, col_st = carry
-            r0, k0 = job
+            ys = None
+            if sparse:
+                r0, k0, jrow, jcol = job
+            else:
+                r0, k0 = job
             c0 = r0 + k0
             if suspects:
-                win_r, win_c, over = sweep_band_suspects_fused(
-                    st_r, r0, k0, geom, thr_r, F, st_c,
-                    thr_c, precision=prec, rg=rg, cg=cg,
-                    two_sided=two_sided,
-                )
+                if sparse:
+                    win_r, win_c, over = sweep_band_suspects_sparse(
+                        st_r, r0, k0, jrow, jcol, geom, thr_r, F, st_c,
+                        thr_c, precision=prec, rg=rg, cg=cg,
+                        two_sided=two_sided,
+                    )
+                else:
+                    win_r, win_c, over = sweep_band_suspects_fused(
+                        st_r, r0, k0, geom, thr_r, F, st_c,
+                        thr_c, precision=prec, rg=rg, cg=cg,
+                        two_sided=two_sided,
+                    )
 
                 def dense(_):
                     out = sweep_band_suspects(
@@ -258,6 +299,8 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
                     st_r, r0, k0, geom, dt, st_c,
                     precision=prec, rg=rg, cg=cg, two_sided=two_sided,
                 )
+                if capture:
+                    ys = (_encode_max_u16(rv), _encode_max_u16(cv))
                 row_st = merge_at(row_st, rv, r0, jnp.greater)
                 col_st = merge_at(col_st, cv, c0, jnp.greater)
             else:
@@ -282,9 +325,11 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
                 rV, rI = merge_vi(rV, rI, out.row.value, out.row.index, r0)
                 cV, cI = merge_vi(cV, cI, out.col.value, out.col.index, c0)
                 row_st, col_st = (rV, rI), (cV, cI)
-            return (row_st, col_st), None
+            return (row_st, col_st), ys
 
-        return jax.lax.scan(body, (row_st, col_st), (r0s, k0s))[0]
+        xs = (r0s, k0s) + (job_caps if sparse else ())
+        carry, ys = jax.lax.scan(body, (row_st, col_st), xs)
+        return (carry + (ys,)) if capture else carry
 
     def init_state():
         if suspects:
@@ -304,8 +349,17 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
         better = cV > rV
         return jnp.where(better, cV, rV), jnp.where(better, cI, rI)
 
+    Gd = int(diag_r0.shape[0])
+    Gr = int(rect_r0.shape[0])
+
     def local(*args):
-        if suspects:
+        in_caps = None
+        if sparse:
+            (T_blk, mu_blk, inv_blk, thr_blk,
+             jr_d, jc_d, jr_r, jc_r) = args
+            thr_blk = thr_blk[0]
+            in_caps = (jr_d[0], jc_d[0], jr_r[0], jc_r[0])
+        elif suspects:
             T_blk, mu_blk, inv_blk, thr_blk = args
             thr_blk = thr_blk[0]
         else:
@@ -322,16 +376,25 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
 
         # Diagonal shard pair: a self-join of the shard (upper-triangle
         # job grid, one-sided exclusion — each unordered pair once).
-        row_st, col_st = sweep_jobs(
+        diag_out = sweep_jobs(
             st_r, None, diag_r0, diag_k0, goff, goff, False,
             row_st, col_st, thr_blk, None,
+            job_caps=(in_caps[0], in_caps[1]) if sparse else None,
         )
+        if capture:
+            row_st, col_st, (cap_d_r, cap_d_c) = diag_out
+        else:
+            row_st, col_st = diag_out
+        # zero-size when not capturing: the loop carry stays free
+        nsteps = s_final if capture else 0
+        cap_r_r = jnp.zeros((nsteps, Gr, S), jnp.uint16)
+        cap_r_c = jnp.zeros((nsteps, Gr, W), jnp.uint16)
 
         if D > 1:
             perm = [(i, (i - 1) % D) for i in range(D)]
 
             def step(s, carry):
-                cT, cMu, cInv, cThr, col_st, row_st = carry
+                cT, cMu, cInv, cThr, col_st, row_st, cap_r, cap_c = carry
                 cT, cMu, cInv, cThr, col_st = jax.lax.ppermute(
                     (cT, cMu, cInv, cThr, col_st), "jobs", perm
                 )
@@ -341,35 +404,58 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
                     mine = mine | ((s == D // 2) & (d < D // 2))
 
                 def do(args):
-                    cT, cMu, cInv, cThr, col_st, row_st = args
+                    cT, cMu, cInv, cThr, col_st, row_st, cap_r, cap_c = args
                     Uc = _build_panel(cT, cMu, cInv, shard_w, m)
                     st_c = _local_stats(Uc, cInv, cT, cMu)
-                    row_st, col_st = sweep_jobs(
+                    jc = None
+                    if sparse:
+                        # pass A captured this step's job maxima at the
+                        # same (device, step) slot — both passes iterate
+                        # the rotation identically
+                        jc = (
+                            jax.lax.dynamic_slice(
+                                in_caps[2], (s - 1, 0, 0), (1, Gr, S))[0],
+                            jax.lax.dynamic_slice(
+                                in_caps[3], (s - 1, 0, 0), (1, Gr, W))[0],
+                        )
+                    out = sweep_jobs(
                         st_r, st_c, rect_r0, rect_k0,
                         goff, b.astype(jnp.int32) * shard_w, True,
-                        row_st, col_st, thr_blk, cThr,
+                        row_st, col_st, thr_blk, cThr, job_caps=jc,
                     )
-                    return row_st, col_st
+                    if capture:
+                        row_st, col_st, (jr, jcc) = out
+                        cap_r = jax.lax.dynamic_update_slice(
+                            cap_r, jr[None], (s - 1, 0, 0))
+                        cap_c = jax.lax.dynamic_update_slice(
+                            cap_c, jcc[None], (s - 1, 0, 0))
+                    else:
+                        row_st, col_st = out
+                    return row_st, col_st, cap_r, cap_c
 
-                row_st, col_st = jax.lax.cond(
-                    mine, do, lambda a: (a[5], a[4]),
-                    (cT, cMu, cInv, cThr, col_st, row_st),
+                row_st, col_st, cap_r, cap_c = jax.lax.cond(
+                    mine, do, lambda a: (a[5], a[4], a[6], a[7]),
+                    (cT, cMu, cInv, cThr, col_st, row_st, cap_r, cap_c),
                 )
-                return (cT, cMu, cInv, cThr, col_st, row_st)
+                return (cT, cMu, cInv, cThr, col_st, row_st, cap_r, cap_c)
 
             thr0 = thr_blk if suspects else jnp.zeros((1,), dt)
-            carry = (T_blk, mu_blk, inv_blk, thr0, col_st, row_st)
+            carry = (T_blk, mu_blk, inv_blk, thr0, col_st, row_st,
+                     cap_r_r, cap_r_c)
             carry = jax.lax.fori_loop(1, s_final + 1, step, carry)
             col_st, row_st = carry[4], carry[5]
+            cap_r_r, cap_r_c = carry[6], carry[7]
             # Send the traveled column state home (bundle j sits at
             # device j - s_final after the loop) and fold the sides.
             home = [(i, (i + s_final) % D) for i in range(D)]
             col_st = jax.lax.ppermute(col_st, "jobs", home)
 
         out = fold(row_st, col_st)
+        if capture:
+            out = (out, cap_d_r, cap_d_c, cap_r_r, cap_r_c)
         return jax.tree.map(lambda a: a[None], out)
 
-    nin = 4 if suspects else 3
+    nin = 8 if sparse else (4 if suspects else 3)
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
@@ -378,6 +464,8 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
         check_vma=False,
     )
     args = (Tb, mub, invb) + ((thrb,) if suspects else ())
+    if sparse:
+        args = args + tuple(caps)
     with mesh:
         fn = jax.jit(shard_fn)
         if compile_only:
@@ -609,14 +697,39 @@ def run_ring_hybrid_f64(
                   geom=env["geom"], diag=env["diag"], rect=env["rect"],
                   prec=prec)
 
+    # Sparse pass B (pass-A captured maxima as the skip oracle) whenever
+    # the per-device capture state fits the HBM budget; pod-scale
+    # geometries fall back to the capture-free fused dense re-sweep.
+    S_, W_ = env["geom"].S, env["geom"].W
+    sparse_b = (
+        _ring_capture_bytes(D, shard_w, S_, W_) <= RING_CAPTURE_BUDGET
+        and os.environ.get("MPX_RING_SPARSE", "1") != "0"
+    )
+
     with _phase(profile, f"2. Compute [ring f32 pass A x{D}]"):
-        gmax = _ring_pass(env["Tb"], env["mub"], env["invb"],
-                          mode="max", compile_only=compile_only, **common)
+        out = _ring_pass(env["Tb"], env["mub"], env["invb"],
+                         mode="max", capture=sparse_b,
+                         compile_only=compile_only, **common)
+        caps = None
+        if sparse_b and out is not None:
+            gmax, caps = out[0], out[1:]
+        else:
+            gmax = out
         if not compile_only:
             gmax = np.asarray(gmax).reshape(-1)[:w]
 
     if compile_only:
         thrb = np.full((D, shard_w), np.inf, np.float32)
+        if sparse_b:
+            # compile the sparse pass B against dummy capture buffers
+            gd = int(np.asarray(env["diag"][0]).shape[0])
+            gr = int(np.asarray(env["rect"][0]).shape[0])
+            caps = (
+                jnp.zeros((D, gd, S_), jnp.uint16),
+                jnp.zeros((D, gd, W_), jnp.uint16),
+                jnp.zeros((D, D // 2, gr, S_), jnp.uint16),
+                jnp.zeros((D, D // 2, gr, W_), jnp.uint16),
+            )
     else:
         # thr = gmax - 2*margin; rows with no valid pair stay +inf so
         # they never flag (same rule as mpx.hybrid._build_thr).
@@ -628,7 +741,8 @@ def run_ring_hybrid_f64(
 
     with _phase(profile, f"2. Compute [ring f32 pass B x{D}]"):
         sus = _ring_pass(env["Tb"], env["mub"], env["invb"],
-                         mode="suspects", thrb=jnp.asarray(thrb),
+                         mode="suspects_sparse" if sparse_b else "suspects",
+                         thrb=jnp.asarray(thrb), caps=caps,
                          suspect_f=suspect_f,
                          compile_only=compile_only, **common)
         if compile_only:

@@ -83,6 +83,29 @@ def test_ring_hybrid_f64_overflow_fallback():
     assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
 
 
+@pytest.mark.parametrize("shards", [1, 4])
+def test_ring_hybrid_f64_fused_fallback_budget(monkeypatch, shards):
+    """MPX_RING_CAPTURE_BUDGET=0 (the pod-scale geometry analog, where
+    pass A's capture state exceeds HBM) must route pass B through the
+    capture-free fused dense re-sweep and stay exact."""
+    import importlib
+
+    monkeypatch.setenv("MPX_RING_CAPTURE_BUDGET", "0")
+    import mpx.parallel.ring as ring_mod
+
+    importlib.reload(ring_mod)
+    try:
+        T = random_walk(1800, seed=59)
+        m = 24
+        MP, MPI = ring_mod.run_ring_hybrid_f64(T, m, num_shards=shards,
+                                               band=64, chunk=128)
+        MP_exp, MPI_exp = compute_matrix_profile_reference(T, m)
+        assert_profile_close(T, m, MP, MPI, MP_exp, MPI_exp, eps=1e-8)
+    finally:
+        monkeypatch.delenv("MPX_RING_CAPTURE_BUDGET")
+        importlib.reload(ring_mod)
+
+
 def test_ring_hybrid_f64_driver_route():
     """float64 + shard_mode='ring' routes through the hybrid ring tier."""
     from mpx.config import MatrixProfileConfig
