@@ -25,6 +25,12 @@ import numpy as np
 # Reference U250 showcase roofline, pairs/s (BASELINE.md).
 BASELINE_PAIRS_PER_SEC = 3.0e10
 
+# Measured per-dispatch round-trip latency of the axon TPU relay
+# (~30ms; see ROADMAP "Known environment constraints").  Suite rows
+# whose wall sits within a few multiples of it are latency-bound, not
+# kernel-bound, and are marked dispatch_bound in the artifact.
+RELAY_DISPATCH_FLOOR_S = float(os.environ.get("MPX_DISPATCH_FLOOR_S", 0.030))
+
 
 class ValidationError(AssertionError):
     pass
@@ -265,9 +271,14 @@ SUITE = [
     {
         # k-NN profile at the showcase scale: exact double through the
         # hybrid threshold-descent tier (mpx/hybrid.py:compute_topk_...)
+        # band/chunk match the showcase row so the pass-A/B executables
+        # hit the persistent compile cache: the round-4 attempt at a
+        # fresh chunk=16384 geometry died in a relay-side compile that
+        # never returned within 600s (probe_topk_compile.py: every
+        # component compiles in <5s on CPU — the hang was the relay)
         "name": "topk-f64-1048576-k4",
         "topk": True, "n": 1 << 20, "m": 256, "k": 4, "dtype": "double",
-        "band": 4096, "chunk": 16384,
+        "band": 4096, "chunk": 32768,
     },
     {
         # contrast profile (beyond the reference: class-distinguishing
@@ -803,6 +814,17 @@ def run_mstamp_benchmark(n: int, m: int, d: int, dtype: str = "float32",
         "pairs": pairs,
         "wall_s": wall,
         "pairs_per_sec": pairs / wall,
+        # vs_baseline context (round-4 review item 6): pairs counts
+        # d-weighted dimension-pairs against the 1-D U250 roofline, and
+        # beyond the d matmul sweeps every pair pays a cross-dimension
+        # sort + prefix-mean epilogue (ALL k levels at once) that the
+        # 1-D tiers don't — the ratio under-reads the tier by design.
+        "work_factor": d,
+        "baseline_model": (
+            "d-weighted dimension-pairs vs the 1-D U250 roofline; each "
+            "pair additionally pays a cross-dim sort + prefix-mean "
+            "epilogue for all k levels (VPU/HBM-bound, no 1-D analog)"
+        ),
         "mp_head": np.asarray(prof.PMP[:2, :2], np.float64).tolist(),
     }
 
@@ -974,6 +996,16 @@ def run_batch_benchmark(n: int, m: int, b: int, dtype: str = "float32",
         "wall_s": wall,
         "series_ms": wall / b * 1e3,
         "pairs_per_sec": pairs / wall,
+        # vs_baseline context (round-4 review item 6): the fleet tier's
+        # value is dispatch-floor amortization (series_ms vs the ~35ms+
+        # single-series relay floor — >10x), not raw throughput; a
+        # single n=8192 join is far too small to fill the MXU, so the
+        # roofline ratio under-reads the tier by design.
+        "baseline_model": (
+            "total fleet pairs vs the U250 roofline; per-series work "
+            "(w~8k windows) cannot fill the MXU — compare series_ms "
+            "against the single-series dispatch floor instead"
+        ),
         "mp_head": np.asarray(MP[0, :4], np.float64).tolist(),
     }
 
