@@ -41,6 +41,7 @@ defaults to >= 4x the worst per-pair error measured over the
 
 from __future__ import annotations
 
+import itertools
 import os
 from functools import partial
 from typing import Optional
@@ -368,15 +369,19 @@ def _flag_counts(thr, thr_col, r0s, k0s, jrow_g, jcol_g, *, S, W):
     return jax.vmap(per_job)(r0s, k0s, jrow_g, jcol_g)
 
 
-def _sparse_tiers(F2: int) -> list:
-    """Panel-width tiers (ascending).  Per-job sparse work is
-    proportional to F, and at the showcase geometry the per-job flag
-    counts are heavily skewed (mean 67, p99 225 with F2=640), so
-    running each job at the smallest sufficient F cuts pass B ~2-3x
-    versus one maximal panel.  MPX_SPARSE_TIERS (comma-separated, e.g.
-    "32,128,640") overrides for schedule experiments; values are
-    clamped to F2 and the largest tier is always F2 so routing
-    semantics (overflow -> dense re-sweep) are unchanged."""
+def _sparse_tiers(F2: int):
+    """Panel-width tiers (ascending), or None to let _route_tiers pick
+    them ADAPTIVELY from the measured flag-count histogram (the
+    default; see _choose_tiers).  Per-job sparse work is proportional
+    to F (every F-shaped operand spans the full W), and at the showcase
+    geometry the per-job flag counts are heavily skewed (mean 67, p99
+    225 with F2=640), so running each job at the smallest sufficient F
+    cuts pass B ~2-3x versus one maximal panel.  MPX_SPARSE_TIERS
+    (comma-separated, e.g. "32,128,640") forces a fixed tier set for
+    schedule experiments; MPX_SPARSE_ADAPTIVE=0 restores the legacy
+    fixed {64, 256, F2} ladder.  Values are clamped to F2 and the
+    largest tier is always F2 so routing semantics (overflow -> dense
+    re-sweep) are unchanged."""
     env = os.environ.get("MPX_SPARSE_TIERS")
     if env:
         # clamp to [1, F2]: a zero/negative tier would build an empty or
@@ -385,14 +390,64 @@ def _sparse_tiers(F2: int) -> list:
                  if t.strip() and int(t) >= 1}
         tiers.add(F2)
         return sorted(tiers)
-    return sorted({min(64, F2), min(256, F2), F2})
+    if os.environ.get("MPX_SPARSE_ADAPTIVE", "1") == "0":
+        return sorted({min(64, F2), min(256, F2), F2})
+    return None
 
 
-def _route_tiers(cap_groups, thr, thr_col, tiers, *, S, W, tag):
+# Fixed rung values for adaptive tier selection: a run picks a SUBSET,
+# so the compiled-executable universe stays bounded (each (F, chunk)
+# scan variant is jitted once and persists in the compile cache)
+# while the subset adapts to the run's measured flag-count histogram.
+_TIER_LADDER = (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def _choose_tiers(counts: np.ndarray, F2: int, S: int, W: int,
+                  max_tiers: int = 5) -> list:
+    """Work-minimizing tier subset of _TIER_LADDER (+F2) for the exact
+    per-job flag counts.  A job assigned to tier F costs F*W of
+    F-shaped sparse work (panel compaction, the (F, W) products and
+    suspect reduces), and padded scan-chunk slots cost the same as real
+    jobs, so the objective is sum over tiers of
+    (padded population) * F, plus a small per-tier constant (64*F)
+    covering the extra executable + dispatch chain.  Exhaustive search:
+    the ladder has <= 11 rungs below F2 and subsets are capped at
+    max_tiers, so <= ~400 candidate evaluations against the sorted
+    count histogram."""
+    counts = np.asarray(counts)
+    counts = counts[(counts >= 0) & (counts <= F2)]
+    if counts.size == 0:
+        return [F2]
+    cmin = int(counts.min())
+    lower = [f for f in _TIER_LADDER if cmin <= f < F2]
+    srt = np.sort(counts)
+    best, best_cost = [F2], None
+    for k in range(0, min(max_tiers - 1, len(lower)) + 1):
+        for sub in itertools.combinations(lower, k):
+            T = list(sub) + [F2]
+            edges = np.searchsorted(srt, T, side="right")
+            pops = np.diff(np.concatenate([[0], edges]))
+            cost = 0
+            for F, p in zip(T, pops):
+                if p == 0:
+                    continue
+                padded = sum(
+                    (sl.stop - sl.start) + pad
+                    for sl, pad in _tier_chunks(int(p), F, S, W)
+                )
+                cost += (padded + 64) * F
+            if best_cost is None or cost < best_cost:
+                best, best_cost = T, cost
+    return best
+
+
+def _route_tiers(cap_groups, thr, thr_col, tiers, *, S, W, tag, F2=None):
     """Host tier assignment from exact per-job flag counts (computed on
     device with the same comparisons the sparse kernels perform, so a
-    tier's panel budget can never overflow).  Returns
-    (tier_sel: F -> [(group_idx, job_idx)], over_jobs: [(r0s, k0s)])."""
+    tier's panel budget can never overflow).  ``tiers=None`` picks the
+    tier set adaptively from the fetched counts (_choose_tiers; ``F2``
+    required).  Returns (tiers, tier_sel: F -> [(group_idx, job_idx)],
+    over_jobs: [(r0s, k0s)])."""
     # Dispatch every group's count kernel first, then fetch them all in
     # ONE device_get: per-group np.asarray fetches each cost a relay
     # round trip (~30ms), serialized behind the pass-A work still on
@@ -401,6 +456,11 @@ def _route_tiers(cap_groups, thr, thr_col, tiers, *, S, W, tag):
         _flag_counts(thr, thr_col, gr, gk, jrow, jcol, S=S, W=W)
         for gr, gk, jrow, jcol in cap_groups
     ])
+    if tiers is None:
+        allc = (np.concatenate([np.asarray(c) for c in counts])
+                if counts else np.empty(0, np.int32))
+        tiers = _choose_tiers(allc, F2, S, W)
+        Logger.verbose_log(f"hybrid {tag}: adaptive tiers {tiers}")
     over_jobs = []
     tier_sel = {F: [] for F in tiers}
     for gi, cnts in enumerate(counts):
@@ -420,7 +480,7 @@ def _route_tiers(cap_groups, thr, thr_col, tiers, *, S, W, tag):
         + ", ".join(f"F={F}: {pops[F]} jobs" for F in tiers)
         + f", dense: {sum(r.size for r, _ in over_jobs)} jobs"
     )
-    return tier_sel, over_jobs
+    return tiers, tier_sel, over_jobs
 
 
 def _tier_batches(cap_groups, tier_sel_f, F, *, S, W, w):
@@ -597,9 +657,9 @@ def run_suspect_jobs_sparse(stats, thr, cap_groups, *, S, W, m, w, tr, tc,
         F2 = _sparse_budget(S, W_eff)
         tiers = _sparse_tiers(F2)
         thr_c_eff = thr_c_arr if thr_col_eff is None else thr_col_eff
-        tier_sel, over = _route_tiers(
+        tiers, tier_sel, over = _route_tiers(
             groups, thr, thr_c_eff, tiers, S=S, W=W_eff,
-            tag=f"sparse pass B (W={W_eff})",
+            tag=f"sparse pass B (W={W_eff})", F2=F2,
         )
         for gr_o, gk_o in over:
             if expand:
@@ -863,9 +923,9 @@ def _run_max_jobs_cascade(stats, r0s, k0s, margin, *, S, W, m, w, tr, tc, pw,
     # A2: tiered sparse exact refine.
     F2 = _sparse_budget(S, W)
     tiers = _sparse_tiers(F2)
-    tier_sel, over_jobs = _route_tiers(
+    tiers, tier_sel, over_jobs = _route_tiers(
         cap1, gthr_r, gthr_r if gthr_c is None else gthr_c, tiers,
-        S=S, W=W, tag="cascade refine A2",
+        S=S, W=W, tag="cascade refine A2", F2=F2,
     )
     rmax = jnp.full((Lr,), neg, jnp.float32)
     cmax = jnp.full((Lc,), neg, jnp.float32)

@@ -189,3 +189,54 @@ def test_hybrid_sparse_ab_join_golden():
     mp_a, _, mp_b, _ = brute_force_ab_join(A, B, m)
     np.testing.assert_allclose(res.mp_a, mp_a, atol=1e-8, rtol=0)
     np.testing.assert_allclose(res.mp_b, mp_b, atol=1e-8, rtol=0)
+
+
+def test_choose_tiers_properties():
+    """Adaptive tier selection: always ends at F2, every count fits its
+    assigned tier, and the chosen set never does more padded F-work
+    than the legacy fixed {64, 256, F2} ladder."""
+    from mpx.hybrid import _choose_tiers, _tier_chunks
+
+    S, W, F2 = 4096, 32768, 640
+    rng = np.random.default_rng(7)
+    counts = np.minimum(rng.gamma(1.2, 55, size=4100).astype(np.int32), 437)
+
+    tiers = _choose_tiers(counts, F2, S, W)
+    assert tiers[-1] == F2 and tiers == sorted(tiers) and len(tiers) <= 5
+
+    def padded_work(T):
+        srt = np.sort(counts[counts <= F2])
+        edges = np.searchsorted(srt, T, side="right")
+        pops = np.diff(np.concatenate([[0], edges]))
+        total = 0
+        for F, p in zip(T, pops):
+            if p:
+                total += F * sum(
+                    (sl.stop - sl.start) + pad
+                    for sl, pad in _tier_chunks(int(p), F, S, W)
+                )
+        return total
+
+    assert max(counts) <= max(tiers)  # every job fits some tier
+    assert padded_work(tiers) <= padded_work([64, 256, F2])
+
+    # degenerate inputs
+    assert _choose_tiers(np.empty(0, np.int32), F2, S, W) == [F2]
+    assert _choose_tiers(np.full(10, F2 + 50), F2, S, W) == [F2]
+    t0 = _choose_tiers(np.zeros(100, np.int32), F2, S, W)
+    assert t0[-1] == F2 and t0[0] <= 16
+
+
+def test_hybrid_adaptive_tiers_match_fixed(monkeypatch):
+    """The adaptive tier schedule changes only WHICH panel width a job
+    runs at, never the suspect set: results are identical to a forced
+    single-tier schedule."""
+    T = random_walk(1024, seed=21)
+    m = 16
+    cfg = MatrixProfileConfig(m=m, dtype="float64", kernel="hybrid",
+                              band=64, chunk=128, tile_rows=8, tile_cols=64)
+    MP_a, MPI_a = compute_matrix_profile_f64_hybrid(T, cfg)
+    monkeypatch.setenv("MPX_SPARSE_TIERS", "96")
+    MP_f, MPI_f = compute_matrix_profile_f64_hybrid(T, cfg)
+    np.testing.assert_array_equal(np.asarray(MP_a), np.asarray(MP_f))
+    np.testing.assert_array_equal(np.asarray(MPI_a), np.asarray(MPI_f))
