@@ -30,6 +30,7 @@ so such pairs sort those dimensions last and drop out of low-k profiles.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -85,6 +86,47 @@ def _panels(Tb, mub, invb, o, count: int, m: int):
     return (U - mu[:, :, None]) * inv[:, :, None]
 
 
+def _network_pairs(n: int) -> list:
+    """Batcher odd-even mergesort comparator pairs for ``n`` lanes
+    (indices beyond a power-of-two pad are pruned: virtual +inf pads
+    sort to the end, so their comparators are no-ops).  5 comparators
+    at n=4, 19 at n=8."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
+def _net_sort(x, descending: bool):
+    """Ascending (or descending) sort over the major axis via an
+    explicit compare-exchange network: each comparator is one
+    jnp.minimum + jnp.maximum over the fully vectorized (S, W) lanes —
+    5 comparators at d=4 versus XLA's general variadic-sort lowering.
+    Exact for the downstream prefix means (any correct sort yields the
+    same prefix multisets).  Falls back to jnp.sort beyond 8 lanes
+    (comparator count grows O(d log^2 d); the network stops paying)."""
+    d = x.shape[0]
+    if d > 8 or os.environ.get("MPX_MSTAMP_NETSORT", "1") == "0":
+        s = jnp.sort(x, axis=0)
+        return s[::-1] if descending else s
+    rows = [x[i] for i in range(d)]
+    for i, j in _network_pairs(d):
+        lo = jnp.minimum(rows[i], rows[j])
+        hi = jnp.maximum(rows[i], rows[j])
+        rows[i], rows[j] = lo, hi
+    if descending:
+        rows.reverse()
+    return jnp.stack(rows)
+
+
 def _order_dims(dist, include: tuple, discords: bool):
     """Per-pair dimension ordering for the prefix means.
 
@@ -96,8 +138,7 @@ def _order_dims(dist, include: tuple, discords: bool):
     d = dist.shape[0]
 
     def srt(x):
-        s = jnp.sort(x, axis=0)
-        return s[::-1] if discords else s
+        return _net_sort(x, discords)
 
     if not include:
         return srt(dist)

@@ -2,6 +2,7 @@
 semantics, the d=1 equivalence with the standard profile, and the
 zero-variance contract."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -344,3 +345,33 @@ def test_mdl_flat_dimension_penalized():
     T[2] = 5.0  # flat dimension: can never justify itself
     res = multidim_mdl(T, 16)
     assert res.best_k <= 2
+
+
+def test_net_sort_matches_jnp_sort():
+    """The comparator-network sort is a correct sort for every small d
+    (0-1 principle checked exhaustively) and matches jnp.sort on random
+    lanes with +inf masking, both directions."""
+    import itertools
+
+    from mpx.mstamp import _net_sort, _network_pairs
+
+    for n in range(1, 9):
+        pairs = _network_pairs(n)
+        for bits in itertools.product([0, 1], repeat=n):
+            a = list(bits)
+            for i, j in pairs:
+                if a[i] > a[j]:
+                    a[i], a[j] = a[j], a[i]
+            assert a == sorted(bits), (n, bits)
+
+    rng = np.random.default_rng(3)
+    for d in (2, 4, 5, 8):
+        x = rng.normal(size=(d, 7, 11)).astype(np.float32)
+        x[x > 1.2] = np.inf  # masked pairs sort last, like the kernel's
+        xs = jnp.asarray(x)
+        np.testing.assert_array_equal(
+            np.asarray(_net_sort(xs, False)), np.sort(x, axis=0)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(_net_sort(xs, True)), np.sort(x, axis=0)[::-1]
+        )
