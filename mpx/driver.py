@@ -285,8 +285,16 @@ def compute_matrix_profile(
         allow_hybrid=(
             not config.interpret
             and stats is None
-            and not (left_right and num_shards_ > 1)
-            and config.shard_mode == "jobs"
+            and (
+                # jobs mode: hybrid covers left/right single-device
+                (config.shard_mode == "jobs"
+                 and not (left_right and num_shards_ > 1))
+                # ring mode: run_ring_hybrid_f64 serves both f64 and
+                # large-w f32 (exact distances cast down — measured
+                # faster than the one-pass ring at the showcase width:
+                # 11.3s vs 14.4s); left/right stays on the strict tier
+                or (config.shard_mode == "ring" and not left_right)
+            )
         ),
         w=w,
     )

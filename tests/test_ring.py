@@ -136,3 +136,24 @@ def test_ring_single_device_routing():
         MP, MPI = compute_matrix_profile(T, config=cfg)
         assert_profile_close(T, m, np.asarray(MP, np.float64), np.asarray(MPI),
                              MP_exp, MPI_exp, eps=2e-3)
+
+
+def test_ring_f32_auto_routes_hybrid(monkeypatch):
+    """Large-w float32 over sharded inputs rides the ring hybrid
+    (exact f64 distances cast down), mirroring the jobs-mode f32
+    routing — verified by f64-grade accuracy, far beyond the one-pass
+    f32 tier's 2e-3 tolerance."""
+    import mpx.kernels as kernels
+    from mpx.config import MatrixProfileConfig
+    from mpx.driver import compute_matrix_profile
+
+    monkeypatch.setattr(kernels, "HYBRID32_MIN_W", 256)
+    T = random_walk(1024, seed=5)
+    m = 16
+    cfg = MatrixProfileConfig(m=m, dtype="float32", shard_mode="ring",
+                              num_shards=2, band=64, chunk=128,
+                              tile_rows=8, tile_cols=64)
+    MP, MPI = compute_matrix_profile(T, config=cfg)
+    assert np.asarray(MP).dtype == np.float32
+    MP_ref, _ = compute_matrix_profile_reference(T, m)
+    assert np.abs(np.asarray(MP, np.float64) - MP_ref).max() < 1e-6
