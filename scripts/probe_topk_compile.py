@@ -26,7 +26,8 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -55,11 +56,18 @@ def timed_lower_compile(name, fn, *args, **kwargs):
 
 
 def main():
+    global W
     ap = argparse.ArgumentParser()
     ap.add_argument("--component", default=None)
     ap.add_argument("--n", type=int, default=N)
+    ap.add_argument("--chunk", type=int, default=W)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the real backend: compiles prime the "
+                         "persistent cache so the suite row dispatches "
+                         "warm instead of one monolithic relay compile")
     args = ap.parse_args()
     n = args.n
+    W = args.chunk
 
     from mpx.config import MatrixProfileConfig, make_job_grid
     from mpx.ops.precompute import precompute_statistics
@@ -124,7 +132,10 @@ def main():
         )
 
     F2 = H._sparse_budget(S, W)
-    for F in H._sparse_tiers(F2):
+    tiers = H._sparse_tiers(F2)
+    if tiers is None:  # adaptive default: prime the whole rung ladder
+        tiers = sorted({f for f in H._TIER_LADDER if f < F2} | {F2})
+    for F in tiers:
         if not want(f"sparse_F{F}"):
             continue
         # one representative power-of-two batch per tier
