@@ -69,6 +69,15 @@ RING_PANEL_BUDGET = int(os.environ.get("MPX_RING_PANEL_BUDGET", 10 << 30))
 # fall back to a dense capture sweep inside the same dispatch).
 RING_SUSPECT_F = int(os.environ.get("MPX_RING_SUSPECT_F", 256))
 
+# Small-panel width for the sparse pass B's per-job two-tier lax.cond:
+# a job whose exact flag count fits runs the F-shaped work (panel
+# compaction, the (F, W)/(F, S) products and suspect reduces) at this
+# width instead of RING_SUSPECT_F — the shard_map-compatible analog of
+# the jobs-mode adaptive tier routing (mpx.hybrid._choose_tiers), which
+# needs a host round trip the ring schedule cannot afford per rotation
+# step.  0 disables the small branch.
+RING_SUSPECT_F_SMALL = int(os.environ.get("MPX_RING_SUSPECT_F_SMALL", 64))
+
 # Per-device HBM budget (bytes) for pass A's u16 per-job maxima capture.
 # Within budget the hybrid ring runs the SPARSE pass B (skinny gathered
 # matmuls over flagged rows/columns only — the round-4 profile showed
@@ -266,11 +275,42 @@ def _ring_pass(Tb, mub, invb, *, mode: str, mesh, D: int, shard_w: int,
             c0 = r0 + k0
             if suspects:
                 if sparse:
-                    win_r, win_c, over = sweep_band_suspects_sparse(
-                        st_r, r0, k0, jrow, jcol, geom, thr_r, F, st_c,
-                        thr_c, precision=prec, rg=rg, cg=cg,
-                        two_sided=two_sided,
-                    )
+                    def sparse_at(Fv):
+                        return sweep_band_suspects_sparse(
+                            st_r, r0, k0, jrow, jcol, geom, thr_r, Fv,
+                            st_c, thr_c, precision=prec, rg=rg, cg=cg,
+                            two_sided=two_sided,
+                        )
+
+                    F_small = min(RING_SUSPECT_F_SMALL, F)
+                    if F_small and F_small < F:
+                        # Two-tier cond: most jobs' flag counts are tens
+                        # (mean 67 at the 1M showcase), so they run the
+                        # F-shaped work at the small panel width; the
+                        # count uses the SAME u16-decode comparisons as
+                        # the kernel, so the small branch can never
+                        # overflow when taken.
+                        thr_cc = thr_r if thr_c is None else thr_c
+                        dec = lambda q: (q.astype(jnp.float32)
+                                         * jnp.float32(2.0 / 65535.0) - 1.0)
+                        nr = jnp.sum(
+                            dec(jrow) >= jax.lax.dynamic_slice(
+                                thr_r, (r0,), (S,)),
+                            dtype=jnp.int32,
+                        )
+                        nc = jnp.sum(
+                            dec(jcol) >= jax.lax.dynamic_slice(
+                                thr_cc, (c0,), (W,)),
+                            dtype=jnp.int32,
+                        )
+                        win_r, win_c, over = jax.lax.cond(
+                            (nr <= F_small) & (nc <= F_small),
+                            lambda _: sparse_at(F_small),
+                            lambda _: sparse_at(F),
+                            None,
+                        )
+                    else:
+                        win_r, win_c, over = sparse_at(F)
                 else:
                     win_r, win_c, over = sweep_band_suspects_fused(
                         st_r, r0, k0, geom, thr_r, F, st_c,

@@ -157,3 +157,29 @@ def test_ring_f32_auto_routes_hybrid(monkeypatch):
     assert np.asarray(MP).dtype == np.float32
     MP_ref, _ = compute_matrix_profile_reference(T, m)
     assert np.abs(np.asarray(MP, np.float64) - MP_ref).max() < 1e-6
+
+
+@pytest.mark.parametrize("f_small", ["0", "1", "8"])
+def test_ring_two_tier_cond_matches(monkeypatch, f_small):
+    """The per-job two-tier lax.cond changes only the panel width a
+    job's sparse pass B runs at: results are byte-identical with the
+    small branch disabled (0), taken almost never (1), or taken by
+    most jobs (8)."""
+    import importlib
+
+    import mpx.parallel.ring as ring_mod
+
+    T = random_walk(1024, seed=11)
+    m = 16
+    base = ring_mod.run_ring_hybrid_f64(T, m, num_shards=2, band=64,
+                                        chunk=128)
+    monkeypatch.setenv("MPX_RING_SUSPECT_F_SMALL", f_small)
+    importlib.reload(ring_mod)
+    try:
+        got = ring_mod.run_ring_hybrid_f64(T, m, num_shards=2, band=64,
+                                           chunk=128)
+    finally:
+        monkeypatch.delenv("MPX_RING_SUSPECT_F_SMALL")
+        importlib.reload(ring_mod)
+    np.testing.assert_array_equal(got[0], base[0])
+    np.testing.assert_array_equal(got[1], base[1])
