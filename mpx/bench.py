@@ -342,6 +342,17 @@ SUITE = [
         "n": 1 << 24, "m": 256, "dtype": "float32", "kernel": "mxu",
         "band": 4096, "chunk": 16384, "huge": True, "warmup": False,
         "validate": 32,
+        "note": (
+            "single-chip ceiling analysis (round 5): the one-pass mxu "
+            "tier is materialize-then-reduce HBM-bound (~12 B/pair at "
+            "~500 GB/s = 4.2e10 pairs/s); this row's 3.8e10 is ~91% of "
+            "that roofline. The hybrid cannot route n=16M single-chip: "
+            "pass-A captures need 2B*w^2*(1/S+1/W) ~ 34-86 GB of HBM "
+            "at any job geometry. Precision is NOT the gap: "
+            "HIGHEST/HIGH measured 1.12x (probe_pod16m), and the "
+            "windows table is rate-neutral (probe_pod16m_windows). "
+            "16M scaling is the ring tier over a real multi-chip mesh."
+        ),
     },
 ]
 
@@ -1028,7 +1039,8 @@ def run_suite(names=None, verbose: bool = False, on_row=None) -> list:
         kwargs = {k: v for k, v in cfg.items()
                   if k not in ("name", "input", "streaming", "huge",
                                "topk", "mstamp", "batch", "contrast",
-                               "thresh", "damp", "matrix", "merlin")}
+                               "thresh", "damp", "matrix", "merlin",
+                               "note")}
         if "input" in cfg:
             from mpx.io.datasets import dataset_path
 
@@ -1077,6 +1089,10 @@ def run_suite(names=None, verbose: bool = False, on_row=None) -> list:
                 on_row(results[-1])
             continue
         res["name"] = cfg["name"]
+        if "note" in cfg:
+            # artifact-visible context (e.g. a measured ceiling
+            # analysis) that should ride every fresh re-measurement
+            res["note"] = cfg["note"]
         if "recompute_pairs" in res:
             # incremental tier: speedup over full recomputation at the
             # reference roofline (see run_streaming_benchmark)
