@@ -1419,31 +1419,47 @@ def _job_kth_max_group(r0s, k0s, jrow_g, jcol_g, gv, *, S, W, k):
 
 
 def _row_topk_scan(T64, mu, inv, m, w, excl, rows, k):
-    """Exact f64 top-k over a full profile row (both sides), numpy
-    blockwise GEMV — the last-resort path for rows whose suspect set
-    cannot be bounded (> pass C's 64 near-ties).  O(w*m) per row."""
+    """Exact f64 top-k over full profile rows (both sides), batched
+    blockwise GEMM — the last-resort path for rows whose suspect set
+    cannot be bounded (> the device pass C's K2 near-ties).  Rows are
+    processed RB at a time so the O(w*m) per-row sweep runs as
+    (block, m) @ (m, RB) GEMMs instead of per-row GEMVs (the host has
+    one core; BLAS3 vs BLAS2 is ~5-8x there)."""
     wins = np.lib.stride_tricks.sliding_window_view(T64, m)[:w]
     out_v = np.full((rows.size, k), AGGREGATE_INIT, np.float64)
     out_i = np.full((rows.size, k), INDEX_INIT, np.int32)
-    P = np.empty(w, np.float64)
-    for t, r in enumerate(rows):
-        if not np.isfinite(inv[r]):
-            continue
-        q = (wins[r] - mu[r]) * inv[r]
+    fin = np.isfinite(inv)
+    RB = 32
+    kk = min(k, w)
+    for t0 in range(0, rows.size, RB):
+        sel = np.arange(t0, min(t0 + RB, rows.size))
+        rr = rows[sel]
+        live = fin[rr]
+        Q = np.where(
+            live[:, None],
+            (wins[rr] - mu[rr][:, None]) * np.where(live, inv[rr], 0)[:, None],
+            0.0,
+        )  # (R, m)
+        P = np.empty((w, sel.size), np.float64)
         for b in range(0, w, 8192):
             e = min(b + 8192, w)
             cent = wins[b:e] - mu[b:e, None]
-            P[b:e] = (cent @ q) * inv[b:e]
-        P[~np.isfinite(inv)] = AGGREGATE_INIT
-        lo, hi = max(0, r - excl + 1), min(w, r + excl)
-        P[lo:hi] = AGGREGATE_INIT
-        kk = min(k, w)
-        part = np.argpartition(-P, kk - 1)[:kk]
-        order = part[np.argsort(-P[part], kind="stable")]
-        vals = P[order]
+            P[b:e] = (cent @ Q.T) * inv[b:e, None]
+        P[~fin, :] = AGGREGATE_INIT
+        # trivial-match zone + dead query rows
+        d = np.arange(w)[:, None] - rr[None, :]
+        P[np.abs(d) < excl] = AGGREGATE_INIT
+        P[:, ~live] = AGGREGATE_INIT
+        part = np.argpartition(-P, kk - 1, axis=0)[:kk]  # (k, R)
+        vals = np.take_along_axis(P, part, axis=0)
+        order = np.argsort(-vals, axis=0, kind="stable")
+        part = np.take_along_axis(part, order, axis=0)
+        vals = np.take_along_axis(vals, order, axis=0)
         real = vals > AGGREGATE_INIT
-        out_v[t, : real.sum()] = vals[real]
-        out_i[t, : real.sum()] = order[real]
+        for j, t in enumerate(sel):
+            nr = int(real[:, j].sum())
+            out_v[t, :nr] = vals[: nr, j]
+            out_i[t, :nr] = part[: nr, j]
     return out_v, out_i
 
 
@@ -1556,7 +1572,12 @@ def compute_topk_profile_f64_hybrid(
     certified = np.zeros(w, bool)
     delta = np.zeros(w, np.float32)
     MAX_IT = 8
-    K64, CW = 64, 16384
+    # Pass-C capture widths: K1 slots for the first device scan of each
+    # overflow row, K2 for the wide re-scan of rows whose tie plateau
+    # defeats K1 certification (env-tunable so tests can force every
+    # escalation stage at toy sizes).
+    K64 = int(os.environ.get("MPX_TOPK_K1", 64))
+    CW = 16384
 
     def commit(rows, vals, idxs):
         topv[rows] = vals[:, :k]
@@ -1654,6 +1675,12 @@ def compute_topk_profile_f64_hybrid(
                     commit(nrows[ok], Ps[ok], Is[ok])
 
             big = np.nonzero(over & ~narrow)[0].astype(np.int32)
+            # Rows whose k-th candidate cannot clear the K64-th device
+            # value + margin (tie plateaus wider than 64): collected
+            # across chunks and escalated with a WIDER device pass C
+            # below, instead of the O(w*m)-per-row host scan (round-4
+            # hardware: the wild host scans dominated the 832s wall).
+            wild_rows: list = []
             # Pass C in watchdog-safe chunks: each flagged row costs a
             # full-width (pw) sweep, so bound rows-per-dispatch.
             CHUNK_ROWS = max(256, min(2048, int(2e10 * 60) // max(pw, 1)))
@@ -1697,15 +1724,77 @@ def compute_topk_profile_f64_hybrid(
                 )
                 if ok.any():
                     commit(grp[ok], Ps[ok], Is[ok])
-                # k-th within margin of the 64th (pathological tie
-                # plateau): no device bound exists — exact host scan.
-                wild = grp[~ok]
-                if wild.size:
-                    with _phase(profile, "3. Rescore [host f64 topk scan]"):
-                        vv, ii = _row_topk_scan(
-                            T64, mu64, inv64, m, w, excl, wild, k
+                # k-th within margin of the 64th (tie plateau wider
+                # than 64): escalate with a wider K below.
+                if (~ok).any():
+                    wild_rows.append(grp[~ok])
+
+            # Wide-K escalation: one more device pass C at K2 slots for
+            # the plateau rows.  The certification logic is identical
+            # (any pair outside the top-K2 has P32 <= bv[K2-1], hence
+            # P64 <= bv[K2-1] + margin); with plateaus measured at
+            # p99≈94 near-ties, K2=512 clears nearly every row that K=64
+            # could not, for O(K2) rescores/row instead of the O(w*m)
+            # host scan.  MPX_TOPK_K2=0 restores the direct host scan.
+            wild_all = (
+                np.concatenate(wild_rows) if wild_rows
+                else np.empty(0, np.int32)
+            )
+            K2 = int(os.environ.get("MPX_TOPK_K2", 512))
+            if wild_all.size and K2 > K64:
+                K2 = min(K2, pw)
+                still = []
+                for o in range(0, wild_all.size, max(256, CHUNK_ROWS // 8)):
+                    grp = wild_all[o : o + max(256, CHUNK_ROWS // 8)]
+                    with _phase(profile, "2. Compute [mxu f32 topk pass C wide]",
+                                f"iter_{it}_{o}"):
+                        F = max(256, ((grp.size + 255) // 256) * 256)
+                        pad = np.full(F - grp.size, pw - 1, np.int32)
+                        fidx = jnp.asarray(np.concatenate([grp, pad]))
+                        CW_ = CW
+                        while pw % CW_:
+                            CW_ //= 2
+                        bv, bi, _ = jax.device_get(
+                            scan_flagged_rows(
+                                stats, thr_dev, fidx, m=m, w=w, excl=excl,
+                                K=K2, CW=CW_,
+                            )
                         )
-                        commit(wild, vv, ii)
+                        bv = bv[: grp.size]
+                        bi = bi[: grp.size]
+                    P = rescore(
+                        np.repeat(grp, K2), bi.reshape(-1).astype(np.int32)
+                    ).reshape(-1, K2)
+                    P[(bi < 0) | (bv <= np.float32(AGGREGATE_INIT))] = (
+                        AGGREGATE_INIT
+                    )
+                    Ps, Is, nreal, vk = best_of(grp, bi.astype(np.int32), P)
+                    bv_last = bv[:, K2 - 1].astype(np.float64)
+                    ok = ((nreal >= k) & (vk >= bv_last + margin_f)) | (
+                        bv_last <= AGGREGATE_INIT
+                    )
+                    if ok.any():
+                        commit(grp[ok], Ps[ok], Is[ok])
+                    if (~ok).any():
+                        still.append(grp[~ok])
+                wild_all = (
+                    np.concatenate(still) if still
+                    else np.empty(0, np.int32)
+                )
+            # Pathological remainder (plateau wider than K2): exact
+            # host scan, batched GEMM.
+            if wild_all.size:
+                with _phase(profile, "3. Rescore [host f64 topk scan]"):
+                    vv, ii = _row_topk_scan(
+                        T64, mu64, inv64, m, w, excl, wild_all, k
+                    )
+                    commit(wild_all, vv, ii)
+            Logger.verbose_log(
+                f"topk iter {it}: small={small.size} narrow={nrows.size} "
+                f"big={big.size} wild={sum(x.size for x in wild_rows)} "
+                f"host-scanned={wild_all.size} "
+                f"certified={int(certified.sum())}/{w}"
+            )
 
         rem = ~certified
         if not rem.any():

@@ -93,6 +93,37 @@ def test_topk_hybrid_tie_heavy_escalation():
     np.testing.assert_allclose(np.asarray(D)[fin], De[fin], atol=1e-8)
 
 
+@pytest.mark.parametrize(
+    "k1,k2",
+    [
+        (8, 64),   # wide-K2 device pass certifies the plateau rows
+        (8, 16),   # plateau > K2: batched host GEMM remainder runs too
+        (8, 0),    # K2 disabled: direct host-scan fallback
+    ],
+)
+def test_topk_hybrid_wide_k_escalation(monkeypatch, k1, k2):
+    """Force the pass-C escalation ladder at toy sizes via the
+    MPX_TOPK_K1/K2 knobs: tiny K1 overflows the tie plateau of a
+    40x-repeated motif, so rows climb K1 -> wide-K2 device rescan ->
+    (plateau > K2) batched host GEMM scan.  Every stage must stay
+    exact vs the brute oracle."""
+    monkeypatch.setenv("MPX_TOPK_K1", str(k1))
+    monkeypatch.setenv("MPX_TOPK_K2", str(k2))
+    rng = np.random.default_rng(29)
+    motif = np.sin(np.linspace(0, 2 * np.pi, 24))
+    T = rng.standard_normal(24 * 40) * 1e-3
+    for r in range(40):
+        T[r * 24 : r * 24 + 24] += motif
+    m, k = 16, 4
+    cfg = MatrixProfileConfig(m=m, dtype="float64",
+                              band=64, chunk=128, tile_rows=8, tile_cols=8)
+    D, I = compute_topk_profile(T, k=k, config=cfg)
+    De, Ie = brute_force_topk(T, m, k)
+    fin = np.isfinite(De)
+    np.testing.assert_allclose(np.asarray(D)[fin], De[fin], atol=1e-8)
+    assert np.all(np.diff(np.asarray(D), axis=1) >= -1e-12)
+
+
 def test_topk_hybrid_spread_neighbors():
     """Rows whose k-th neighbor sits far below the best exercise the
     threshold-descent rounds (first band holds < k suspects)."""
