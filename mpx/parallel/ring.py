@@ -168,14 +168,6 @@ def _stage_shards(T64, host_stats, w: int, m: int, D: int, shard_w: int, dt):
     return Tb, mub, invb
 
 
-def _stage_vector(vec, D: int, shard_w: int, fill, dt=np.float32):
-    """Block a host (w,)-vector into the (D, shard_w) device layout."""
-    out = np.full((D, shard_w), fill, dt)
-    flat = out.reshape(-1)
-    flat[: vec.shape[0]] = vec.astype(dt)
-    return flat.reshape(D, shard_w)
-
-
 def _ring_grids(shard_w: int, S: int, W: int):
     """(diag upper-triangle jobs, off-diagonal rectangle jobs), static.
 
@@ -605,6 +597,20 @@ def _ring_setup(T, m, D, band, chunk, mesh, host_stats, dt):
     )
 
 
+@jax.jit
+def _thr_from_gmax(gmax, margin2):
+    """Per-row pass-B thresholds computed WHERE gmax lives (on device,
+    sharded): thr = gmax - 2*margin, +inf for rows with no valid pair
+    (gmax still at AGGREGATE_INIT — includes the padded shard tail).
+    Same f32 arithmetic as the host formula in run_ring_hybrid_f64, so
+    the host copy fetched later for pass C is bit-identical."""
+    return jnp.where(
+        gmax > jnp.float32(AGGREGATE_INIT),
+        gmax - margin2,
+        jnp.full_like(gmax, jnp.inf),
+    )
+
+
 def _ring_pass_c(env, *, D: int, shard_w: int, m: int, w: int, excl: int,
                  mu64, inv64, thr_host, T64):
     """Sharded pass C factory: exact suspect extraction for
@@ -755,11 +761,9 @@ def run_ring_hybrid_f64(
             gmax, caps = out[0], out[1:]
         else:
             gmax = out
-        if not compile_only:
-            gmax = np.asarray(gmax).reshape(-1)[:w]
 
     if compile_only:
-        thrb = np.full((D, shard_w), np.inf, np.float32)
+        thrb = jnp.full((D, shard_w), jnp.inf, jnp.float32)
         if sparse_b:
             # compile the sparse pass B against dummy capture buffers
             gd = int(np.asarray(env["diag"][0]).shape[0])
@@ -771,22 +775,30 @@ def run_ring_hybrid_f64(
                 jnp.zeros((D, D // 2, gr, W_), jnp.uint16),
             )
     else:
-        # thr = gmax - 2*margin; rows with no valid pair stay +inf so
-        # they never flag (same rule as mpx.hybrid._build_thr).
-        thr = np.where(
-            gmax > np.float32(AGGREGATE_INIT),
-            gmax - np.float32(2.0 * margin), np.float32(np.inf),
-        ).astype(np.float32)
-        thrb = _stage_vector(thr, D, shard_w, np.inf)
+        # thr = gmax - 2*margin computed ON DEVICE where gmax already
+        # lives (rows with no valid pair — and padded shard tails —
+        # stay +inf so they never flag, same rule as
+        # mpx.hybrid._build_thr).  This removes the host round-trip
+        # between the two dependent passes: fetching gmax + restaging
+        # thr cost two w-sized transfers over the ~30 MB/s relay.
+        thrb = _thr_from_gmax(gmax, np.float32(2.0 * margin))
 
     with _phase(profile, f"2. Compute [ring f32 pass B x{D}]"):
         sus = _ring_pass(env["Tb"], env["mub"], env["invb"],
                          mode="suspects_sparse" if sparse_b else "suspects",
-                         thrb=jnp.asarray(thrb), caps=caps,
+                         thrb=thrb, caps=caps,
                          suspect_f=suspect_f,
                          compile_only=compile_only, **common)
         if compile_only:
             return None, None
+        # Overlapped with pass B's device time: the HOST thr copy that
+        # the pass-C escalation closure needs (pass B has dispatched;
+        # this fetch only waits on pass A).
+        gmax = np.asarray(gmax).reshape(-1)[:w]
+        thr = np.where(
+            gmax > np.float32(AGGREGATE_INIT),
+            gmax - np.float32(2.0 * margin), np.float32(np.inf),
+        ).astype(np.float32)
         # one bulk transfer; per-array slicing executables cost seconds
         # of dispatch through the TPU relay
         sus = jax.device_get(sus)
