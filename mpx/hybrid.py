@@ -1561,8 +1561,22 @@ def compute_topk_profile_f64_hybrid(
             est = np.asarray(gv[:w, k - 1], np.float64)
             q16 = 2.0 / 65535.0
             good = est > AGGREGATE_INIT / 2
-            thr_h[:w] = np.where(
-                good, est - q16 - 2.0 * margin_f, thr_h[:w]
+            # The k-th-job-max estimate COLLAPSES on plateau data: a
+            # row's top-k pairs are usually consecutive columns inside
+            # ONE job, so the k-th largest job max is the max of the
+            # k-th best job — far below v_k.  Unclamped, that seeded a
+            # threshold so low that round-4 hardware flooded 98% of all
+            # rows into the full-width pass C (832-1184s walls).
+            # Clamp the descent to CAP below the 1-NN threshold:
+            # raising thr is always sound (certification is
+            # self-validating; failing rows just descend), and CAP is
+            # sized from the measured suspect-band density (mean 19.5
+            # suspects/row at delta=8e-3 on the walk data) so the band
+            # stays enumerable by the capture slots / plateau bracket.
+            cap_delta = float(os.environ.get("MPX_TOPK_CAP", 8e-3))
+            seeded = np.where(good, est - q16 - 2.0 * margin_f, -np.inf)
+            thr_h[:w] = np.maximum(
+                seeded, thr_h[:w] - cap_delta
             ).astype(np.float32)
 
     rescore = lambda r, c: _rescore_pairs(T64, mu64, inv64, m, r, c)
@@ -1645,34 +1659,46 @@ def compute_topk_profile_f64_hybrid(
             # Narrow-spread plateau rows: every suspect lies in the
             # captured [mn1, mx1] bracket; when it is compact, rescoring
             # the whole interval enumerates ALL suspects on the host —
-            # no device pass C needed (mirrors the k=1 resolve).
-            RUNCAP = 64
+            # no device pass C needed (mirrors the k=1 resolve).  The
+            # cap is 512 (p99 plateau width on the walk data is ~94):
+            # wide enough that pass C — a full-width device rescan per
+            # row — only sees genuinely SCATTERED suspect sets.  Rows
+            # are processed in spread-sorted chunks so each chunk's
+            # rescore width is its own max spread, not the global cap.
+            RUNCAP = int(os.environ.get("MPX_TOPK_RUNCAP", 512))
             mn1w = sus.mn[:w, 0]
             mx1w = sus.mx[:w, 0]
             spread = mx1w.astype(np.int64) - mn1w.astype(np.int64) + 1
             narrow = (
                 over & (mn1w != int(SUSPECT_MIN_INIT)) & (spread <= RUNCAP)
             )
-            nrows = np.nonzero(narrow)[0].astype(np.int32)
-            if nrows.size:
-                runs = (
-                    mn1w[nrows][:, None]
-                    + np.arange(RUNCAP, dtype=np.int32)[None, :]
-                )
-                runs = np.where(runs <= mx1w[nrows][:, None], runs, -1)
-                if excl > 0:
-                    d_ = runs - nrows[:, None]
-                    runs = np.where(np.abs(d_) >= excl, runs, -1)
-                P = rescore(
-                    np.repeat(nrows, RUNCAP), runs.reshape(-1).astype(np.int32)
-                ).reshape(-1, RUNCAP)
-                P[runs < 0] = AGGREGATE_INIT
-                Ps, Is, nreal, vk = best_of(nrows, runs, P)
-                ok = ((nreal >= k) & (vk >= thr_h[nrows] + margin_f)) | (
-                    allin[nrows]
-                )
-                if ok.any():
-                    commit(nrows[ok], Ps[ok], Is[ok])
+            nrows_all = np.nonzero(narrow)[0].astype(np.int32)
+            if nrows_all.size:
+                nrows_all = nrows_all[
+                    np.argsort(spread[nrows_all], kind="stable")
+                ]
+                ROWCHUNK = 16384
+                for o in range(0, nrows_all.size, ROWCHUNK):
+                    nrows = nrows_all[o : o + ROWCHUNK]
+                    rc = max(8, int(spread[nrows].max() + 7) // 8 * 8)
+                    runs = (
+                        mn1w[nrows][:, None]
+                        + np.arange(rc, dtype=np.int32)[None, :]
+                    )
+                    runs = np.where(runs <= mx1w[nrows][:, None], runs, -1)
+                    if excl > 0:
+                        d_ = runs - nrows[:, None]
+                        runs = np.where(np.abs(d_) >= excl, runs, -1)
+                    P = rescore(
+                        np.repeat(nrows, rc), runs.reshape(-1).astype(np.int32)
+                    ).reshape(-1, rc)
+                    P[runs < 0] = AGGREGATE_INIT
+                    Ps, Is, nreal, vk = best_of(nrows, runs, P)
+                    ok = ((nreal >= k) & (vk >= thr_h[nrows] + margin_f)) | (
+                        allin[nrows]
+                    )
+                    if ok.any():
+                        commit(nrows[ok], Ps[ok], Is[ok])
 
             big = np.nonzero(over & ~narrow)[0].astype(np.int32)
             # Rows whose k-th candidate cannot clear the K64-th device
@@ -1790,7 +1816,8 @@ def compute_topk_profile_f64_hybrid(
                     )
                     commit(wild_all, vv, ii)
             Logger.verbose_log(
-                f"topk iter {it}: small={small.size} narrow={nrows.size} "
+                f"topk iter {it}: small={small.size} "
+                f"narrow={nrows_all.size} "
                 f"big={big.size} wild={sum(x.size for x in wild_rows)} "
                 f"host-scanned={wild_all.size} "
                 f"certified={int(certified.sum())}/{w}"

@@ -16,14 +16,20 @@ from mpx.utils.timer import Timer
 
 
 class BenchmarkProfile:
-    def __init__(self):
+    def __init__(self, echo: bool = False):
         # category -> OrderedDict(name -> ns)
         self._categories: "OrderedDict[str, OrderedDict[str, int]]" = OrderedDict()
+        #: print each push as it lands (long probe runs through the
+        #: relay get killed by timeouts; echo preserves partial data)
+        self.echo = echo
 
     def push(self, category: str, ns: int, name: str | None = None):
         entries = self._categories.setdefault(category, OrderedDict())
         key = name if name is not None else f"#{len(entries)}"
         entries[key] = entries.get(key, 0) + ns
+        if self.echo:
+            tag = f" {name}" if name is not None else ""
+            print(f"[phase] {category}{tag}: {Timer.pretty(ns)}", flush=True)
 
     def total(self) -> int:
         return sum(sum(e.values()) for e in self._categories.values())

@@ -148,3 +148,34 @@ def test_topk_hybrid_rejects_large_k_to_strict():
     fin = np.isfinite(De)
     np.testing.assert_allclose(np.asarray(D, np.float64)[fin], De[fin],
                                atol=1e-8)
+
+
+@pytest.mark.parametrize(
+    "runcap,cap_delta",
+    [
+        (8, "8e-3"),    # tiny bracket: plateau rows spill into pass C
+        (512, "1e-4"),  # tight seed clamp: extra descent rounds
+        (512, "1e9"),   # clamp off: the raw k-th-job-max seeding path
+    ],
+)
+def test_topk_hybrid_runcap_and_seed_clamp(monkeypatch, runcap, cap_delta):
+    """The plateau-bracket width (MPX_TOPK_RUNCAP) and the seeding
+    clamp (MPX_TOPK_CAP) only move rows between resolution paths —
+    bracket rescore vs pass C vs descent rounds — never the result.
+    A repeated motif makes wide tie plateaus; every configuration must
+    match the brute oracle exactly."""
+    monkeypatch.setenv("MPX_TOPK_RUNCAP", str(runcap))
+    monkeypatch.setenv("MPX_TOPK_CAP", cap_delta)
+    rng = np.random.default_rng(31)
+    motif = np.sin(np.linspace(0, 2 * np.pi, 24))
+    T = rng.standard_normal(24 * 30) * 1e-3
+    for r in range(30):
+        T[r * 24 : r * 24 + 24] += motif
+    m, k = 16, 4
+    cfg = MatrixProfileConfig(m=m, dtype="float64",
+                              band=64, chunk=128, tile_rows=8, tile_cols=8)
+    D, I = compute_topk_profile(T, k=k, config=cfg)
+    De, Ie = brute_force_topk(T, m, k)
+    fin = np.isfinite(De)
+    np.testing.assert_allclose(np.asarray(D)[fin], De[fin], atol=1e-8)
+    assert np.all(np.diff(np.asarray(D), axis=1) >= -1e-12)
